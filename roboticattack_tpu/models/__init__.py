@@ -1,0 +1,31 @@
+from .config import (
+    DINOV2_VIT_L,
+    LLAMA2_7B,
+    OPENVLA_7B,
+    REGISTRY,
+    SIGLIP_SO400M,
+    TINY_LLAMA,
+    VLA_TINY,
+    LlamaConfig,
+    ViTConfig,
+    VLAConfig,
+    get_config,
+)
+from .llama import (
+    cross_entropy_loss,
+    embed_tokens,
+    init_llama_params,
+    llama_apply,
+    rms_norm,
+)
+from .vit import init_vit_params, vit_features
+from .vlm import (
+    VLAOutput,
+    action_logit_slice,
+    init_vla_params,
+    param_count,
+    projector_apply,
+    vision_features,
+    vla_forward,
+)
+from .convert import convert_state_dict, load_checkpoint_dir, load_norm_stats

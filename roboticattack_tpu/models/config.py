@@ -1,0 +1,148 @@
+"""Model configuration dataclasses + named registry.
+
+Mirrors the *shape* information of the reference configs
+(/root/reference/prismatic/extern/hf/configuration_prismatic.py:15-140) while
+being framework-native: frozen (hashable) dataclasses usable as jit static
+arguments.
+
+The flagship `openvla-7b` config is the dinosiglip-224px + Llama-2-7B stack:
+  - DINOv2 ViT-L/14 reg4 (timm `vit_large_patch14_reg4_dinov2.lvd142m`)
+  - SigLIP ViT-so400m/14 (timm `vit_so400m_patch14_siglip_224`)
+  - Llama-2-7B w/ 32064-row padded embedding (vocab 32000 + pad to mult. 64)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    embed_dim: int
+    depth: int
+    num_heads: int
+    mlp_hidden: int
+    patch_size: int = 14
+    image_size: int = 224
+    num_reg_tokens: int = 0
+    use_cls_token: bool = False
+    use_layerscale: bool = False
+    # DINOv2-reg models add pos-embed to patch tokens only, then prepend
+    # cls/reg tokens (timm `no_embed_class=True`); SigLIP has no prefix tokens.
+    ln_eps: float = 1e-6
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return (1 if self.use_cls_token else 0) + self.num_reg_tokens
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def tap_layer(self) -> int:
+        """Blocks applied before the feature tap: the reference taps the
+        *second-to-last* block's output (modeling_prismatic.py:85-87), i.e.
+        runs blocks [0, depth-2)... inclusive of index depth-2."""
+        return self.depth - 1  # number of blocks run = depth-1 (skip last)
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32064
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 11008
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_seq_len: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class VLAConfig:
+    name: str
+    dino: ViTConfig
+    siglip: Optional[ViTConfig]
+    llm: LlamaConfig
+    pad_token_id: int = 32000
+    pad_to_multiple_of: int = 64
+    n_action_bins: int = 256
+    dtype: str = "bfloat16"
+    # activation rematerialization over LLM blocks (HBM vs FLOPs tradeoff)
+    remat: bool = True
+
+    @property
+    def use_fused_vision_backbone(self) -> bool:
+        return self.siglip is not None
+
+    @property
+    def vision_dim(self) -> int:
+        return self.dino.embed_dim + (self.siglip.embed_dim if self.siglip else 0)
+
+    @property
+    def num_patches(self) -> int:
+        return self.dino.num_patches
+
+    @property
+    def action_vocab_size(self) -> int:
+        """De-tokenization vocab: padded vocab minus the pad-to-multiple rows
+        (modeling_prismatic.py:504)."""
+        return self.llm.vocab_size - self.pad_to_multiple_of
+
+
+DINOV2_VIT_L = ViTConfig(
+    embed_dim=1024, depth=24, num_heads=16, mlp_hidden=4096,
+    num_reg_tokens=4, use_cls_token=True, use_layerscale=True,
+)
+SIGLIP_SO400M = ViTConfig(
+    embed_dim=1152, depth=27, num_heads=16, mlp_hidden=4304,
+)
+LLAMA2_7B = LlamaConfig()
+
+OPENVLA_7B = VLAConfig(name="openvla-7b", dino=DINOV2_VIT_L, siglip=SIGLIP_SO400M, llm=LLAMA2_7B)
+
+# Tiny config for tests: same structural quirks (fused backbone, reg tokens,
+# layerscale, padded vocab) at toy scale. fp32 so parity vs torch is exact-ish.
+TINY_DINO = ViTConfig(
+    embed_dim=32, depth=3, num_heads=2, mlp_hidden=64, patch_size=14,
+    image_size=56, num_reg_tokens=4, use_cls_token=True, use_layerscale=True,
+)
+TINY_SIGLIP = ViTConfig(
+    embed_dim=48, depth=4, num_heads=2, mlp_hidden=96, patch_size=14, image_size=56,
+)
+TINY_LLAMA = LlamaConfig(
+    vocab_size=32064, hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=4,
+    intermediate_size=128, max_seq_len=512,
+)
+VLA_TINY = VLAConfig(
+    name="vla-tiny", dino=TINY_DINO, siglip=TINY_SIGLIP, llm=TINY_LLAMA,
+    dtype="float32", remat=False,
+)
+
+# LIBERO finetunes share the 7B architecture; they differ only in weights +
+# norm_stats (TMA_wrapper.py:30-41 maps dataset -> checkpoint id).
+REGISTRY = {
+    "openvla-7b": OPENVLA_7B,
+    "openvla-7b-finetuned-libero-spatial": OPENVLA_7B,
+    "openvla-7b-finetuned-libero-object": OPENVLA_7B,
+    "openvla-7b-finetuned-libero-goal": OPENVLA_7B,
+    "openvla-7b-finetuned-libero-10": OPENVLA_7B,
+    "vla-tiny": VLA_TINY,
+}
+
+
+def get_config(name: str) -> VLAConfig:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown model config '{name}'; available: {sorted(REGISTRY)}")
+    return REGISTRY[name]

@@ -1,0 +1,163 @@
+"""HF OpenVLA checkpoint -> roboticattack_tpu parameter pytree.
+
+Maps the `openvla/openvla-7b*` safetensors layout (torch [out, in] linear
+weights, timm ViT naming, HF Llama naming) onto our stacked-layer, input-major
+pytrees. Includes the LayerScale `gamma -> scale_factor` rename the reference
+applies (modeling_prismatic.py:52-59) — both names are accepted.
+
+All outputs are NumPy arrays (host); shard/cast on device placement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Mapping
+
+import numpy as np
+
+from .config import LlamaConfig, ViTConfig, VLAConfig
+
+
+def _t(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def convert_llama(state: Mapping[str, np.ndarray], cfg: LlamaConfig,
+                  prefix: str = "language_model.") -> Dict:
+    def get(name):
+        return np.asarray(state[prefix + name])
+
+    layers = {k: [] for k in
+              ("attn_norm", "q_w", "k_w", "v_w", "o_w", "mlp_norm", "gate_w", "up_w", "down_w")}
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        layers["attn_norm"].append(get(p + "input_layernorm.weight"))
+        layers["q_w"].append(_t(get(p + "self_attn.q_proj.weight")))
+        layers["k_w"].append(_t(get(p + "self_attn.k_proj.weight")))
+        layers["v_w"].append(_t(get(p + "self_attn.v_proj.weight")))
+        layers["o_w"].append(_t(get(p + "self_attn.o_proj.weight")))
+        layers["mlp_norm"].append(get(p + "post_attention_layernorm.weight"))
+        layers["gate_w"].append(_t(get(p + "mlp.gate_proj.weight")))
+        layers["up_w"].append(_t(get(p + "mlp.up_proj.weight")))
+        layers["down_w"].append(_t(get(p + "mlp.down_proj.weight")))
+    return {
+        "embed": get("model.embed_tokens.weight"),
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "norm": get("model.norm.weight"),
+        "lm_head": _t(get("lm_head.weight")),
+    }
+
+
+def convert_vit(state: Mapping[str, np.ndarray], cfg: ViTConfig, prefix: str) -> Dict:
+    def get(name):
+        return np.asarray(state[prefix + name])
+
+    def maybe(name):
+        return np.asarray(state[prefix + name]) if (prefix + name) in state else None
+
+    # conv [D, 3, P, P] -> [P, P, 3, D] -> [P*P*3, D] (matches vit.patchify order)
+    conv_w = get("patch_embed.proj.weight")
+    d = conv_w.shape[0]
+    kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)
+
+    pos = get("pos_embed")[0]  # [N(+1), D]
+    cls_token = maybe("cls_token")
+    cls_pos = None
+    if pos.shape[0] == cfg.num_patches + 1:
+        # embed_class layout: row 0 belongs to cls; fold it into the cls token
+        cls_pos, pos = pos[0], pos[1:]
+
+    layers: Dict[str, list] = {}
+
+    def push(key, val):
+        layers.setdefault(key, []).append(val)
+
+    for i in range(cfg.depth):
+        p = f"blocks.{i}."
+        push("ln1_scale", get(p + "norm1.weight"))
+        push("ln1_bias", get(p + "norm1.bias"))
+        push("qkv_w", _t(get(p + "attn.qkv.weight")))
+        push("qkv_b", get(p + "attn.qkv.bias"))
+        push("proj_w", _t(get(p + "attn.proj.weight")))
+        push("proj_b", get(p + "attn.proj.bias"))
+        push("ln2_scale", get(p + "norm2.weight"))
+        push("ln2_bias", get(p + "norm2.bias"))
+        push("fc1_w", _t(get(p + "mlp.fc1.weight")))
+        push("fc1_b", get(p + "mlp.fc1.bias"))
+        push("fc2_w", _t(get(p + "mlp.fc2.weight")))
+        push("fc2_b", get(p + "mlp.fc2.bias"))
+        if cfg.use_layerscale:
+            ls1 = maybe(p + "ls1.scale_factor")
+            ls2 = maybe(p + "ls2.scale_factor")
+            push("ls1", ls1 if ls1 is not None else get(p + "ls1.gamma"))
+            push("ls2", ls2 if ls2 is not None else get(p + "ls2.gamma"))
+
+    params: Dict = {
+        "patch_embed": {"kernel": kernel, "bias": get("patch_embed.proj.bias")},
+        "pos_embed": pos,
+        "blocks": {k: np.stack(v) for k, v in layers.items()},
+    }
+    if cfg.use_cls_token:
+        assert cls_token is not None, f"{prefix}cls_token missing"
+        cls = cls_token.reshape(1, -1)
+        if cls_pos is not None:
+            cls = cls + cls_pos[None]
+        params["cls_token"] = cls
+    if cfg.num_reg_tokens:
+        params["reg_tokens"] = get("reg_token").reshape(cfg.num_reg_tokens, -1)
+    return params
+
+
+def convert_projector(state: Mapping[str, np.ndarray], prefix: str = "projector.") -> Dict:
+    def get(name):
+        return np.asarray(state[prefix + name])
+
+    return {
+        "fc1_w": _t(get("fc1.weight")), "fc1_b": get("fc1.bias"),
+        "fc2_w": _t(get("fc2.weight")), "fc2_b": get("fc2.bias"),
+        "fc3_w": _t(get("fc3.weight")), "fc3_b": get("fc3.bias"),
+    }
+
+
+def convert_state_dict(state: Mapping[str, np.ndarray], cfg: VLAConfig) -> Dict:
+    vision = {"dino": convert_vit(state, cfg.dino, "vision_backbone.featurizer.")}
+    if cfg.siglip is not None:
+        vision["siglip"] = convert_vit(state, cfg.siglip, "vision_backbone.fused_featurizer.")
+    return {
+        "vision": vision,
+        "projector": convert_projector(state),
+        "llm": convert_llama(state, cfg.llm),
+    }
+
+
+def load_checkpoint_dir(path: str, cfg: VLAConfig) -> Dict:
+    """Load a local HF OpenVLA checkpoint directory (safetensors shards)."""
+    from safetensors import safe_open  # lazy: only needed on the real path
+
+    state: Dict[str, np.ndarray] = {}
+    index_path = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            shard_files = sorted(set(json.load(f)["weight_map"].values()))
+    else:
+        shard_files = sorted(
+            f for f in os.listdir(path) if f.endswith(".safetensors")
+        )
+    for shard in shard_files:
+        with safe_open(os.path.join(path, shard), framework="np") as sf:
+            for key in sf.keys():
+                state[key] = sf.get_tensor(key)
+    return convert_state_dict(state, cfg)
+
+
+def load_norm_stats(path: str) -> Dict:
+    """Read `dataset_statistics.json` next to a checkpoint (the eval path's
+    source of q01/q99 masks, experiments/robot/openvla_utils.py:60-70), or the
+    `norm_stats` field of config.json."""
+    stats_path = os.path.join(path, "dataset_statistics.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            return json.load(f)
+    with open(os.path.join(path, "config.json")) as f:
+        return json.load(f)["norm_stats"]

@@ -1,0 +1,116 @@
+"""Prismatic/OpenVLA multimodal forward: fused dual-ViT -> MLP projector ->
+Llama with patch embeddings inserted after BOS.
+
+Behavioral contract (vs /root/reference/prismatic/extern/hf/modeling_prismatic.py):
+  - fused backbone: channel-split -> per-backbone features -> feature concat
+    on the embedding dim (:114-123); here the split is the leading stack axis
+    of our [B, 2, H, W, 3] pixel layout instead of 6 NCHW channels;
+  - projector: fc1 -> GELU -> fc2 -> GELU -> fc3 (fused variant, :138-156);
+  - embeddings: cat([emb[:, :1], patches, emb[:, 1:]]) (:383-385), patch
+    labels IGNORE (:395-401), attention over patches always on (:371-377);
+  - loss: HF-internal shifted CE over the extended label row.
+
+Everything is a pure function of (params, config, arrays): jit/grad/shard-ready.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import IGNORE_INDEX
+from .config import VLAConfig
+from .llama import cross_entropy_loss, embed_tokens, init_llama_params, llama_apply
+from .vit import init_vit_params, vit_features
+
+
+class VLAOutput(NamedTuple):
+    loss: Optional[jnp.ndarray]
+    logits: jnp.ndarray  # [B, S + num_patches, V] fp32
+
+
+def projector_apply(params: Dict, features: jnp.ndarray) -> jnp.ndarray:
+    x = features @ params["fc1_w"] + params["fc1_b"]
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(features.dtype)
+    x = x @ params["fc2_w"] + params["fc2_b"]
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(features.dtype)
+    return x @ params["fc3_w"] + params["fc3_b"]
+
+
+def vision_features(params: Dict, cfg: VLAConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """pixel_values: [B, 2, H, W, 3] (DINO-normed, SigLIP-normed) ->
+    [B, num_patches, dino_dim + siglip_dim]."""
+    dino = vit_features(params["dino"], cfg.dino, pixel_values[:, 0])
+    if cfg.siglip is None:
+        return dino
+    sig = vit_features(params["siglip"], cfg.siglip, pixel_values[:, 1])
+    return jnp.concatenate([dino, sig], axis=-1)
+
+
+def vla_forward(
+    params: Dict,
+    cfg: VLAConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    labels: Optional[jnp.ndarray] = None,
+) -> VLAOutput:
+    """The multimodal training/attack forward (modeling_prismatic.py:362-415)."""
+    patches = vision_features(params["vision"], cfg, pixel_values)
+    projected = projector_apply(params["projector"], patches)  # [B, P, D]
+
+    emb = embed_tokens(params["llm"], input_ids)
+    mm_emb = jnp.concatenate([emb[:, :1], projected.astype(emb.dtype), emb[:, 1:]], axis=1)
+
+    ones = jnp.ones(projected.shape[:2], dtype=attention_mask.dtype)
+    mm_mask = jnp.concatenate([attention_mask[:, :1], ones, attention_mask[:, 1:]], axis=1)
+
+    logits = llama_apply(
+        params["llm"], cfg.llm, mm_emb, attention_mask=mm_mask, remat=cfg.remat
+    )
+
+    loss = None
+    if labels is not None:
+        patch_labels = jnp.full(projected.shape[:2], IGNORE_INDEX, dtype=labels.dtype)
+        mm_labels = jnp.concatenate([labels[:, :1], patch_labels, labels[:, 1:]], axis=1)
+        loss = cross_entropy_loss(logits, mm_labels)
+    return VLAOutput(loss=loss, logits=logits)
+
+
+def action_logit_slice(logits: jnp.ndarray, cfg: VLAConfig, text_len: int) -> jnp.ndarray:
+    """`logits[:, num_patches : -1]` — the positions predicting text tokens
+    1..S-1, aligned with labels[:, 1:] (TMA.py:151). Returns [B, S-1, V]."""
+    p = cfg.num_patches
+    return logits[:, p : p + text_len - 1, :]
+
+
+def init_vla_params(rng: jax.Array, cfg: VLAConfig) -> Dict:
+    dtype = jnp.dtype(cfg.dtype)
+    k_dino, k_sig, k_proj, k_llm = jax.random.split(rng, 4)
+    vision: Dict = {"dino": init_vit_params(k_dino, cfg.dino, dtype)}
+    if cfg.siglip is not None:
+        vision["siglip"] = init_vit_params(k_sig, cfg.siglip, dtype)
+
+    vdim, ldim = cfg.vision_dim, cfg.llm.hidden_size
+    hidden = 4 * vdim
+    kp = jax.random.split(k_proj, 3)
+
+    def normal(key, shape, std=0.02):
+        return (jax.random.normal(key, shape) * std).astype(dtype)
+
+    projector = {
+        "fc1_w": normal(kp[0], (vdim, hidden)), "fc1_b": jnp.zeros((hidden,), dtype),
+        "fc2_w": normal(kp[1], (hidden, ldim)), "fc2_b": jnp.zeros((ldim,), dtype),
+        "fc3_w": normal(kp[2], (ldim, ldim)), "fc3_b": jnp.zeros((ldim,), dtype),
+    }
+    return {
+        "vision": vision,
+        "projector": projector,
+        "llm": init_llama_params(k_llm, cfg.llm, dtype),
+    }
+
+
+def param_count(params: Dict) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

@@ -8,10 +8,20 @@ hardware. Mirrors the strategy in SURVEY.md §4(d).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Overwrite (not setdefault): the session environment pins JAX_PLATFORMS to the
+# TPU plugin (and a sitecustomize imports jax at interpreter start, capturing
+# it), but tests must run on the virtual CPU mesh — fp32 matmuls on TPU
+# silently run at bf16 precision, breaking parity tolerances. Setting both the
+# env var and the already-imported config handles either import order.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Make the repo root importable regardless of how pytest is invoked.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
