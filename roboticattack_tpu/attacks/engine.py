@@ -1,0 +1,242 @@
+"""The fused attack step: the framework's hot path.
+
+One call = one reference 'outer iteration': `innerLoop` rounds of
+  re-randomized patch placement/affine -> dual normalize -> frozen-VLM fwd/bwd
+  w.r.t. the patch pixels only -> AdamW/PGD update -> clamp to [0, 1]
+as a single jitted XLA program with `lax.scan` over the inner loop
+(vs the reference's Python loop with per-step `.item()` syncs, TMA.py:113-175).
+
+Data parallelism: call `shard_batch` on the inputs and the same jitted step
+runs DDP-equivalently — batch sharded over the mesh's 'data' axis, patch and
+weights replicated; XLA inserts the gradient all-reduce that torch DDP does by
+hand (UADA_ddp.py:166). See parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import VLAConfig
+from ..models.vlm import vla_forward
+from ..ops.patch_ops import apply_patch_batch
+from ..utils.labels import mask_labels as _mask_labels
+from ..utils.labels import overwrite_with_target
+from ..utils.normalization import dual_normalize
+from .losses import (
+    action_preds_and_mask,
+    clip_grad_l1,
+    gripper_asr_counts,
+    tma_metrics,
+    uada_loss,
+    upa_loss,
+)
+from .optimizer import AdamState, adam_init, adamw_update, pgd_update
+
+
+class AttackBatch(NamedTuple):
+    """One data batch. images are *raw* [B, H, W, 3] float32 in [0, 1] —
+    patching happens before normalization, exactly like the reference (the
+    RLDS transform keeps raw PIL frames, RLDSBatchTransform.py:42)."""
+
+    images: jnp.ndarray
+    input_ids: jnp.ndarray
+    attention_mask: jnp.ndarray
+    labels: jnp.ndarray
+
+
+class AttackState(NamedTuple):
+    patch: jnp.ndarray          # [ph, pw, 3] float32 in [0, 1]
+    opt: AdamState
+    grad_acc: jnp.ndarray       # accumulation buffer (reference zero-grad quirk)
+
+
+class AttackSpec(NamedTuple):
+    """Static attack configuration (hashable; closed over by the jitted step)."""
+
+    objective: str = "tma"          # tma | uada | upa | upa_guide | upa_negce
+    geometry: bool = True
+    resize_patch: bool = False
+    inner_loop: int = 50
+    accumulate_steps: int = 1
+    optimizer: str = "adamW"        # adamW | pgd
+    pgd_alpha: float = 2e-3
+    mse_weight: float = 5.0         # UADA (--MSE_weights in DDP variant)
+    add_inverse_ce: bool = True     # UADA single-device keeps +1/CE; DDP drops it
+    upa_alpha: float = 0.8
+    upa_beta: float = 0.2
+    grad_clip_l1: Optional[float] = None  # UPA uses 1e-3 (UPA.py:157)
+
+
+def init_attack_state(rng: jax.Array, patch_hw: Tuple[int, int]) -> AttackState:
+    """patch = U[0,1) init (TMA.py:90)."""
+    patch = jax.random.uniform(rng, (patch_hw[0], patch_hw[1], 3), dtype=jnp.float32)
+    return AttackState(patch=patch, opt=adam_init(patch), grad_acc=jnp.zeros_like(patch))
+
+
+def _objective_loss(
+    spec: AttackSpec, cfg: VLAConfig, out, labels: jnp.ndarray
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    ce = out.loss
+    if spec.objective == "tma":
+        m = tma_metrics(out.logits, labels, ce, cfg)
+        return ce, {"ce": ce, "l1": m.l1, "asr": m.asr, "rel_dist": m.relative_distance}
+    if spec.objective == "uada":
+        r = uada_loss(
+            out.logits, labels, ce, cfg,
+            mse_weight=spec.mse_weight, add_inverse_ce=spec.add_inverse_ce,
+        )
+        return r.loss, {"ce": ce, "mse_distance": r.mse_distance, "uad": r.uad}
+    if spec.objective == "upa":
+        r = upa_loss(out.logits, labels, ce, cfg, alpha=spec.upa_alpha, beta=spec.upa_beta)
+        return r.loss, {"ce": ce, "angle": r.angle_loss, "distance": r.distance_loss}
+    if spec.objective == "upa_guide":
+        return ce, {"ce": ce}
+    if spec.objective == "upa_negce":
+        return -ce, {"ce": ce}
+    raise ValueError(f"unknown objective {spec.objective}")
+
+
+def _inner_step(
+    spec: AttackSpec,
+    cfg: VLAConfig,
+    params: Dict,
+    state: AttackState,
+    batch: AttackBatch,
+    labels: jnp.ndarray,
+    lr: jnp.ndarray,
+    apply_update: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[AttackState, Dict[str, jnp.ndarray]]:
+    def loss_fn(patch):
+        patched = apply_patch_batch(
+            batch.images, patch, rng, geometry=spec.geometry, resize_patch=spec.resize_patch
+        )
+        pixels = dual_normalize(patched).astype(jnp.dtype(cfg.dtype))
+        out = vla_forward(params, cfg, batch.input_ids, batch.attention_mask, pixels, labels)
+        loss, metrics = _objective_loss(spec, cfg, out, labels)
+        if spec.objective == "tma":
+            loss = loss / spec.accumulate_steps
+        return loss, metrics
+
+    (loss, metrics), grad = jax.value_and_grad(loss_fn, has_aux=True)(state.patch)
+    metrics = dict(metrics, loss=loss, grad_mean=jnp.mean(grad))
+
+    grad_total = state.grad_acc + grad
+    if spec.grad_clip_l1 is not None:
+        grad_total = clip_grad_l1(grad_total, spec.grad_clip_l1)
+
+    if spec.optimizer == "adamW":
+        new_patch, new_opt = adamw_update(grad_total, state.opt, state.patch, lr)
+    elif spec.optimizer == "pgd":
+        new_patch, new_opt = pgd_update(grad_total, state.patch, spec.pgd_alpha), state.opt
+    else:
+        raise ValueError(f"unknown optimizer {spec.optimizer}")
+    new_patch = jnp.clip(new_patch, 0.0, 1.0)
+
+    # On non-update iterations (grad accumulation), keep accumulating instead.
+    patch = jnp.where(apply_update, new_patch, state.patch)
+    opt = jax.tree.map(
+        lambda new, old: jnp.where(apply_update, new, old), new_opt, state.opt
+    )
+    grad_acc = jnp.where(apply_update, jnp.zeros_like(grad_total), grad_total)
+    return AttackState(patch=patch, opt=opt, grad_acc=grad_acc), metrics
+
+
+def make_attack_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.ndarray],
+                     maskidx: Sequence[int]):
+    """Build the jitted outer-iteration function.
+
+    Returns step(params, state, batch, lr, apply_update, rng) ->
+    (state, metrics) where metrics values are [inner_loop]-stacked.
+    """
+    maskidx = tuple(maskidx)
+    target = jnp.asarray(target_tokens) if target_tokens is not None else None
+
+    def prepare_labels(labels: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        if spec.objective == "tma":
+            return overwrite_with_target(labels, target)
+        if spec.objective == "uada" or spec.objective == "upa_negce":
+            return _mask_labels(labels, maskidx)
+        if spec.objective == "upa_guide":
+            from ..utils.labels import change_target
+
+            return change_target(labels, rng)
+        return labels  # upa reverse-direction keeps raw labels (UPA.py:127-131)
+
+    def step(params, state: AttackState, batch: AttackBatch, lr, apply_update, rng):
+        k_label, k_inner = jax.random.split(rng)
+        labels = prepare_labels(batch.labels, k_label)
+        keys = jax.random.split(k_inner, spec.inner_loop)
+
+        def body(st, key):
+            st, metrics = _inner_step(
+                spec, cfg, params, st, batch, labels, lr, apply_update, key
+            )
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+# --- Validation scorer -----------------------------------------------------------
+
+def make_val_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.ndarray],
+                  maskidx: Sequence[int]):
+    """Jitted no-grad scorer for the eval cadence (TMA.py:202-318).
+
+    Returns val(params, patch, batch, rng) -> dict of scalar metrics plus
+    per-example extras needed for the reference's host-side aggregation.
+    """
+    maskidx = tuple(maskidx)
+    target = jnp.asarray(target_tokens) if target_tokens is not None else None
+
+    def val(params, patch, batch: AttackBatch, rng):
+        k_label, k_patch, k_clean = jax.random.split(rng, 3)
+        if spec.objective == "tma":
+            labels = overwrite_with_target(batch.labels, target)
+        elif spec.objective in ("uada", "upa_negce"):
+            labels = _mask_labels(batch.labels, maskidx)
+        elif spec.objective == "upa_guide":
+            from ..utils.labels import change_target
+
+            labels = change_target(batch.labels, k_label)
+        else:
+            labels = batch.labels
+
+        patched = apply_patch_batch(
+            batch.images, patch, k_patch, geometry=spec.geometry, resize_patch=spec.resize_patch
+        )
+        pixels = dual_normalize(patched).astype(jnp.dtype(cfg.dtype))
+        out = vla_forward(params, cfg, batch.input_ids, batch.attention_mask, pixels, labels)
+        loss, metrics = _objective_loss(spec, cfg, out, labels)
+        metrics = dict(metrics, loss=loss)
+
+        preds, gt, mask = action_preds_and_mask(out.logits, labels, cfg)
+        metrics.update({f"grip_{k}": v for k, v in gripper_asr_counts(preds, gt, mask).items()})
+
+        # clean-image forward for the maskidx==[6] pre-filter (TMA.py:223-250):
+        # per-example gripper correctness on the unpatched image
+        clean_pixels = dual_normalize(batch.images).astype(jnp.dtype(cfg.dtype))
+        clean_out = vla_forward(
+            params, cfg, batch.input_ids, batch.attention_mask, clean_pixels, None
+        )
+        c_preds, c_gt, c_mask = action_preds_and_mask(clean_out.logits, batch.labels, cfg)
+        # last action token per row == gripper dim
+        order = jnp.argsort(~c_mask, axis=-1, stable=True)
+        last = order[:, 6]
+        grip_ok = jnp.take_along_axis(c_preds, last[:, None], 1)[:, 0] == jnp.take_along_axis(
+            c_gt, last[:, None], 1
+        )[:, 0]
+        metrics["clean_gripper_correct"] = grip_ok
+        # example image for artifact dumps: first patched image, denormalized
+        metrics["_patched_images"] = patched
+        return metrics
+
+    return jax.jit(val)

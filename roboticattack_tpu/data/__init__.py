@@ -1,0 +1,2 @@
+from .collator import batch_iterator, collate
+from .dummy import dummy_frame_iterator

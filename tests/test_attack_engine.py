@@ -1,0 +1,109 @@
+"""End-to-end tiny attack: the jitted step runs, the objective improves, the
+patch stays in [0, 1], and the schedule matches transformers' implementation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from roboticattack_tpu.attacks import (
+    AttackSpec,
+    cosine_schedule_with_warmup,
+    init_attack_state,
+    make_attack_step,
+    make_val_step,
+)
+from roboticattack_tpu.data import batch_iterator, dummy_frame_iterator
+from roboticattack_tpu.models import VLA_TINY, init_vla_params
+from roboticattack_tpu.utils import WordStubTokenizer, build_tma_target_tokens
+
+
+def _setup(batch_size=2, image_size=56):
+    params = init_vla_params(jax.random.key(0), VLA_TINY)
+    frames = dummy_frame_iterator(WordStubTokenizer(), image_size=image_size, seed=0)
+    batches = batch_iterator(frames, batch_size=batch_size, pad_to=48)
+    return params, batches
+
+
+def test_cosine_schedule_matches_transformers():
+    import torch
+    from transformers import get_cosine_schedule_with_warmup
+
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=2e-3)
+    sched = get_cosine_schedule_with_warmup(opt, num_warmup_steps=20, num_training_steps=100)
+    for step in range(100):
+        want = sched.get_last_lr()[0]
+        got = cosine_schedule_with_warmup(step, 2e-3, 20, 100)
+        assert abs(got - want) < 1e-12, (step, got, want)
+        opt.step()
+        sched.step()
+
+
+def test_tma_attack_step_runs_and_improves():
+    params, batches = _setup()
+    maskidx = [0, 1, 2, 3, 4, 5, 6]
+    target = build_tma_target_tokens(np.zeros(7), maskidx)
+    spec = AttackSpec(objective="tma", geometry=True, inner_loop=2)
+    step = make_attack_step(spec, VLA_TINY, target, maskidx)
+    state = init_attack_state(jax.random.key(1), (12, 12))
+
+    batch = next(batches)
+    losses = []
+    for i in range(8):
+        lr = cosine_schedule_with_warmup(i + 1, 5e-2, 0, 100)
+        state, metrics = step(params, state, batch, jnp.float32(lr), jnp.bool_(True), jax.random.key(i))
+        losses.append(float(metrics["loss"][-1]))
+    patch = np.asarray(state.patch)
+    assert patch.min() >= 0.0 and patch.max() <= 1.0
+    assert np.isfinite(losses).all()
+    # optimizing the patch against a tiny random model should still reduce CE
+    assert min(losses[-3:]) < losses[0], losses
+
+
+def test_uada_and_upa_steps_run():
+    params, batches = _setup()
+    batch = next(batches)
+    for objective, kwargs in [
+        ("uada", dict(mse_weight=5.0)),
+        ("upa", dict(grad_clip_l1=1e-3)),
+        ("upa_negce", {}),
+    ]:
+        spec = AttackSpec(objective=objective, geometry=True, inner_loop=1, **kwargs)
+        step = make_attack_step(spec, VLA_TINY, None, [0, 1, 2])
+        state = init_attack_state(jax.random.key(2), (12, 12))
+        state, metrics = step(
+            params, state, batch, jnp.float32(1e-2), jnp.bool_(True), jax.random.key(3)
+        )
+        assert np.isfinite(float(metrics["loss"][-1]))
+        p = np.asarray(state.patch)
+        assert p.min() >= 0.0 and p.max() <= 1.0
+
+
+def test_accumulate_holds_update():
+    params, batches = _setup()
+    maskidx = [0]
+    target = build_tma_target_tokens(np.zeros(7), maskidx)
+    spec = AttackSpec(objective="tma", geometry=False, inner_loop=1, accumulate_steps=2)
+    step = make_attack_step(spec, VLA_TINY, target, maskidx)
+    state = init_attack_state(jax.random.key(4), (8, 8))
+    p0 = np.asarray(state.patch)
+    batch = next(batches)
+    state, _ = step(params, state, batch, jnp.float32(1e-2), jnp.bool_(False), jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(state.patch), p0)  # update held
+    assert np.abs(np.asarray(state.grad_acc)).sum() > 0          # grads accumulated
+    state, _ = step(params, state, batch, jnp.float32(1e-2), jnp.bool_(True), jax.random.key(6))
+    assert (np.asarray(state.patch) != p0).any()                 # update applied
+    assert np.abs(np.asarray(state.grad_acc)).sum() == 0         # buffer reset
+
+
+def test_val_step_metrics():
+    params, batches = _setup()
+    maskidx = [6]
+    target = build_tma_target_tokens(np.zeros(7), maskidx)
+    spec = AttackSpec(objective="tma", geometry=True, inner_loop=1)
+    val = make_val_step(spec, VLA_TINY, target, maskidx)
+    state = init_attack_state(jax.random.key(7), (8, 8))
+    batch = next(batches)
+    metrics = val(params, state.patch, batch, jax.random.key(8))
+    assert np.isfinite(float(metrics["ce"]))
+    assert metrics["clean_gripper_correct"].shape == (batch.images.shape[0],)
+    assert metrics["_patched_images"].shape == batch.images.shape
