@@ -15,6 +15,14 @@ from .losses import (
     uada_loss,
     upa_loss,
 )
+from .artifacts import (
+    load_patch,
+    plot_loss_curve,
+    save_checkpoint,
+    save_history_pickles,
+    save_patch_pt,
+)
+from .attacker import AttackConfig, AttackResult, OpenVLAAttacker, filter_gripper_open
 from .optimizer import (
     AdamState,
     adam_init,

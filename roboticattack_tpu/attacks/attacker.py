@@ -1,0 +1,275 @@
+"""Host-side attack runner: the orchestration layer around the fused step.
+
+Capability-equivalent to the reference `OpenVLAAttacker` classes
+(TMA.py:28-483, UADA.py, UPA.py), restructured for TPU: the host loop only
+feeds batches, advances the LR schedule, gates grad-accumulation boundaries,
+and handles artifacts — all compute (inner loop included) lives in the jitted
+step. Data parallelism is a constructor argument (a Mesh), not a separate
+`_ddp` subclass: the same runner shards batches over the 'data' axis and XLA
+supplies the gradient all-reduce (replacing UADA_ddp.py's DDP machinery).
+
+Aggregation note: the reference divides sums of per-*batch* mean metrics by
+the number of *examples* (e.g. TMA.py:315-316) — a scaling quirk that only
+rescales logged values and never changes which checkpoint wins. We aggregate
+per-example metrics properly (mean over selected examples); checkpoint
+selection criteria are unchanged (TMA: val L1, UADA: val MSE-distance,
+UPA: val reverse loss).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import VLAConfig
+from ..parallel.mesh import process_zero, replicate, shard_batch
+from ..utils.constants import ACTION_DIM
+from ..utils.labels import build_tma_target_tokens
+from ..utils.tracking import Tracker
+from .artifacts import plot_loss_curve, save_checkpoint, save_history_pickles
+from .engine import (
+    AttackBatch,
+    AttackSpec,
+    AttackState,
+    init_attack_state,
+    make_attack_step,
+    make_val_step,
+)
+from .optimizer import cosine_schedule_with_warmup
+
+
+def filter_gripper_open(batch: AttackBatch, rng: np.random.Generator) -> AttackBatch:
+    """--filterGripTrainTo1 (TMA.py:422-452): train only on gripper-open
+    examples. The reference shrinks the batch (1<n<8 keeps n rows; n>8 samples
+    8; otherwise unchanged); we keep static shapes by resampling the open rows
+    up to the full batch size — same training distribution, no retraces."""
+    from ..utils.labels import gripper_open_rows
+
+    open_rows = np.asarray(gripper_open_rows(jnp.asarray(batch.labels)))
+    idx = np.nonzero(open_rows)[0]
+    if idx.size <= 1:  # mirror the reference's fall-through (incl. its n==0 quirk)
+        return batch
+    chosen = rng.choice(idx, size=batch.labels.shape[0], replace=True)
+    return AttackBatch(*(np.asarray(a)[chosen] for a in batch))
+
+
+@dataclass
+class AttackConfig:
+    """The reference CLI flag surface (TMA_wrapper.py:88-110 + UADA/UPA extras)."""
+
+    objective: str = "tma"                 # tma | uada | upa | upa_guide | upa_negce
+    maskidx: Sequence[int] = (0,)
+    lr: float = 2e-3
+    num_iter: int = 2000
+    accumulate_steps: int = 1
+    batch_size: int = 8
+    warmup: int = 20
+    filter_grip_train_to_1: bool = False
+    geometry: bool = True
+    patch_size: Sequence[int] = (3, 50, 50)   # reference CHW order
+    inner_loop: int = 50
+    resize_patch: bool = False
+    target_action: float = 0.0                # TMA: target = targetAction * ones(7)
+    optimizer: str = "adamW"
+    mse_weight: float = 5.0                   # UADA / --MSE_weights
+    add_inverse_ce: bool = True               # UADA single-device +1/CE term
+    upa_alpha: float = 0.8
+    upa_beta: float = 0.2
+    eval_every: int = 100
+    eval_batches: int = 100                   # 1000 for UADA (UADA.py:202)
+    seed: int = 42
+
+    @property
+    def patch_hw(self):
+        c, h, w = self.patch_size
+        assert c == 3, f"patch_size is CHW like the reference; got {self.patch_size}"
+        return (h, w)
+
+    def spec(self) -> AttackSpec:
+        return AttackSpec(
+            objective=self.objective,
+            geometry=self.geometry,
+            resize_patch=self.resize_patch,
+            inner_loop=self.inner_loop,
+            accumulate_steps=self.accumulate_steps,
+            optimizer=self.optimizer,
+            pgd_alpha=self.lr,
+            mse_weight=self.mse_weight,
+            add_inverse_ce=self.add_inverse_ce,
+            upa_alpha=self.upa_alpha,
+            upa_beta=self.upa_beta,
+            grad_clip_l1=1e-3 if self.objective == "upa" else None,
+        )
+
+
+@dataclass
+class AttackResult:
+    patch: np.ndarray                      # [H, W, 3] float32
+    best_metric: float
+    histories: Dict[str, List[float]] = field(default_factory=dict)
+
+
+# objective -> (val metric key minimized for best-checkpoint, history names)
+_BEST_KEY = {
+    "tma": "val_l1",
+    "uada": "val_mse_distance",
+    "upa": "val_loss",
+    "upa_guide": "val_ce",
+    "upa_negce": "val_ce",
+}
+
+
+class OpenVLAAttacker:
+    def __init__(
+        self,
+        params,
+        cfg: VLAConfig,
+        save_dir: str,
+        attack: AttackConfig,
+        mesh=None,
+        tracker: Optional[Tracker] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.attack = attack
+        self.save_dir = save_dir
+        self.mesh = mesh
+        self.tracker = tracker or Tracker(save_dir, quiet=False)
+        os.makedirs(save_dir, exist_ok=True)
+
+        target = None
+        if attack.objective == "tma":
+            target = build_tma_target_tokens(
+                attack.target_action * np.ones(ACTION_DIM), attack.maskidx
+            )
+        self._target = target
+        spec = attack.spec()
+        self._step = make_attack_step(spec, cfg, target, attack.maskidx)
+        self._val = make_val_step(spec, cfg, target, attack.maskidx)
+
+        self.params = replicate(params, mesh) if mesh is not None else params
+        self.histories: Dict[str, List[float]] = {}
+        self.best = float("inf")
+
+    def _record(self, name: str, value: float) -> None:
+        self.histories.setdefault(name, []).append(float(value))
+
+    def _place(self, batch: AttackBatch) -> AttackBatch:
+        return shard_batch(batch, self.mesh) if self.mesh is not None else batch
+
+    def run(
+        self,
+        train_batches: Iterator[AttackBatch],
+        val_batches: Iterator[AttackBatch],
+    ) -> AttackResult:
+        a = self.attack
+        rng_np = np.random.default_rng(a.seed)
+        state = init_attack_state(jax.random.key(a.seed), a.patch_hw)
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        sched_total = int(a.num_iter / a.accumulate_steps)
+        grip_filter = (
+            a.filter_grip_train_to_1 and len(a.maskidx) == 1 and a.maskidx[0] == 6
+        )
+
+        for i in range(a.num_iter):
+            batch = next(train_batches)
+            if grip_filter:
+                batch = filter_gripper_open(batch, rng_np)
+            batch = self._place(batch)
+
+            lr = cosine_schedule_with_warmup(i // a.accumulate_steps, a.lr, a.warmup, sched_total)
+            apply_update = (i + 1) % a.accumulate_steps == 0
+            state, metrics = self._step(
+                self.params, state, batch,
+                jnp.float32(lr), jnp.bool_(apply_update), jax.random.key(a.seed * 1000003 + i),
+            )
+
+            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items() if not k.startswith("ex_")}
+            mean_loss = float(np.asarray(metrics["loss"]).mean())
+            self._record("train_CE_loss", last.get("ce", last["loss"]))
+            self._record("train_inner_avg_loss", mean_loss)
+            log = {f"TRAIN_{k}": v for k, v in last.items()}
+            log["TRAIN_LR"] = lr
+            log["TRAIN_inner_avg_loss"] = mean_loss
+            self.tracker.log(log, step=i)
+
+            if i % a.eval_every == 0:
+                self._validate(state, val_batches, i)
+
+        patch = np.asarray(jax.device_get(state.patch))
+        save_checkpoint(self.save_dir, "final", patch)
+        save_history_pickles(self.save_dir, self.histories)
+        return AttackResult(patch=patch, best_metric=self.best, histories=self.histories)
+
+    def _validate(self, state: AttackState, val_batches: Iterator[AttackBatch], step: int) -> None:
+        a = self.attack
+        is_grip_target = len(a.maskidx) == 1 and a.maskidx[0] == 6
+        sums: Dict[str, float] = {}
+        count = 0.0
+        grip = {k: 0.0 for k in (
+            "zero_flipped", "zero_total", "one_flipped", "one_total",
+            "other_to_zero", "other_total",
+        )}
+        adv_images = None
+        for j in range(a.eval_batches):
+            batch = self._place(next(val_batches))
+            m = self._val(
+                self.params, state.patch, batch, jax.random.key(a.seed * 7 + step * 131 + j)
+            )
+            m = jax.device_get(m)
+            # example selector: the clean-gripper-correct filter for maskidx=[6]
+            # (TMA.py:223-250), else all examples
+            sel = (
+                np.asarray(m["clean_gripper_correct"])
+                if (a.objective == "tma" and is_grip_target)
+                else np.ones(batch.images.shape[0], bool)
+            )
+            n = float(sel.sum())
+            if n == 0:
+                continue
+            count += n
+            for k, v in m.items():
+                if k.startswith("ex_"):
+                    sums[k[3:]] = sums.get(k[3:], 0.0) + float(np.asarray(v)[sel].sum())
+            for k in grip:
+                grip[k] += float(np.asarray(m[f"grip_{k}"]))
+            adv_images = np.asarray(m["_patched_images"])
+        if count == 0:
+            return
+        avg = {f"val_{k}": v / count for k, v in sums.items()}
+        # UPA batch-level reverse loss from per-example pieces (UPA.py:382-386)
+        if a.objective == "upa":
+            avg["val_loss"] = a.upa_alpha * avg["val_angle"] + a.upa_beta * (
+                1.0 / (avg["val_xyz_dist"] + 1e-3)
+            )
+        if is_grip_target:
+            for num, den, name in (
+                ("zero_flipped", "zero_total", "ASR_02other"),
+                ("one_flipped", "one_total", "ASR_12other"),
+                ("other_to_zero", "other_total", "ASR_other20"),
+            ):
+                avg[name] = grip[num] / grip[den] if grip[den] else 0.0
+            tot = grip["zero_total"] + grip["one_total"]
+            avg["ALL_ASR_6"] = (
+                (grip["zero_flipped"] + grip["one_flipped"]) / tot if tot else 0.0
+            )
+
+        self.tracker.log({f"VAL_{k}": v for k, v in avg.items()}, step=step)
+        for k, v in avg.items():
+            self._record(k, v)
+
+        best_key = _BEST_KEY[a.objective]
+        patch = np.asarray(jax.device_get(state.patch))
+        if best_key in avg and avg[best_key] < self.best:
+            self.best = avg[best_key]
+            if process_zero():
+                save_checkpoint(self.save_dir, str(step), patch, adv_images=adv_images)
+        if process_zero():
+            save_checkpoint(self.save_dir, "last", patch, adv_images=adv_images)
+            plot_loss_curve(self.histories.get("train_CE_loss", []), self.save_dir)
+            save_history_pickles(self.save_dir, self.histories)

@@ -31,6 +31,7 @@ from .losses import (
     action_preds_and_mask,
     clip_grad_l1,
     gripper_asr_counts,
+    per_example_metrics,
     tma_metrics,
     uada_loss,
     upa_loss,
@@ -217,6 +218,10 @@ def make_val_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.n
         out = vla_forward(params, cfg, batch.input_ids, batch.attention_mask, pixels, labels)
         loss, metrics = _objective_loss(spec, cfg, out, labels)
         metrics = dict(metrics, loss=loss)
+
+        base_obj = "upa" if spec.objective.startswith("upa") else spec.objective
+        per_ex = per_example_metrics(out.logits, labels, cfg, base_obj, spec.mse_weight)
+        metrics.update({f"ex_{k}": v for k, v in per_ex.items()})
 
         preds, gt, mask = action_preds_and_mask(out.logits, labels, cfg)
         metrics.update({f"grip_{k}": v for k, v in gripper_asr_counts(preds, gt, mask).items()})

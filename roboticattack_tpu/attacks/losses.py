@@ -228,6 +228,73 @@ def per_dim_relative_distance(
     return {str(d): jnp.mean(rel[:, k]) for k, d in enumerate(maskidx)}
 
 
+# --- per-example metrics (for val aggregation with host-side example filters) ---
+
+def _row_masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+
+
+def per_example_ce(logits: jnp.ndarray, labels: jnp.ndarray, cfg: VLAConfig) -> jnp.ndarray:
+    """[B]: mean CE over each row's valid (non-IGNORE) shifted labels."""
+    sl = shifted_action_logits(logits, cfg, labels.shape[1])
+    gt = labels[:, 1:]
+    valid = gt != IGNORE_INDEX
+    lp = jax.nn.log_softmax(sl, axis=-1)
+    tok = jnp.take_along_axis(lp, jnp.where(valid, gt, 0)[..., None], axis=-1)[..., 0]
+    return _row_masked_mean(-tok, valid)
+
+
+def per_example_metrics(
+    logits: jnp.ndarray, labels: jnp.ndarray, cfg: VLAConfig, objective: str,
+    mse_weight: float = 5.0,
+) -> Dict[str, jnp.ndarray]:
+    """Per-row versions of each objective's val metrics; host code selects and
+    averages over whichever example subset the protocol requires
+    (e.g. the clean-gripper-correct filter, TMA.py:223-250)."""
+    preds, gt, mask = action_preds_and_mask(logits, labels, cfg)
+    pred_act = decode_tokens(preds)
+    gt_act = decode_tokens(jnp.where(mask, gt, ACTION_TOKEN_ZERO))
+    out: Dict[str, jnp.ndarray] = {"ce": per_example_ce(logits, labels, cfg)}
+
+    if objective == "tma":
+        out["l1"] = _row_masked_mean(jnp.abs(pred_act - gt_act), mask)
+        per_tok_ok = (pred_act == gt_act) | ~mask
+        out["success"] = per_tok_ok.all(axis=-1).astype(jnp.float32)
+        max_boundary = jnp.maximum(1.0 - gt_act, gt_act + 1.0)
+        out["rel_dist"] = _row_masked_mean(jnp.abs(pred_act - gt_act) / max_boundary, mask)
+    elif objective == "uada":
+        sl = shifted_action_logits(logits, cfg, labels.shape[1])
+        action_slice = sl[..., ACTION_TOKEN_MIN : ACTION_TOKEN_MIN + N_ACTION_BINS]
+        probs = jax.nn.softmax(action_slice, axis=-1)
+        reweigh = jnp.arange(1, N_ACTION_BINS + 1, dtype=jnp.float32) / N_ACTION_BINS
+        expectation = jnp.sum(probs * reweigh, axis=-1)
+        hard = jnp.where(gt > ACTION_TOKEN_ZERO, 1.0 / N_ACTION_BINS, 1.0)
+        out["mse_distance"] = _row_masked_mean(
+            (mse_weight * expectation - mse_weight * hard) ** 2, mask
+        )
+        max_d = jnp.where(gt_act > 0, jnp.abs(gt_act + 1.0), jnp.abs(gt_act - 1.0))
+        out["uad"] = _row_masked_mean(jnp.abs(pred_act - gt_act) / max_d, mask)
+    elif objective.startswith("upa"):
+        sl = shifted_action_logits(logits, cfg, labels.shape[1])
+        action_slice = sl[..., ACTION_TOKEN_MIN : ACTION_TOKEN_MIN + N_ACTION_BINS]
+        probs = jax.nn.softmax(action_slice, axis=-1)
+        reweigh = jnp.arange(1, N_ACTION_BINS + 1, dtype=jnp.float32)
+        expectation = jnp.sum(probs * reweigh, axis=-1)
+        order = jnp.argsort(~mask, axis=-1, stable=True)[:, :3]
+        xyz_pred = (jnp.take_along_axis(expectation, order, axis=-1) - 1.0) / (N_ACTION_BINS - 1.0)
+        xyz_gt = (
+            jnp.take_along_axis(gt, order, axis=-1) - (ACTION_TOKEN_BEGIN_IDX + 1)
+        ).astype(jnp.float32) / (N_ACTION_BINS - 1.0)
+        dot = jnp.sum(xyz_pred * xyz_gt, axis=-1)
+        denom = jnp.maximum(
+            jnp.linalg.norm(xyz_pred, axis=-1) * jnp.linalg.norm(xyz_gt, axis=-1), 1e-8
+        )
+        out["angle"] = dot / denom + 1.0
+        out["xyz_dist"] = jnp.linalg.norm(xyz_pred - xyz_gt, axis=-1)
+    return out
+
+
 def clip_grad_l1(grad: jnp.ndarray, max_norm: float) -> jnp.ndarray:
     """torch.nn.utils.clip_grad_norm_(norm_type=1) semantics (UPA.py:157)."""
     total = jnp.sum(jnp.abs(grad))

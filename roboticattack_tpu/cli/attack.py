@@ -1,0 +1,192 @@
+"""Attack CLI: the reference wrapper flag surface over the TPU runner.
+
+One entry point covers TMA_wrapper.py / UADA_wrapper.py / UPA_wrapper.py /
+UADA_wrapper_ddp.py (the `--attack` flag replaces the four files; DDP is just
+`--data_parallel` — same runner, batch sharded over the mesh).
+
+Examples:
+  python -m roboticattack_tpu.cli.attack --attack tma --maskidx 6 \
+      --dataset bridge_orig --checkpoint /path/to/openvla-7b --iter 2000
+  python -m roboticattack_tpu.cli.attack --attack uada --maskidx 0,1,2,3,4,5,6 \
+      --model vla-tiny --dataset dummy --iter 20 --innerLoop 2 --bs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import uuid
+
+import numpy as np
+
+
+def list_of_ints(arg: str):
+    return list(map(int, arg.split(",")))
+
+
+def str2bool(value):
+    if isinstance(value, bool):
+        return value
+    if value.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if value.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native OpenVLA adversarial patch attacks")
+    p.add_argument("--attack", default="tma",
+                   choices=["tma", "uada", "upa", "upa_guide", "upa_negce"])
+    # --- reference flag surface (TMA_wrapper.py:88-110 + variants) ---
+    p.add_argument("--maskidx", default="0", type=list_of_ints)
+    p.add_argument("--lr", default=2e-3, type=float)
+    p.add_argument("--server", default=".", type=str, help="output root prefix")
+    p.add_argument("--iter", default=2000, type=int)
+    p.add_argument("--accumulate", default=1, type=int)
+    p.add_argument("--bs", default=8, type=int)
+    p.add_argument("--warmup", default=20, type=int)
+    p.add_argument("--tags", nargs="+", default=["tpu"])
+    p.add_argument("--filterGripTrainTo1", type=str2bool, nargs="?", default=False)
+    p.add_argument("--geometry", type=str2bool, nargs="?", default=True)
+    p.add_argument("--patch_size", default="3,50,50", type=list_of_ints)
+    p.add_argument("--wandb_project", default="false", type=str)
+    p.add_argument("--wandb_entity", default=None, type=str)
+    p.add_argument("--innerLoop", default=50, type=int)
+    p.add_argument("--dataset", default="bridge_orig", type=str)
+    p.add_argument("--resize_patch", type=str2bool, default=False)
+    p.add_argument("--targetAction", default=0, type=float)            # TMA
+    p.add_argument("--reverse_direction", type=str2bool, default=True)  # UPA
+    p.add_argument("--alpha", default=0.8, type=float)                  # UPA
+    p.add_argument("--belta", default=0.2, type=float)                  # UPA (sic)
+    p.add_argument("--MSE_weights", default=5.0, type=float)            # UADA DDP
+    p.add_argument("--seed", default=42, type=int)
+    # --- TPU-native additions ---
+    p.add_argument("--model", default=None, type=str,
+                   help="config name (e.g. openvla-7b, vla-tiny); inferred from --dataset if unset")
+    p.add_argument("--checkpoint", default=None, type=str,
+                   help="local HF OpenVLA checkpoint dir (safetensors) to convert & load")
+    p.add_argument("--data_parallel", type=str2bool, default=False,
+                   help="shard batches over all local devices (replaces torchrun DDP)")
+    p.add_argument("--eval_every", default=None, type=int)
+    p.add_argument("--eval_batches", default=None, type=int)
+    p.add_argument("--output", default=None, type=str, help="run dir (default run/<attack>/<uuid>)")
+    return p
+
+
+def dataset_to_model(dataset: str) -> str:
+    """TMA_wrapper.py:30-41 mapping."""
+    if "bridge_orig" in dataset or dataset == "dummy":
+        return "openvla-7b"
+    for suite in ("libero_spatial", "libero_object", "libero_goal", "libero_10"):
+        if suite in dataset:
+            return f"openvla-7b-finetuned-{suite.replace('_', '-', 1).replace('libero-', 'libero-')}"
+    raise ValueError(f"Invalid dataset {dataset}")
+
+
+def resolve_objective(args) -> str:
+    if args.attack == "upa" and not args.reverse_direction:
+        return "upa_negce"
+    return args.attack
+
+
+def make_data(args, cfg, tokenizer=None):
+    """Train/val AttackBatch iterators for the requested dataset."""
+    from ..data import batch_iterator, dummy_frame_iterator
+
+    if args.dataset == "dummy":
+        from ..utils.prompting import WordStubTokenizer
+
+        tok = tokenizer or WordStubTokenizer()
+        image_size = cfg.dino.image_size
+        train = batch_iterator(
+            dummy_frame_iterator(tok, image_size=image_size, seed=args.seed),
+            args.bs, pad_to=48,
+        )
+        val = batch_iterator(
+            dummy_frame_iterator(tok, image_size=image_size, seed=args.seed + 1),
+            8, pad_to=48,  # val bs fixed at 8 (openvla_dataloader.py:151)
+        )
+        return train, val
+    from ..data.rlds import make_attack_iterators  # requires tensorflow_datasets
+
+    return make_attack_iterators(args.dataset, args.bs, seed=args.seed, checkpoint=args.checkpoint)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from ..attacks.attacker import AttackConfig, OpenVLAAttacker
+    from ..models import get_config, init_vla_params
+    from ..models.convert import load_checkpoint_dir
+    from ..parallel import make_mesh
+    from ..utils.tracking import Tracker
+
+    exp_id = str(uuid.uuid4())
+    model_name = args.model or dataset_to_model(args.dataset)
+    cfg = get_config(model_name)
+
+    objective = resolve_objective(args)
+    out_dir = args.output or os.path.join(args.server, "run", objective, exp_id)
+    os.makedirs(out_dir, exist_ok=True)
+
+    target = "".join(str(i) for i in args.maskidx)
+    run_name = (
+        f"{args.dataset}_{model_name}_GA{args.accumulate}_lr{args.lr:.0e}_iter{args.iter}"
+        f"_warmup{args.warmup}_filterGripTrainTo1{args.filterGripTrainTo1}_target{target}"
+        f"_inner_loop{args.innerLoop}_geometry{args.geometry}_patch_size{args.patch_size}"
+        f"_seed{args.seed}-{exp_id}"
+    )
+    tracker = Tracker(
+        out_dir, run_name=run_name, wandb_project=args.wandb_project,
+        wandb_entity=args.wandb_entity, tags=args.tags,
+        config=dict(iteration=args.iter, learning_rate=args.lr,
+                    attack_target=args.maskidx, accumulate_steps=args.accumulate),
+    )
+    print(f"exp_id:{exp_id}\nrun dir: {out_dir}\nmodel: {model_name} ({cfg.name})")
+
+    if args.checkpoint:
+        params = load_checkpoint_dir(args.checkpoint, cfg)
+        import jax.numpy as jnp
+
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.dtype(cfg.dtype)), params)
+    else:
+        if cfg.name.startswith("openvla"):
+            print("WARNING: no --checkpoint given; using random weights (smoke mode)")
+        params = init_vla_params(jax.random.key(args.seed), cfg)
+
+    attack = AttackConfig(
+        objective=objective,
+        maskidx=args.maskidx,
+        lr=args.lr,
+        num_iter=args.iter,
+        accumulate_steps=args.accumulate,
+        batch_size=args.bs,
+        warmup=args.warmup,
+        filter_grip_train_to_1=args.filterGripTrainTo1,
+        geometry=args.geometry,
+        patch_size=args.patch_size,
+        inner_loop=args.innerLoop,
+        resize_patch=args.resize_patch,
+        target_action=args.targetAction,
+        mse_weight=args.MSE_weights,
+        add_inverse_ce=not args.data_parallel,  # DDP variant drops +1/CE (UADA_ddp.py:204)
+        upa_alpha=args.alpha,
+        upa_beta=args.belta,
+        eval_every=args.eval_every or (200 if args.data_parallel else 100),
+        eval_batches=args.eval_batches or (1000 if objective == "uada" else 100),
+        seed=args.seed,
+    )
+
+    mesh = make_mesh() if args.data_parallel else None
+    train, val = make_data(args, cfg)
+    runner = OpenVLAAttacker(params, cfg, out_dir, attack, mesh=mesh, tracker=tracker)
+    result = runner.run(train, val)
+    print(f"Attack done! best {attack.objective} val metric: {result.best_metric:.6g}")
+    print(f"patch artifacts under {out_dir}")
+    return result
+
+
+if __name__ == "__main__":
+    main()
