@@ -63,6 +63,12 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     max_seq_len: int = 2048
+    # query-chunked attention cap (memory); None = single-shot XLA attention
+    attn_chunk: int | None = 64
+    # two-level remat: scan groups of this many blocks, checkpointing the
+    # group AND each block — cuts saved carries from num_layers to
+    # num_layers/group at ~one extra fwd of recompute. 1 = plain per-block.
+    remat_group: int = 1
 
     @property
     def head_dim(self) -> int:

@@ -73,7 +73,9 @@ def convert_vit(state: Mapping[str, np.ndarray], cfg: ViTConfig, prefix: str) ->
     def push(key, val):
         layers.setdefault(key, []).append(val)
 
-    for i in range(cfg.depth):
+    # only the blocks that execute (0..depth-2); the checkpoint's final block
+    # and final norm are dead in the OpenVLA tap path (modeling_prismatic.py:85-87)
+    for i in range(cfg.tap_layer):
         p = f"blocks.{i}."
         push("ln1_scale", get(p + "norm1.weight"))
         push("ln1_bias", get(p + "norm1.bias"))

@@ -26,7 +26,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import causal_bias, mha, padding_bias
+from ..ops.attention import causal_bias, mha, mha_chunked, padding_bias
 from ..utils.constants import IGNORE_INDEX
 from .config import LlamaConfig
 
@@ -80,7 +80,10 @@ def _decoder_block(
     k = (y @ p["k_w"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     v = (y @ p["v_w"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
-    attn = mha(q, k, v, bias=bias)
+    if cfg.attn_chunk is not None:
+        attn = mha_chunked(q, k, v, bias=bias, chunk=cfg.attn_chunk)
+    else:
+        attn = mha(q, k, v, bias=bias)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     x = x + attn @ p["o_w"]
 
@@ -97,8 +100,14 @@ def llama_apply(
     attention_mask: Optional[jnp.ndarray] = None,
     positions: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    logits_tail: Optional[int] = None,
 ) -> jnp.ndarray:
-    """inputs_embeds: [B, S, D] -> logits [B, S, V] (fp32)."""
+    """inputs_embeds: [B, S, D] -> logits fp32.
+
+    `logits_tail=k` computes the vocab projection only for the LAST k
+    positions (returns [B, k, V]); with 256 image-patch positions whose
+    logits nothing reads, this cuts lm_head FLOPs and logit HBM ~5x on the
+    OpenVLA workload. None -> all positions (HF-equivalent)."""
     b, s, _ = inputs_embeds.shape
     if positions is None:
         positions = jnp.arange(s)
@@ -115,8 +124,22 @@ def llama_apply(
     def body(carry, layer_params):
         return block(cfg, carry, layer_params, bias, cos, sin), None
 
-    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+    layers = params["layers"]
+    if remat and cfg.remat_group > 1 and cfg.num_layers % cfg.remat_group == 0:
+        g = cfg.remat_group
+        grouped = jax.tree.map(lambda a: a.reshape(a.shape[0] // g, g, *a.shape[1:]), layers)
+
+        def group_body(carry, group_params):
+            out, _ = jax.lax.scan(body, carry, group_params)
+            return out, None
+
+        group_body = jax.checkpoint(group_body)
+        x, _ = jax.lax.scan(group_body, inputs_embeds, grouped)
+    else:
+        x, _ = jax.lax.scan(body, inputs_embeds, layers)
     x = rms_norm(x, params["norm"], cfg.rms_eps)
+    if logits_tail is not None:
+        x = x[:, s - logits_tail :, :]
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits
 

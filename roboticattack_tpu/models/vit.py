@@ -78,9 +78,15 @@ def _block(cfg: ViTConfig, x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.nda
     return x + y
 
 
-def vit_features(params: Dict, cfg: ViTConfig, images: jnp.ndarray) -> jnp.ndarray:
+def vit_features(
+    params: Dict, cfg: ViTConfig, images: jnp.ndarray, remat: bool = False
+) -> jnp.ndarray:
     """images: [B, H, W, 3] (already normalized) -> [B, num_patches, D] patch
-    features from the second-to-last block (no final norm, prefix stripped)."""
+    features from the second-to-last block (no final norm, prefix stripped).
+
+    `remat=True` checkpoints each block inside the scan so the backward pass
+    recomputes activations instead of saving a [depth, ...] stack of fp32
+    residuals — mandatory for the 7B stack to fit 16 GB HBM."""
     dtype = params["patch_embed"]["kernel"].dtype
     x = patchify(images.astype(dtype), cfg.patch_size)
     x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
@@ -101,14 +107,18 @@ def vit_features(params: Dict, cfg: ViTConfig, images: jnp.ndarray) -> jnp.ndarr
     if prefix:
         x = jnp.concatenate(prefix + [x], axis=1)
 
-    # run blocks 0..depth-2 (inclusive) == depth-1 blocks, via scan
-    n_run = cfg.tap_layer
-    stacked = {k: v[:n_run] for k, v in params["blocks"].items()}
+    # Blocks 0..depth-2 run (the tap point); the final block and final norm of
+    # the timm checkpoint are dead in every OpenVLA path, so params['blocks']
+    # stacks only `tap_layer` blocks — no dead weights in HBM, and no sliced
+    # weight copies inside the compiled step.
+    block = _block
+    if remat:
+        block = jax.checkpoint(block, static_argnums=(0,))
 
     def body(carry, layer_params):
-        return _block(cfg, carry, layer_params), None
+        return block(cfg, carry, layer_params), None
 
-    x, _ = jax.lax.scan(body, x, stacked)
+    x, _ = jax.lax.scan(body, x, params["blocks"])
 
     # strip prefix tokens -> patch features only
     return x[:, cfg.num_prefix_tokens :, :]
@@ -118,7 +128,7 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Dict:
     """Random init (attack framework never trains the ViT; init is for tests
     and for shaping the converter target)."""
     k = jax.random.split(rng, 8)
-    d, depth, mlp = cfg.embed_dim, cfg.depth, cfg.mlp_hidden
+    d, depth, mlp = cfg.embed_dim, cfg.tap_layer, cfg.mlp_hidden
     pdim = cfg.patch_size * cfg.patch_size * 3
 
     def normal(key, shape, std=0.02):

@@ -28,7 +28,12 @@ from .vit import init_vit_params, vit_features
 
 class VLAOutput(NamedTuple):
     loss: Optional[jnp.ndarray]
-    logits: jnp.ndarray  # [B, S + num_patches, V] fp32
+    # TEXT-REGION logits [B, S, V] fp32: position j holds the logits of
+    # extended position num_patches + j (predicting text token j + 1). The 256
+    # image-patch positions' logits are never read by any consumer (labels
+    # there are IGNORE; the attacks slice logits[:, P:-1], TMA.py:151), so we
+    # don't compute them — ~5x less lm_head work than the reference.
+    logits: jnp.ndarray
 
 
 def projector_apply(params: Dict, features: jnp.ndarray) -> jnp.ndarray:
@@ -42,10 +47,10 @@ def projector_apply(params: Dict, features: jnp.ndarray) -> jnp.ndarray:
 def vision_features(params: Dict, cfg: VLAConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
     """pixel_values: [B, 2, H, W, 3] (DINO-normed, SigLIP-normed) ->
     [B, num_patches, dino_dim + siglip_dim]."""
-    dino = vit_features(params["dino"], cfg.dino, pixel_values[:, 0])
+    dino = vit_features(params["dino"], cfg.dino, pixel_values[:, 0], remat=cfg.remat)
     if cfg.siglip is None:
         return dino
-    sig = vit_features(params["siglip"], cfg.siglip, pixel_values[:, 1])
+    sig = vit_features(params["siglip"], cfg.siglip, pixel_values[:, 1], remat=cfg.remat)
     return jnp.concatenate([dino, sig], axis=-1)
 
 
@@ -67,23 +72,27 @@ def vla_forward(
     ones = jnp.ones(projected.shape[:2], dtype=attention_mask.dtype)
     mm_mask = jnp.concatenate([attention_mask[:, :1], ones, attention_mask[:, 1:]], axis=1)
 
+    text_len = input_ids.shape[1]
     logits = llama_apply(
-        params["llm"], cfg.llm, mm_emb, attention_mask=mm_mask, remat=cfg.remat
+        params["llm"], cfg.llm, mm_emb, attention_mask=mm_mask, remat=cfg.remat,
+        logits_tail=text_len,
     )
 
     loss = None
     if labels is not None:
-        patch_labels = jnp.full(projected.shape[:2], IGNORE_INDEX, dtype=labels.dtype)
-        mm_labels = jnp.concatenate([labels[:, :1], patch_labels, labels[:, 1:]], axis=1)
-        loss = cross_entropy_loss(logits, mm_labels)
+        # Shifted CE over the extended row reduces to (text logits[:-1],
+        # labels[1:]): every valid label lives in the text region and labels[0]
+        # (BOS) is IGNORE, so the patch-region pairs contribute nothing.
+        loss = cross_entropy_loss(logits, labels)
     return VLAOutput(loss=loss, logits=logits)
 
 
 def action_logit_slice(logits: jnp.ndarray, cfg: VLAConfig, text_len: int) -> jnp.ndarray:
-    """`logits[:, num_patches : -1]` — the positions predicting text tokens
-    1..S-1, aligned with labels[:, 1:] (TMA.py:151). Returns [B, S-1, V]."""
-    p = cfg.num_patches
-    return logits[:, p : p + text_len - 1, :]
+    """Positions predicting text tokens 1..S-1, aligned with labels[:, 1:]
+    (the reference's `logits[:, num_patches:-1]`, TMA.py:151). With our
+    text-region logits this is simply `[:, :-1]`. Returns [B, S-1, V]."""
+    del cfg, text_len
+    return logits[:, :-1, :]
 
 
 def init_vla_params(rng: jax.Array, cfg: VLAConfig) -> Dict:

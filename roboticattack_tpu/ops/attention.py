@@ -51,6 +51,42 @@ def mha(
     return out
 
 
+def mha_chunked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    chunk: int = 64,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Memory-bounded attention: queries processed in `chunk`-sized blocks via
+    `lax.map`, each block rematerialized in the backward pass. Caps the fp32
+    score/prob transient at [B, H, chunk, Skv] instead of [B, H, Sq, Skv] —
+    the difference between fitting and OOMing the 7B fwd+bwd on a 16 GB chip.
+    Numerically identical to `mha` (same fp32 softmax)."""
+    import jax
+
+    b, h, sq, d = q.shape
+    skv = k.shape[1:3][1] if False else k.shape[2]
+    if sq % chunk != 0 or sq <= chunk:
+        return mha(q, k, v, bias=bias, scale=scale)
+    n = sq // chunk
+    q_c = q.reshape(b, h, n, chunk, d).transpose(2, 0, 1, 3, 4)  # [n, B, H, c, d]
+    if bias is not None:
+        bias_full = jnp.broadcast_to(bias, (b, bias.shape[1], sq, skv))
+        bias_c = bias_full.reshape(b, bias.shape[1], n, chunk, skv).transpose(2, 0, 1, 3, 4)
+    else:
+        bias_c = None
+
+    @jax.checkpoint
+    def one(args):
+        qc, bc = args
+        return mha(qc, k, v, bias=bc, scale=scale)
+
+    out = jax.lax.map(one, (q_c, bias_c))  # [n, B, H, c, d]
+    return out.transpose(1, 2, 0, 3, 4).reshape(b, h, sq, d)
+
+
 def causal_bias(sq: int, skv: int) -> jnp.ndarray:
     """[1, 1, sq, skv] additive causal mask (query i attends keys <= i + offset
     where offset aligns the ends, for decode steps)."""

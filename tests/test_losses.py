@@ -41,9 +41,15 @@ def _label_batch(batch=4, seed=0):
 
 
 def _random_logits(labels, seed=1):
+    # full extended-length logits (what the reference model emits); our loss
+    # fns take the text-region tail full[:, P:]
     rng = np.random.default_rng(seed)
     S = labels.shape[1]
     return rng.standard_normal((labels.shape[0], P + S, V)).astype(np.float32)
+
+
+def _text(logits):
+    return jnp.asarray(logits[:, P:])
 
 
 def _torch_uada(logits, labels, celoss, mse_weight=5.0):
@@ -99,11 +105,11 @@ def test_uada_matches_torch_reference():
     for maskidx in ([0, 1, 2, 3, 4, 5, 6], [6], [0, 2]):
         masked = np.asarray(mask_labels(jnp.asarray(labels), maskidx))
         want_total, want_mse = _torch_uada(logits, masked, ce)
-        got = uada_loss(jnp.asarray(logits), jnp.asarray(masked), jnp.float32(ce), CFG)
+        got = uada_loss(_text(logits), jnp.asarray(masked), jnp.float32(ce), CFG)
         assert abs(float(got.mse_distance) - want_mse) < 1e-5
         assert abs(float(got.loss) - want_total) < 1e-5
         got_noce = uada_loss(
-            jnp.asarray(logits), jnp.asarray(masked), jnp.float32(ce), CFG, add_inverse_ce=False
+            _text(logits), jnp.asarray(masked), jnp.float32(ce), CFG, add_inverse_ce=False
         )
         assert abs(float(got_noce.loss) - want_mse) < 1e-5
 
@@ -112,7 +118,7 @@ def test_uada_mse_weight_knob():
     labels = _label_batch(seed=5)
     logits = _random_logits(labels, seed=6)
     want_total, want_mse = _torch_uada(logits, labels, 2.0, mse_weight=3.0)
-    got = uada_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.float32(2.0), CFG, mse_weight=3.0)
+    got = uada_loss(_text(logits), jnp.asarray(labels), jnp.float32(2.0), CFG, mse_weight=3.0)
     assert abs(float(got.mse_distance) - want_mse) < 1e-5
 
 
@@ -120,7 +126,7 @@ def test_upa_matches_torch_reference():
     labels = _label_batch(seed=2)
     logits = _random_logits(labels, seed=3)
     want_total, want_angle, want_dist = _torch_upa(logits, labels)
-    got = upa_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.float32(1.0), CFG)
+    got = upa_loss(_text(logits), jnp.asarray(labels), jnp.float32(1.0), CFG)
     assert abs(float(got.angle_loss) - want_angle) < 1e-5
     assert abs(float(got.distance_loss) - want_dist) < 2e-4
     assert abs(float(got.loss) - want_total) < 2e-4
@@ -135,7 +141,7 @@ def test_tma_metrics_perfect_prediction():
         for j in range(1, S):
             if labels[b, j] > ACTION_TOKEN_BEGIN_IDX:
                 logits[b, P + j - 1, labels[b, j]] = 10.0
-    m = tma_metrics(jnp.asarray(logits), jnp.asarray(labels), jnp.float32(0.1), CFG)
+    m = tma_metrics(_text(logits), jnp.asarray(labels), jnp.float32(0.1), CFG)
     assert float(m.l1) == 0.0
     assert float(m.asr) == 1.0
     assert float(m.relative_distance) == 0.0

@@ -33,8 +33,7 @@ def test_vla_forward_shapes_and_loss():
 
     out = vla_forward(params, cfg, input_ids, attn, pixels, labels)
     s = input_ids.shape[1]
-    num_patches = cfg.num_patches  # 16 for 56/14
-    assert out.logits.shape == (2, s + num_patches, cfg.llm.vocab_size)
+    assert out.logits.shape == (2, s, cfg.llm.vocab_size)  # text-region logits only
     assert np.isfinite(float(out.loss))
     assert float(out.loss) > 0
 
