@@ -1,0 +1,334 @@
+"""RLDS data pipeline: TFDS trajectories -> attack-ready frame batches.
+
+Host-side tf.data (TPU-friendly by construction: the reference already runs
+this on CPU with `tf.config.set_visible_devices([], "GPU")`, rlds/dataset.py:35).
+This is a dependency-light rebuild of `prismatic/vla/datasets/rlds/` — the
+dlimp layer is replaced by plain tf.data ops; behavior contracts preserved:
+
+  - standardization: `bridge_orig` (drop first all-zero step, binarize gripper
+    by backward scan, state-delta relabel; oxe/transforms.py:61-86) and the 4
+    LIBERO `_no_noops` suites (clip+invert gripper; :827-842);
+  - statistics: q01/q99/mean/std/min/max over all transformed actions, cached
+    as JSON next to the data (utils/data_utils.py:185-271);
+  - normalization: BOUNDS_Q99 with mask [True]*6+[False] and the min==max ->
+    0 rule (utils/data_utils.py:76-101, oxe/materialize.py:37-42);
+  - frames: JPEG decode + lanczos3 resize to 224 (obs_transforms.py:45),
+    window chunking degenerate at W=1, shuffle 100k, train[:95%]/train[95%:]
+    split (dataset.py:234-237).
+
+TFDS itself is an optional dependency (absent on this machine); the pipeline
+is also constructible from an in-memory trajectory generator for tests and
+synthetic runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.prompting import TextTokenizer, WordStubTokenizer, build_vla_example
+from .collator import collate
+
+ACTION_NORM_MASK = [True] * 6 + [False]
+SHUFFLE_BUFFER = 100_000  # openvla_dataloader.py:101
+
+
+def _tf():
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    return tf
+
+
+# --- gripper relabeling primitives (tf graph ops) ------------------------------
+
+def binarize_gripper_actions(actions):
+    """Continuous [0,1] gripper -> binary, relabeling transition values by the
+    state reached after them (backward scan; utils/data_utils.py:106-134)."""
+    tf = _tf()
+    open_mask, closed_mask = actions > 0.95, actions < 0.05
+    in_between = tf.logical_not(tf.logical_or(open_mask, closed_mask))
+    is_open_float = tf.cast(open_mask, tf.float32)
+
+    def scan_fn(carry, i):
+        return tf.cond(in_between[i], lambda: tf.cast(carry, tf.float32), lambda: is_open_float[i])
+
+    return tf.scan(scan_fn, tf.range(tf.shape(actions)[0]), actions[-1], reverse=True)
+
+
+def invert_gripper_actions(actions):
+    return 1 - actions
+
+
+def rel2abs_gripper_actions(actions):
+    """Relative open/close commands -> absolute [0,1] state
+    (utils/data_utils.py:141-162)."""
+    tf = _tf()
+    opening_mask, closing_mask = actions < -0.1, actions > 0.1
+    thresholded = tf.where(opening_mask, 1, tf.where(closing_mask, -1, 0))
+
+    def scan_fn(carry, i):
+        return tf.cond(thresholded[i] == 0, lambda: carry, lambda: thresholded[i])
+
+    start = -1 * thresholded[tf.argmax(thresholded != 0, axis=0)]
+    start = tf.cond(start == 0, lambda: 1, lambda: start)
+    new_actions = tf.scan(scan_fn, tf.range(tf.shape(actions)[0]), start)
+    return tf.cast(new_actions, tf.float32) / 2 + 0.5
+
+
+def relabel_bridge_actions(traj: Dict) -> Dict:
+    """Movement actions := reached-state deltas; drop last step
+    (utils/data_utils.py:166-172)."""
+    tf = _tf()
+    movement = traj["observation"]["state"][1:, :6] - traj["observation"]["state"][:-1, :6]
+    truncated = tf.nest.map_structure(lambda x: x[:-1], traj)
+    truncated["action"] = tf.concat([movement, traj["action"][:-1, -1:]], axis=1)
+    return truncated
+
+
+# --- dataset standardization (oxe/transforms.py behavior) ----------------------
+
+def bridge_orig_transform(traj: Dict) -> Dict:
+    tf = _tf()
+    traj = tf.nest.map_structure(lambda x: x[1:], traj)  # first step has zero action
+    traj["action"] = tf.concat(
+        [traj["action"][:, :6], binarize_gripper_actions(traj["action"][:, -1])[:, None]],
+        axis=1,
+    )
+    return relabel_bridge_actions(traj)
+
+
+def libero_transform(traj: Dict) -> Dict:
+    tf = _tf()
+    gripper = invert_gripper_actions(tf.clip_by_value(traj["action"][:, -1:], 0, 1))
+    traj["action"] = tf.concat([traj["action"][:, :6], gripper], axis=1)
+    return traj
+
+
+STANDARDIZATION_TRANSFORMS: Dict[str, Callable] = {
+    "bridge_orig": bridge_orig_transform,
+    "libero_spatial_no_noops": libero_transform,
+    "libero_object_no_noops": libero_transform,
+    "libero_goal_no_noops": libero_transform,
+    "libero_10_no_noops": libero_transform,
+}
+
+# dataset name -> (tfds image key, language key)
+DATASET_IMAGE_KEYS: Dict[str, str] = {
+    "bridge_orig": "image_0",
+    "libero_spatial_no_noops": "image",
+    "libero_object_no_noops": "image",
+    "libero_goal_no_noops": "image",
+    "libero_10_no_noops": "image",
+}
+
+
+# --- statistics ------------------------------------------------------------------
+
+def compute_dataset_statistics(traj_dataset, save_path: Optional[str] = None,
+                               cache_key: str = "") -> Dict:
+    """Aggregate action statistics over transformed trajectories; cache JSON.
+    Mirrors utils/data_utils.py:185-271 (hash-keyed cache file)."""
+    if save_path and cache_key:
+        digest = hashlib.sha256(cache_key.encode()).hexdigest()[:16]
+        cache_file = os.path.join(save_path, f"dataset_statistics_{digest}.json")
+        if os.path.exists(cache_file):
+            with open(cache_file) as f:
+                return json.load(f)
+    actions: List[np.ndarray] = []
+    num_transitions = 0
+    num_trajectories = 0
+    for traj in traj_dataset.as_numpy_iterator():
+        actions.append(np.asarray(traj["action"], np.float64))
+        num_transitions += traj["action"].shape[0]
+        num_trajectories += 1
+    cat = np.concatenate(actions, axis=0)
+    stats = {
+        "action": {
+            "mean": cat.mean(0).tolist(),
+            "std": cat.std(0).tolist(),
+            "max": cat.max(0).tolist(),
+            "min": cat.min(0).tolist(),
+            "q01": np.quantile(cat, 0.01, axis=0).tolist(),
+            "q99": np.quantile(cat, 0.99, axis=0).tolist(),
+            "mask": ACTION_NORM_MASK[: cat.shape[1]],
+        },
+        "num_transitions": num_transitions,
+        "num_trajectories": num_trajectories,
+    }
+    if save_path and cache_key:
+        os.makedirs(save_path, exist_ok=True)
+        with open(cache_file, "w") as f:
+            json.dump(stats, f)
+    return stats
+
+
+def normalize_traj_actions(traj: Dict, stats: Dict) -> Dict:
+    """BOUNDS_Q99 + zero-out dims with min == max (utils/data_utils.py:76-101)."""
+    tf = _tf()
+    a = stats["action"]
+    low = tf.constant(a["q01"], tf.float32)
+    high = tf.constant(a["q99"], tf.float32)
+    mask = tf.constant(a.get("mask", [True] * len(a["q01"])), tf.bool)
+    x = traj["action"]
+    normed = tf.clip_by_value(2.0 * (x - low) / (high - low + 1e-8) - 1.0, -1.0, 1.0)
+    x = tf.where(mask, normed, x)
+    zeros = tf.constant(np.array(a["min"]) == np.array(a["max"]), tf.bool)
+    traj["action"] = tf.where(zeros, tf.zeros_like(x), x)
+    return traj
+
+
+# --- frame pipeline ---------------------------------------------------------------
+
+def decode_and_resize(image, size: int = 224):
+    """JPEG bytes or uint8 array -> uint8 [size, size, 3] via lanczos3
+    (obs_transforms.py:45-58)."""
+    tf = _tf()
+    if image.dtype == tf.string:
+        image = tf.io.decode_image(image, expand_animations=False, dtype=tf.uint8)
+    image = tf.image.resize(image, (size, size), method="lanczos3", antialias=True)
+    return tf.cast(tf.clip_by_value(tf.round(image), 0, 255), tf.uint8)
+
+
+def trajectories_to_frames(traj_dataset, image_size: int = 224,
+                           train: bool = True, shuffle_buffer: int = SHUFFLE_BUFFER,
+                           seed: int = 42):
+    """Standardized+normalized trajectories -> infinite shuffled frame stream
+    of {image uint8, action f32[7], language string} (window W=1)."""
+    tf = _tf()
+
+    def to_frames(traj):
+        return tf.data.Dataset.from_tensor_slices(
+            {
+                "image": traj["image"],
+                "action": tf.cast(traj["action"], tf.float32),
+                "language": traj["language"],
+            }
+        )
+
+    ds = traj_dataset.flat_map(to_frames)
+    ds = ds.map(
+        lambda f: dict(f, image=decode_and_resize(f["image"], image_size)),
+        num_parallel_calls=tf.data.AUTOTUNE,
+    )
+    ds = ds.repeat()
+    if train:
+        ds = ds.shuffle(shuffle_buffer, seed=seed)
+    return ds.prefetch(tf.data.AUTOTUNE)
+
+
+def load_tfds_trajectories(name: str, data_dir: Optional[str], split: str):
+    """TFDS loader with the reference's field extraction. Requires
+    `tensorflow_datasets` (not installed on the dev box — gated)."""
+    try:
+        import tensorflow_datasets as tfds
+    except ImportError as e:
+        raise ImportError(
+            "tensorflow_datasets is required for real RLDS data; use "
+            "--dataset dummy or provide a trajectory generator. "
+            f"(requested dataset: {name})"
+        ) from e
+    tf = _tf()
+    builder = tfds.builder(name, data_dir=data_dir)
+    ds = builder.as_dataset(split=split, decoders={"steps": tfds.decode.SkipDecoding()})
+    image_key = DATASET_IMAGE_KEYS.get(name, "image")
+
+    def restructure(episode):
+        steps = episode["steps"]
+        return {
+            "image": steps["observation"][image_key],
+            "action": tf.cast(steps["action"], tf.float32),
+            "observation": {"state": steps["observation"].get("state")},
+            "language": steps["language_instruction"]
+            if "language_instruction" in steps
+            else steps["observation"]["natural_language_instruction"],
+        }
+
+    return ds.map(restructure, num_parallel_calls=tf.data.AUTOTUNE)
+
+
+def make_frame_dataset(
+    name: str,
+    data_dir: Optional[str] = None,
+    train: bool = True,
+    image_size: int = 224,
+    stats: Optional[Dict] = None,
+    seed: int = 42,
+    traj_dataset=None,
+    shuffle_buffer: int = SHUFFLE_BUFFER,
+):
+    """Full per-dataset pipeline: load -> standardize -> stats -> normalize ->
+    frames. `traj_dataset` injects a pre-built trajectory dataset (tests)."""
+    split = "train[:95%]" if train else "train[95%:]"  # dataset.py:234-237
+    if traj_dataset is None:
+        traj_dataset = load_tfds_trajectories(name, data_dir, split)
+    transform = STANDARDIZATION_TRANSFORMS.get(name)
+    if transform is not None:
+        traj_dataset = traj_dataset.map(transform)
+    if stats is None:
+        stats = compute_dataset_statistics(
+            traj_dataset, save_path=data_dir, cache_key=f"{name}-{split}"
+        )
+    traj_dataset = traj_dataset.map(lambda t: normalize_traj_actions(t, stats))
+    frames = trajectories_to_frames(
+        traj_dataset, image_size, train=train, seed=seed, shuffle_buffer=shuffle_buffer
+    )
+    return frames, stats
+
+
+def frames_to_attack_batches(
+    frame_dataset,
+    tokenizer: TextTokenizer,
+    batch_size: int,
+    pad_to: Optional[int] = 48,
+) -> Iterator:
+    """Host loop: tokenize prompts + collate into AttackBatch (the reference's
+    RLDSBatchTransform + collator, done in the numpy iterator)."""
+    it = frame_dataset.as_numpy_iterator()
+    while True:
+        rows = []
+        for _ in range(batch_size):
+            f = next(it)
+            lang = f["language"]
+            if isinstance(lang, bytes):
+                lang = lang.decode()
+            input_ids, labels = build_vla_example(lang, f["action"], tokenizer)
+            rows.append(dict(image=f["image"], input_ids=input_ids, labels=labels))
+        yield collate(rows, pad_to=pad_to)
+
+
+def make_attack_iterators(
+    dataset: str,
+    batch_size: int,
+    seed: int = 42,
+    checkpoint: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    tokenizer: Optional[TextTokenizer] = None,
+) -> Tuple[Iterator, Iterator]:
+    """(train, val) AttackBatch iterators for a named RLDS dataset
+    (openvla_dataloader.py:81-156 equivalent; val batch size fixed at 8)."""
+    if tokenizer is None:
+        tokenizer = _tokenizer_from_checkpoint(checkpoint)
+    train_frames, stats = make_frame_dataset(dataset, data_dir, train=True, seed=seed)
+    val_frames, _ = make_frame_dataset(dataset, data_dir, train=False, stats=stats, seed=seed)
+    train = frames_to_attack_batches(train_frames, tokenizer, batch_size)
+    val = frames_to_attack_batches(val_frames, tokenizer, 8)
+    return train, val
+
+
+def _tokenizer_from_checkpoint(checkpoint: Optional[str]) -> TextTokenizer:
+    from ..utils.prompting import HFTokenizerAdapter
+
+    if checkpoint is not None:
+        try:
+            from transformers import AutoTokenizer
+
+            return HFTokenizerAdapter(AutoTokenizer.from_pretrained(checkpoint))
+        except Exception as e:  # no tokenizer files in checkpoint dir
+            print(f"[data] could not load tokenizer from {checkpoint}: {e}")
+    print("[data] WARNING: using WordStubTokenizer (no Llama tokenizer available)")
+    return WordStubTokenizer()

@@ -1,0 +1,88 @@
+"""Tensor-parallel PartitionSpecs for the VLA parameter pytree.
+
+Single-chip v5e HBM (16 GB) barely holds the bf16 7B weights; real multi-chip
+deployments shard them over a 'model' mesh axis (Megatron-style column/row
+splits) while batches shard over 'data'. We only annotate parameter shardings —
+XLA GSPMD propagates activation shardings and inserts the psum/all-gather
+collectives over ICI (the scaling-book recipe; replaces any hand-written
+NCCL plumbing).
+
+Layout (Llama block):
+  q/k/v:   [L, D, H*hd]   split on heads (last dim)   — column parallel
+  o:       [L, H*hd, D]   split on heads (dim 1)      — row parallel (psum after)
+  gate/up: [L, D, I]      split on I                  — column parallel
+  down:    [L, I, D]      split on I (dim 1)          — row parallel
+  embed:   [V, D]         split on V (gather + psum)
+  lm_head: [D, V]         split on V (logits vocab-sharded; CE reduces fine)
+ViTs + projector are <2 GB total and stay replicated by default (sharding the
+projector's 4x blow-up is available via `shard_projector`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def llama_param_specs(model_axis: str = "model") -> Dict:
+    m = model_axis
+    return {
+        "embed": P(m, None),
+        "layers": {
+            "attn_norm": P(),
+            "q_w": P(None, None, m),
+            "k_w": P(None, None, m),
+            "v_w": P(None, None, m),
+            "o_w": P(None, m, None),
+            "mlp_norm": P(),
+            "gate_w": P(None, None, m),
+            "up_w": P(None, None, m),
+            "down_w": P(None, m, None),
+        },
+        "norm": P(),
+        "lm_head": P(None, m),
+    }
+
+
+def vit_param_specs() -> Dict:
+    """Replicated (ViTs are ~1.5 GB bf16 combined)."""
+    return None  # sentinel: replicate whole subtree
+
+
+def vla_param_specs(params: Dict, model_axis: str = "model",
+                    shard_projector: bool = False) -> Dict:
+    """Full spec pytree matching `params`' structure."""
+    def replicate_like(tree):
+        return jax.tree.map(lambda _: P(), tree)
+
+    specs = {
+        "vision": replicate_like(params["vision"]),
+        "projector": replicate_like(params["projector"]),
+        "llm": {
+            "embed": P(model_axis, None),
+            "layers": {
+                k: llama_param_specs(model_axis)["layers"][k]
+                for k in params["llm"]["layers"]
+            },
+            "norm": P(),
+            "lm_head": P(None, model_axis),
+        },
+    }
+    if shard_projector:
+        specs["projector"] = {
+            "fc1_w": P(None, model_axis), "fc1_b": P(model_axis),
+            "fc2_w": P(model_axis, None), "fc2_b": P(),
+            "fc3_w": P(), "fc3_b": P(),
+        }
+    return specs
+
+
+def shard_params(params: Dict, mesh: Mesh, model_axis: str = "model",
+                 shard_projector: bool = False) -> Dict:
+    """Place a parameter pytree with TP shardings over `mesh`."""
+    specs = vla_param_specs(params, model_axis, shard_projector)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
