@@ -37,7 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="use vla-tiny (CPU smoke)")
     ap.add_argument("--iters", type=int, default=3, help="timed outer steps")
-    ap.add_argument("--inner", type=int, default=4, help="inner fwd+bwd per outer step")
+    ap.add_argument("--inner", type=int, default=2, help="inner fwd+bwd per outer step")
     ap.add_argument("--bs", type=int, default=8)
     args = ap.parse_args()
 
