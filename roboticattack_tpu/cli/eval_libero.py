@@ -1,0 +1,65 @@
+"""LIBERO evaluation CLI — the reference's flag surface
+(run_libero_eval_args_geo_batch.py:304-341) over the TPU policy.
+
+  python -m roboticattack_tpu.cli.eval_libero --task_suite_name libero_spatial \
+      --patchroot run/tma/<id>/last/patch.pt --x 120 --y 160 \
+      --checkpoint /path/to/openvla-7b-finetuned-libero-spatial
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .attack import str2bool
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Closed-loop LIBERO eval with adversarial patch")
+    p.add_argument("--task_suite_name", default="libero_spatial",
+                   choices=["libero_spatial", "libero_object", "libero_goal",
+                            "libero_10", "libero_90"])
+    p.add_argument("--patchroot", default=None, type=str, help="patch.pt/.npy; omit for clean eval")
+    p.add_argument("--x", default=0, type=int)
+    p.add_argument("--y", default=0, type=int)
+    p.add_argument("--angle", default=0.0, type=float)
+    p.add_argument("--shx", default=0.0, type=float)
+    p.add_argument("--shy", default=0.0, type=float)
+    p.add_argument("--num_trials_per_task", default=50, type=int)
+    p.add_argument("--center_crop", type=str2bool, default=False)
+    p.add_argument("--seed", default=7, type=int)
+    p.add_argument("--output", default="./experiments/logs", type=str)
+    p.add_argument("--save_videos", type=str2bool, default=False)
+    # TPU-native additions
+    p.add_argument("--checkpoint", default=None, type=str)
+    p.add_argument("--model", default="openvla-7b", type=str)
+    p.add_argument("--unnorm_key", default=None, type=str)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..eval.libero import LiberoEvalConfig, eval_libero
+    from ..eval.policy import load_policy
+
+    model = args.model
+    if args.checkpoint is None and model == "openvla-7b":
+        print("WARNING: no --checkpoint; random weights (smoke mode)")
+    policy = load_policy(
+        args.checkpoint, model_name=model,
+        unnorm_key=args.unnorm_key, center_crop=args.center_crop,
+    )
+    cfg = LiberoEvalConfig(
+        task_suite_name=args.task_suite_name,
+        num_trials_per_task=args.num_trials_per_task,
+        patchroot=args.patchroot,
+        x=args.x, y=args.y, angle=args.angle, shx=args.shx, shy=args.shy,
+        center_crop=args.center_crop, seed=args.seed,
+        output_dir=args.output, save_videos=args.save_videos,
+        unnorm_key=args.unnorm_key,
+    )
+    successes, episodes = eval_libero(cfg, policy)
+    print(f"success rate: {successes}/{episodes}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Closed-loop LIBERO evaluation with adversarial patches.
+
+Capability-equivalent to
+/root/reference/experiments/robot/libero/run_libero_eval_args_geo_batch.py:
+environment rollouts on host CPU, policy inference on TPU, the patch pasted
+onto every frame at a fixed position/geometry before the policy sees it.
+
+LIBERO/robosuite are optional heavy deps (absent on the dev box); everything
+env-facing is reached through `get_libero_env` so the harness is importable
+and unit-testable without them. Protocol constants preserved:
+  - per-suite max_steps {spatial 193, object 254, goal 270, 10 505, 90 373}
+    + 10 settle steps with the dummy action (:183-201);
+  - clean-eval variant max_steps {220, 280, 300, 520, 400} (run_libero_eval.py);
+  - gripper: [0,1] -> [-1,1], binarize, then sign-flip (:231-236);
+  - success-rate txt logs + a `<suite>.txt` summary line with placement info
+    (:296-298).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..attacks.artifacts import load_patch
+from ..ops.patch_ops import simulation_paste_patch
+from ..utils.gripper import invert_gripper_action, normalize_gripper_action
+from .policy import VLAPolicy
+from .processing import libero_frame
+
+# run_libero_eval_args_geo_batch.py:183-192 (patched eval)
+MAX_STEPS_PATCHED = {
+    "libero_spatial": 193,
+    "libero_object": 254,
+    "libero_goal": 270,
+    "libero_10": 505,
+    "libero_90": 373,
+}
+# run_libero_eval.py:175-183 (clean eval)
+MAX_STEPS_CLEAN = {
+    "libero_spatial": 220,
+    "libero_object": 280,
+    "libero_goal": 300,
+    "libero_10": 520,
+    "libero_90": 400,
+}
+NUM_SETTLE_STEPS = 10
+DUMMY_ACTION = [0, 0, 0, 0, 0, 0, -1]  # libero_utils.py:30
+
+
+@dataclass
+class LiberoEvalConfig:
+    task_suite_name: str = "libero_spatial"
+    num_trials_per_task: int = 50
+    patchroot: Optional[str] = None       # None -> clean eval
+    x: int = 0
+    y: int = 0
+    angle: float = 0.0
+    shx: float = 0.0
+    shy: float = 0.0
+    geometry: bool = False
+    center_crop: bool = False
+    resize_size: int = 224
+    seed: int = 7
+    output_dir: str = "./experiments/logs"
+    save_videos: bool = False
+    unnorm_key: Optional[str] = None
+
+
+def get_libero_env(task, resolution: int = 256):
+    """BDDL task -> seeded OffScreenRenderEnv (libero_utils.py:18-27)."""
+    from libero.libero import get_libero_path
+    from libero.libero.envs import OffScreenRenderEnv
+
+    task_bddl_file = os.path.join(
+        get_libero_path("bddl_files"), task.problem_folder, task.bddl_file
+    )
+    env = OffScreenRenderEnv(
+        bddl_file_name=task_bddl_file, camera_heights=resolution, camera_widths=resolution
+    )
+    env.seed(0)
+    return env, task.language
+
+
+def apply_patch_to_frame(frame_u8: np.ndarray, patch: Optional[np.ndarray],
+                         cfg: LiberoEvalConfig) -> np.ndarray:
+    if patch is None:
+        return frame_u8
+    return simulation_paste_patch(
+        frame_u8, patch, position=(cfg.x, cfg.y),
+        geometry=cfg.geometry or (cfg.angle or cfg.shx or cfg.shy),
+        angle=cfg.angle, shx=cfg.shx, shy=cfg.shy,
+    )
+
+
+def eval_libero(cfg: LiberoEvalConfig, policy: VLAPolicy):
+    """Run the full suite; returns (total_successes, total_episodes)."""
+    try:
+        from libero.libero import benchmark
+    except ImportError as e:
+        raise ImportError(
+            "closed-loop evaluation requires the LIBERO benchmark "
+            "(pip install libero + robosuite on a machine with a sim stack); "
+            "the policy/decode path itself runs without it — see "
+            "roboticattack_tpu.eval.policy.VLAPolicy"
+        ) from e
+
+    patch = load_patch(cfg.patchroot) if cfg.patchroot else None
+    max_steps = (MAX_STEPS_PATCHED if patch is not None else MAX_STEPS_CLEAN)[
+        cfg.task_suite_name
+    ]
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    log_path = os.path.join(
+        cfg.output_dir,
+        f"EVAL-{cfg.task_suite_name}--x{cfg.x}y{cfg.y}a{cfg.angle}.txt",
+    )
+    log = open(log_path, "a")
+
+    suite = benchmark.get_benchmark_dict()[cfg.task_suite_name]()
+    total_episodes, total_successes = 0, 0
+    for task_id in range(suite.n_tasks):
+        task = suite.get_task(task_id)
+        initial_states = suite.get_task_init_states(task_id)
+        env, task_description = get_libero_env(task)
+        task_successes = 0
+        for episode_idx in range(cfg.num_trials_per_task):
+            env.reset()
+            obs = env.set_init_state(initial_states[episode_idx % len(initial_states)])
+            t, done = 0, False
+            frames = []
+            while t < max_steps + NUM_SETTLE_STEPS:
+                try:
+                    if t < NUM_SETTLE_STEPS:
+                        obs, _, done, _ = env.step(DUMMY_ACTION)
+                        t += 1
+                        continue
+                    frame = libero_frame(obs["agentview_image"], cfg.resize_size)
+                    frame = apply_patch_to_frame(frame, patch, cfg)
+                    if cfg.save_videos:
+                        frames.append(frame)
+                    action = policy.get_action(frame, task_description)
+                    action = normalize_gripper_action(action, binarize=True)
+                    action = invert_gripper_action(action)
+                    obs, _, done, _ = env.step(action.tolist())
+                    if done:
+                        break
+                    t += 1
+                except Exception as e:  # reference swallows per-step errors (:246-249)
+                    print(f"episode error: {e}")
+                    break
+            total_episodes += 1
+            task_successes += int(done)
+            total_successes += int(done)
+            if cfg.save_videos and frames:
+                _write_video(frames, cfg.output_dir, task_description, episode_idx, done)
+            log.write(
+                f"task={task_id} ep={episode_idx} success={bool(done)} "
+                f"running={total_successes}/{total_episodes}\n"
+            )
+            log.flush()
+        print(f"[{cfg.task_suite_name}] task {task_id}: "
+              f"{task_successes}/{cfg.num_trials_per_task}")
+        env.close()
+
+    rate = total_successes / max(total_episodes, 1)
+    summary = (
+        f"{cfg.task_suite_name} success_rate={rate:.4f} "
+        f"({total_successes}/{total_episodes}) "
+        f"patch={cfg.patchroot} pos=({cfg.x},{cfg.y}) "
+        f"angle={cfg.angle} shx={cfg.shx} shy={cfg.shy}\n"
+    )
+    with open(os.path.join(cfg.output_dir, f"{cfg.task_suite_name}.txt"), "a") as f:
+        f.write(summary)
+    log.close()
+    print(summary)
+    return total_successes, total_episodes
+
+
+def _write_video(frames, out_dir, task_description, episode_idx, success):
+    try:
+        import imageio
+    except ImportError:
+        return
+    d = os.path.join(out_dir, "rollouts")
+    os.makedirs(d, exist_ok=True)
+    tag = task_description.replace(" ", "_")[:40]
+    path = os.path.join(d, f"{tag}-ep{episode_idx}-{'ok' if success else 'fail'}.mp4")
+    imageio.mimwrite(path, frames, fps=30)

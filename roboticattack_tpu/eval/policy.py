@@ -1,0 +1,115 @@
+"""TPU-side VLA policy for closed-loop evaluation.
+
+`VLAPolicy.get_action` is the `get_model`/`get_action`/`get_vla_action` stack
+of the reference (experiments/robot/robot_utils.py:40-74,
+openvla_utils.py:31-170) collapsed into one object: frame -> prompt ->
+processor -> jitted greedy decode on TPU -> unnormalized 7-DoF action.
+
+The decode compiles once (fixed prompt pad length) and serves every task
+instruction; the env-side gripper sign conventions stay with the caller
+(utils/gripper.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import VLAConfig
+from ..models.decode import (
+    ensure_trailing_empty_token,
+    greedy_decode_actions,
+    unnormalize_actions,
+)
+from ..utils.constants import PAD_TOKEN_ID
+from ..utils.normalization import dual_normalize
+from ..utils.prompting import TextTokenizer
+from .processing import center_crop_resize_tf, eval_prompt, resize_bicubic_pil
+
+PROMPT_PAD = 64
+
+
+class VLAPolicy:
+    def __init__(
+        self,
+        params,
+        cfg: VLAConfig,
+        tokenizer: TextTokenizer,
+        norm_stats: Dict,
+        unnorm_key: Optional[str] = None,
+        center_crop: bool = False,
+        prompt_pad: int = PROMPT_PAD,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.norm_stats = norm_stats
+        self.unnorm_key = unnorm_key
+        self.center_crop = center_crop
+        self.prompt_pad = prompt_pad
+        self._decode = jax.jit(
+            lambda p, ids, mask, px: greedy_decode_actions(p, cfg, ids, mask, px)
+        )
+        self._prompt_cache: Dict[str, np.ndarray] = {}
+
+    def _tokenize(self, task_label: str):
+        key = task_label
+        if key not in self._prompt_cache:
+            ids = np.asarray(self.tokenizer.encode(eval_prompt(task_label), add_bos=True), np.int32)
+            row = np.full((1, self.prompt_pad), PAD_TOKEN_ID, np.int32)
+            mask = np.zeros((1, self.prompt_pad), np.int32)
+            row[0, : len(ids)] = ids
+            mask[0, : len(ids)] = 1
+            row, mask = ensure_trailing_empty_token(row, mask)
+            row, mask = row[:, : self.prompt_pad], mask[:, : self.prompt_pad]
+            self._prompt_cache[key] = (row, mask)
+        return self._prompt_cache[key]
+
+    def get_action(self, image_u8: np.ndarray, task_label: str) -> np.ndarray:
+        """image_u8: model-ready uint8 [224, 224, 3] frame (already patched if
+        attacking). Returns the unnormalized 7-DoF action."""
+        img = image_u8
+        if self.center_crop:
+            img = center_crop_resize_tf(img, crop_scale=0.9)
+        if img.shape[:2] != (self.cfg.dino.image_size,) * 2:
+            img = resize_bicubic_pil(img, self.cfg.dino.image_size)
+        pixels = dual_normalize(jnp.asarray(img[None], jnp.float32) / 255.0)
+        pixels = pixels.astype(jnp.dtype(self.cfg.dtype))
+
+        ids, mask = self._tokenize(task_label)
+        res = self._decode(self.params, jnp.asarray(ids), jnp.asarray(mask), pixels)
+        normalized = np.asarray(res.actions, np.float64)[0]
+        return unnormalize_actions(normalized, self.norm_stats, self.unnorm_key)
+
+
+def load_policy(
+    checkpoint: Optional[str],
+    model_name: str = "openvla-7b",
+    unnorm_key: Optional[str] = None,
+    center_crop: bool = False,
+    seed: int = 42,
+) -> VLAPolicy:
+    """Build a policy from a local HF checkpoint dir (or random weights for
+    smoke tests when checkpoint is None)."""
+    from ..models import get_config, init_vla_params
+    from ..models.convert import load_checkpoint_dir, load_norm_stats
+    from ..data.rlds import _tokenizer_from_checkpoint
+
+    cfg = get_config(model_name)
+    tokenizer = _tokenizer_from_checkpoint(checkpoint)
+    if checkpoint:
+        params = load_checkpoint_dir(checkpoint, cfg)
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.dtype(cfg.dtype)), params)
+        norm_stats = load_norm_stats(checkpoint)
+    else:
+        params = init_vla_params(jax.random.key(seed), cfg)
+        norm_stats = {
+            "synthetic": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7,
+                                      "mask": [True] * 6 + [False]}}
+        }
+        unnorm_key = unnorm_key or "synthetic"
+    return VLAPolicy(params, cfg, tokenizer, norm_stats, unnorm_key, center_crop)

@@ -1,0 +1,88 @@
+"""Batch evaluation queue over the four LIBERO suites.
+
+Equivalent of /root/reference/evaluation_tool/eval_queue_single_four_spec.py:
+fixed per-suite patch placements (:22-29), skip-if-done marker files
+(:38-40,65-67), and a bounded worker pool launching one eval per suite (:90-99).
+On a single-TPU host the pool defaults to 1 concurrent eval (the policy owns
+the chip); multi-chip hosts can raise it.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Tuple
+
+# eval_queue_single_four_spec.py:22-29
+SUITE_PLACEMENTS: Dict[str, Tuple[int, int]] = {
+    "libero_10": (5, 160),
+    "libero_object": (30, 150),
+    "libero_goal": (15, 158),
+    "libero_spatial": (120, 160),
+}
+
+
+def marker_path(output_dir: str, suite: str, pos: Tuple[int, int]) -> str:
+    return os.path.join(output_dir, f"EVAL-{suite}--{pos[0]}-{pos[1]}.txt")
+
+
+def organize_experiments(
+    patch_by_suite: Dict[str, str], output_dir: str,
+    placements: Optional[Dict[str, Tuple[int, int]]] = None,
+) -> List[Dict]:
+    """Build the pending task list, skipping suites whose marker file exists."""
+    placements = placements or SUITE_PLACEMENTS
+    tasks = []
+    for suite, patch in patch_by_suite.items():
+        pos = placements[suite]
+        marker = marker_path(output_dir, suite, pos)
+        if os.path.exists(marker):
+            print(f"skip {suite}: marker exists ({marker})")
+            continue
+        tasks.append(dict(suite=suite, patch=patch, x=pos[0], y=pos[1], marker=marker))
+    return tasks
+
+
+def run_task(task: Dict, output_dir: str, checkpoint: Optional[str],
+             num_trials: int, extra_args: Optional[List[str]] = None) -> int:
+    """Launch one suite eval as a subprocess; write the marker on success."""
+    cmd = [
+        sys.executable, "-m", "roboticattack_tpu.cli.eval_libero",
+        "--task_suite_name", task["suite"],
+        "--patchroot", task["patch"],
+        "--x", str(task["x"]), "--y", str(task["y"]),
+        "--num_trials_per_task", str(num_trials),
+        "--output", output_dir,
+    ]
+    if checkpoint:
+        cmd += ["--checkpoint", checkpoint]
+    cmd += extra_args or []
+    print("launch:", " ".join(cmd))
+    rc = subprocess.call(cmd)
+    if rc == 0:
+        with open(task["marker"], "w") as f:
+            f.write("done\n")
+    return rc
+
+
+def run_queue(
+    patch_by_suite: Dict[str, str],
+    output_dir: str,
+    checkpoint: Optional[str] = None,
+    num_trials: int = 50,
+    max_concurrent: int = 1,
+    extra_args: Optional[List[str]] = None,
+) -> Dict[str, int]:
+    os.makedirs(output_dir, exist_ok=True)
+    tasks = organize_experiments(patch_by_suite, output_dir)
+    results: Dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        futures = {
+            pool.submit(run_task, t, output_dir, checkpoint, num_trials, extra_args): t
+            for t in tasks
+        }
+        for fut, t in futures.items():
+            results[t["suite"]] = fut.result()
+    return results

@@ -1,0 +1,199 @@
+"""Greedy action decoding with KV cache — the `predict_action` primitive.
+
+Mirrors OpenVLAForActionPrediction.predict_action
+(/root/reference/prismatic/extern/hf/modeling_prismatic.py:506-536):
+  generate(max_new_tokens=7, greedy) = one multimodal prefill + 6 cached
+  decode steps, then de-tokenize `vocab - id`, clip, bin-center lookup, and
+  q01/q99 unnormalization.
+
+TPU-first: the whole prefill + `lax.scan` over decode steps compiles into one
+XLA program with a static-shape KV cache; right-padded prompts are handled by
+per-row true lengths so one compilation serves every instruction length (the
+HF reference is bs=1, exact-length, and re-runs Python per step).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.action_tokenizer import BIN_CENTERS
+from ..utils.constants import ACTION_DIM, EMPTY_TOKEN_ID
+from .config import VLAConfig
+from .llama import apply_rope, rms_norm, rope_cos_sin
+from .vlm import projector_apply, vision_features
+from ..ops.attention import NEG_INF
+
+
+def _qkv(cfg, p, y):
+    b, s, _ = y.shape
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = (y @ p["q_w"]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = (y @ p["k_w"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    v = (y @ p["v_w"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _attend(q, k, v, bias):
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (q.shape[-1] ** -0.5) + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _mlp(cfg, p, x):
+    y = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+    gate = jax.nn.silu((y @ p["gate_w"]).astype(jnp.float32)).astype(x.dtype)
+    return x + (gate * (y @ p["up_w"])) @ p["down_w"]
+
+
+class DecodeResult(NamedTuple):
+    tokens: jnp.ndarray   # [B, ACTION_DIM] generated token ids
+    actions: jnp.ndarray  # [B, ACTION_DIM] normalized continuous actions
+
+
+def greedy_decode_actions(
+    params: Dict,
+    cfg: VLAConfig,
+    input_ids: jnp.ndarray,        # [B, S] right-padded prompt (ends with 29871 at true_len)
+    attention_mask: jnp.ndarray,   # [B, S]
+    pixel_values: jnp.ndarray,     # [B, 2, H, W, 3] normalized
+    num_steps: int = ACTION_DIM,
+) -> DecodeResult:
+    """Greedy multimodal generation of `num_steps` action tokens."""
+    lcfg = cfg.llm
+    dtype = jnp.dtype(cfg.dtype)
+    b, s = input_ids.shape
+    p_llm = params["llm"]
+
+    patches = vision_features(params["vision"], cfg, pixel_values)
+    projected = projector_apply(params["projector"], patches).astype(dtype)
+    emb = p_llm["embed"][input_ids]
+    mm_emb = jnp.concatenate([emb[:, :1], projected, emb[:, 1:]], axis=1)  # [B, T0, D]
+    t0 = mm_emb.shape[1]
+    num_patches = projected.shape[1]
+    true_len = jnp.sum(attention_mask, axis=1)          # text tokens per row
+    last_idx = num_patches + true_len - 1               # last real prefix slot
+
+    ones = jnp.ones((b, num_patches), dtype=attention_mask.dtype)
+    mm_mask = jnp.concatenate(
+        [attention_mask[:, :1], ones, attention_mask[:, 1:]], axis=1
+    )  # [B, T0]
+
+    total = t0 + num_steps
+    cos_all, sin_all = rope_cos_sin(jnp.arange(total), lcfg.head_dim, lcfg.rope_theta)
+
+    # --- prefill: run all blocks, collecting K/V ---------------------------------
+    causal = jnp.tril(jnp.ones((t0, t0), bool))
+    prefix_bias = jnp.where(
+        causal[None, None] & mm_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+    )
+
+    def prefill_block(x, p):
+        y = rms_norm(x, p["attn_norm"], lcfg.rms_eps)
+        q, k, v = _qkv(lcfg, p, y)
+        q, k = apply_rope(q, k, cos_all[:t0], sin_all[:t0])
+        attn = _attend(q, k, v, prefix_bias)
+        x = x + attn.transpose(0, 2, 1, 3).reshape(x.shape) @ p["o_w"]
+        x = _mlp(lcfg, p, x)
+        return x, (k, v)
+
+    hidden, (k_pre, v_pre) = jax.lax.scan(
+        lambda c, p: prefill_block(c, p), mm_emb, p_llm["layers"]
+    )
+    hidden = rms_norm(hidden, p_llm["norm"], lcfg.rms_eps)
+    last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # [B,1,D]
+    logits = (last_hidden @ p_llm["lm_head"]).astype(jnp.float32)[:, 0]
+    first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+
+    # cache: [L, B, Hkv, total, hd]
+    nl = lcfg.num_layers
+    pad_steps = jnp.zeros(
+        (nl, b, lcfg.num_kv_heads, num_steps, lcfg.head_dim), dtype=k_pre.dtype
+    )
+    cache_k = jnp.concatenate([k_pre, pad_steps], axis=3)
+    cache_v = jnp.concatenate([v_pre, pad_steps], axis=3)
+
+    # --- cached decode steps -------------------------------------------------------
+    slot_ids = jnp.arange(total)
+
+    def step(carry, i):
+        token, ck, cv = carry
+        pos = num_patches + true_len + i              # [B] rope position of this token
+        x = p_llm["embed"][token][:, None, :]         # [B, 1, D]
+        cos = jnp.take(cos_all, pos, axis=0)[:, None, :]  # [B,1,hd]
+        sin = jnp.take(sin_all, pos, axis=0)[:, None, :]
+
+        # keys valid: real prefix slots OR decode slots <= current
+        prefix_valid = jnp.concatenate(
+            [mm_mask.astype(bool), jnp.zeros((b, num_steps), bool)], axis=1
+        )
+        decode_valid = (slot_ids[None, :] >= t0) & (slot_ids[None, :] <= t0 + i)
+        bias = jnp.where(prefix_valid | decode_valid, 0.0, NEG_INF)[:, None, None, :]
+
+        def block(xc, layer):
+            p, ck_l, cv_l = layer
+            y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
+            q, k, v = _qkv(lcfg, p, y)
+            q, k = apply_rope(q, k, cos, sin)
+            ck_l = jax.lax.dynamic_update_slice(ck_l, k, (0, 0, t0 + i, 0))
+            cv_l = jax.lax.dynamic_update_slice(cv_l, v, (0, 0, t0 + i, 0))
+            attn = _attend(q, ck_l, cv_l, bias)
+            xc = xc + attn.transpose(0, 2, 1, 3).reshape(xc.shape) @ p["o_w"]
+            xc = _mlp(lcfg, p, xc)
+            return xc, (ck_l, cv_l)
+
+        x, (ck, cv) = jax.lax.scan(block, x, (p_llm["layers"], ck, cv))
+        h = rms_norm(x, p_llm["norm"], lcfg.rms_eps)
+        logits = (h @ p_llm["lm_head"]).astype(jnp.float32)[:, 0]
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (next_token, ck, cv), token
+
+    (final_token, _, _), emitted = jax.lax.scan(
+        step, (first_token, cache_k, cache_v), jnp.arange(num_steps - 1)
+    )
+    # emitted = tokens fed at steps 0..num_steps-2 = generated tokens 0..num_steps-2
+    tokens = jnp.concatenate([emitted.T, final_token[:, None]], axis=1)  # [B, num_steps]
+
+    # de-tokenize (modeling_prismatic.py:521-524): action vocab excludes pad rows
+    action_vocab = cfg.action_vocab_size
+    discretized = jnp.clip(action_vocab - tokens - 1, 0, BIN_CENTERS.shape[0] - 1)
+    centers = jnp.asarray(BIN_CENTERS, jnp.float32)
+    actions = centers[discretized]
+    return DecodeResult(tokens=tokens, actions=actions)
+
+
+def ensure_trailing_empty_token(
+    input_ids: np.ndarray, attention_mask: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: append 29871 after 'Out:' if missing
+    (modeling_prismatic.py:512-515), per row, preserving right padding."""
+    ids = np.array(input_ids)
+    mask = np.array(attention_mask)
+    out_ids, out_mask = [], []
+    for row_ids, row_mask in zip(ids, mask):
+        n = int(row_mask.sum())
+        if n == 0 or row_ids[n - 1] != EMPTY_TOKEN_ID:
+            row_ids = np.concatenate([row_ids[:n], [EMPTY_TOKEN_ID], row_ids[n:]])[: len(row_ids) + 1]
+            row_mask = np.concatenate([row_mask[:n], [1], row_mask[n:]])[: len(row_mask) + 1]
+        out_ids.append(row_ids)
+        out_mask.append(row_mask)
+    width = max(len(r) for r in out_ids)
+    out_ids = [np.pad(r, (0, width - len(r)), constant_values=32000) for r in out_ids]
+    out_mask = [np.pad(r, (0, width - len(r))) for r in out_mask]
+    return np.stack(out_ids).astype(np.int32), np.stack(out_mask).astype(np.int32)
+
+
+def unnormalize_actions(actions: np.ndarray, norm_stats: Dict, unnorm_key: Optional[str] = None) -> np.ndarray:
+    """q01/q99 unnormalization with mask (modeling_prismatic.py:527-534)."""
+    if unnorm_key is None:
+        assert len(norm_stats) == 1, f"pass unnorm_key; options: {list(norm_stats)}"
+        unnorm_key = next(iter(norm_stats))
+    st = norm_stats[unnorm_key]["action"]
+    q01 = np.asarray(st["q01"], np.float64)
+    q99 = np.asarray(st["q99"], np.float64)
+    mask = np.asarray(st.get("mask", np.ones_like(q01, bool)))
+    return np.where(mask, 0.5 * (actions + 1.0) * (q99 - q01) + q01, actions)

@@ -1,0 +1,92 @@
+"""Eval-layer tests: policy end-to-end on the tiny model, processing parity,
+queue resume logic. LIBERO itself is not installed — the env-facing code is
+import-gated and exercised via its pure pieces."""
+
+import os
+
+import numpy as np
+import pytest
+
+from roboticattack_tpu.eval import (
+    SUITE_PLACEMENTS,
+    eval_prompt,
+    load_policy,
+    organize_experiments,
+    resize_bicubic_pil,
+)
+from roboticattack_tpu.eval.libero import (
+    DUMMY_ACTION,
+    MAX_STEPS_CLEAN,
+    MAX_STEPS_PATCHED,
+    LiberoEvalConfig,
+    apply_patch_to_frame,
+)
+from roboticattack_tpu.utils import invert_gripper_action, normalize_gripper_action
+
+
+def test_protocol_constants():
+    assert MAX_STEPS_PATCHED == {
+        "libero_spatial": 193, "libero_object": 254, "libero_goal": 270,
+        "libero_10": 505, "libero_90": 373,
+    }
+    assert MAX_STEPS_CLEAN["libero_spatial"] == 220
+    assert DUMMY_ACTION == [0, 0, 0, 0, 0, 0, -1]
+    assert SUITE_PLACEMENTS == {
+        "libero_10": (5, 160), "libero_object": (30, 150),
+        "libero_goal": (15, 158), "libero_spatial": (120, 160),
+    }
+    assert eval_prompt("Close The Drawer") == (
+        "In: What action should the robot take to close the drawer?\nOut:"
+    )
+
+
+def test_policy_end_to_end_tiny():
+    policy = load_policy(None, model_name="vla-tiny")
+    frame = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    a1 = policy.get_action(frame, "pick up the cup")
+    a2 = policy.get_action(frame, "pick up the cup")
+    assert a1.shape == (7,)
+    np.testing.assert_array_equal(a1, a2)  # deterministic greedy
+    # different instruction -> (almost surely) different tokenization path works
+    a3 = policy.get_action(frame, "slide the bowl to the left edge of the table")
+    assert a3.shape == (7,)
+
+    # full env-side action post-processing
+    post = invert_gripper_action(normalize_gripper_action(a1, binarize=True))
+    assert post[-1] in (-1.0, 1.0)
+
+
+def test_patch_applied_to_frame():
+    from roboticattack_tpu.attacks.artifacts import save_patch_pt, load_patch
+
+    rng = np.random.default_rng(1)
+    patch = rng.uniform(0, 1, (10, 10, 3)).astype(np.float32)
+    frame = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+    cfg = LiberoEvalConfig(x=120, y=160)
+    out = apply_patch_to_frame(frame, patch, cfg)
+    np.testing.assert_array_equal(out[160:170, 120:130], (patch * 255).astype(np.uint8))
+    np.testing.assert_array_equal(out[:160, :120], frame[:160, :120])
+
+
+def test_resize_bicubic_matches_pil():
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+    ours = resize_bicubic_pil(img, 224)
+    want = np.asarray(Image.fromarray(img).resize((224, 224), Image.BICUBIC))
+    np.testing.assert_array_equal(ours, want)
+
+
+def test_queue_marker_resume(tmp_path):
+    out = str(tmp_path)
+    patches = {s: f"/fake/{s}/patch.pt" for s in SUITE_PLACEMENTS}
+    tasks = organize_experiments(patches, out)
+    assert len(tasks) == 4
+    # write a marker -> that suite is skipped
+    x, y = SUITE_PLACEMENTS["libero_goal"]
+    with open(os.path.join(out, f"EVAL-libero_goal--{x}-{y}.txt"), "w") as f:
+        f.write("done")
+    tasks2 = organize_experiments(patches, out)
+    assert len(tasks2) == 3
+    assert all(t["suite"] != "libero_goal" for t in tasks2)
