@@ -80,7 +80,11 @@ def _decoder_block(
     k = (y @ p["k_w"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     v = (y @ p["v_w"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
-    if cfg.attn_chunk is not None:
+    if cfg.attn_impl == "flash":
+        from .. import ops  # avoid circular import at module load
+
+        attn = ops.flash_attention.mha_flash(q, k, v, bias=bias)
+    elif cfg.attn_impl == "chunked" and cfg.attn_chunk is not None:
         attn = mha_chunked(q, k, v, bias=bias, chunk=cfg.attn_chunk)
     else:
         attn = mha(q, k, v, bias=bias)

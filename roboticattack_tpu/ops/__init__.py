@@ -1,3 +1,6 @@
+from . import flash_attention
+from .attention import causal_bias, mha, mha_chunked, padding_bias
+from .flash_attention import flash_attention as flash_attention_op, mha_flash
 from .grid_sample import (
     affine_warp,
     fixed_affine_matrix,
