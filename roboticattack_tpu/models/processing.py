@@ -1,0 +1,100 @@
+"""Processor API parity: `PrismaticImageProcessor` / `PrismaticProcessor`.
+
+Shapes match /root/reference/prismatic/extern/hf/processing_prismatic.py:
+  - image: resize (bicubic, antialias) -> center crop -> scale to [0,1] ->
+    per-backbone normalize -> stack (:128-145). At the 224->224 operating
+    point the crop is a no-op; on PIL inputs torchvision delegates resizing to
+    PIL, so PIL here is bit-exact with the reference's eval path.
+  - `letterbox` resize strategy pads to square with the (255-scaled) mean fill
+    before resizing (:107-118).
+  - processor call: tokenizer + image processor -> {input_ids, attention_mask,
+    pixel_values} (:187-216).
+
+pixel_values here use the TPU-native [B, 2, H, W, 3] stack; `as_nchw6()`
+converts to the reference's 6-channel NCHW layout for interchange.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..utils.constants import DINO_MEAN, DINO_STD, IMAGE_SIZE, PAD_TOKEN_ID, SIGLIP_MEAN, SIGLIP_STD
+from ..utils.prompting import TextTokenizer, pad_batch
+
+
+@dataclass
+class PrismaticImageProcessor:
+    image_size: int = IMAGE_SIZE
+    image_resize_strategy: str = "resize-naive"  # or "letterbox"
+    means: Tuple[Tuple[float, ...], ...] = (DINO_MEAN, SIGLIP_MEAN)
+    stds: Tuple[Tuple[float, ...], ...] = (DINO_STD, SIGLIP_STD)
+
+    def _letterbox(self, pil):
+        from PIL import Image, ImageOps
+
+        w, h = pil.size
+        if w == h:
+            return pil
+        # pad with the (first backbone's) channel means, scaled to [0, 255]
+        fill = tuple(int(m * 255) for m in self.means[0])
+        side = max(w, h)
+        pad_w, pad_h = (side - w) // 2, (side - h) // 2
+        return ImageOps.expand(pil, border=(pad_w, pad_h, side - w - pad_w, side - h - pad_h), fill=fill)
+
+    def apply_transform(self, image) -> np.ndarray:
+        """PIL image or uint8 HWC array -> [2, H, W, 3] float32 stacked
+        normalized pixel values."""
+        from PIL import Image
+
+        pil = image if isinstance(image, Image.Image) else Image.fromarray(np.asarray(image))
+        pil = pil.convert("RGB")
+        if self.image_resize_strategy == "letterbox":
+            pil = self._letterbox(pil)
+        pil = pil.resize((self.image_size, self.image_size), Image.BICUBIC)
+        arr = np.asarray(pil, np.float32) / 255.0
+        stacked = []
+        for mean, std in zip(self.means, self.stds):
+            stacked.append((arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32))
+        return np.stack(stacked, axis=0)
+
+    __call__ = apply_transform
+
+
+@dataclass
+class PrismaticProcessor:
+    tokenizer: TextTokenizer
+    image_processor: PrismaticImageProcessor = field(default_factory=PrismaticImageProcessor)
+
+    def __call__(
+        self,
+        text: Union[str, Sequence[str]],
+        images,
+        pad_to: Optional[int] = None,
+    ) -> dict:
+        texts: List[str] = [text] if isinstance(text, str) else list(text)
+        image_list = images if isinstance(images, (list, tuple)) else [images]
+        assert len(texts) == len(image_list), "text/image batch mismatch"
+
+        ids = [np.asarray(self.tokenizer.encode(t, add_bos=True), np.int32) for t in texts]
+        if pad_to is not None:
+            ids = [
+                np.concatenate([s, np.full(max(0, pad_to - len(s)), PAD_TOKEN_ID, np.int32)])
+                for s in ids
+            ]
+        input_ids = pad_batch(ids, PAD_TOKEN_ID)
+        attention_mask = (input_ids != PAD_TOKEN_ID).astype(np.int32)
+        pixel_values = np.stack([self.image_processor.apply_transform(im) for im in image_list])
+        return {
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+            "pixel_values": pixel_values,  # [B, 2, H, W, 3]
+        }
+
+    @staticmethod
+    def as_nchw6(pixel_values: np.ndarray) -> np.ndarray:
+        """[B, 2, H, W, 3] -> the reference's [B, 6, H, W] channel stack."""
+        b, two, h, w, c = pixel_values.shape
+        return pixel_values.transpose(0, 1, 4, 2, 3).reshape(b, two * c, h, w)

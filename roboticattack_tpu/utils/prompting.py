@@ -73,6 +73,122 @@ class PurePromptBuilder:
         return self.prompt.removeprefix(self.bos).rstrip()
 
 
+@dataclass
+class VicunaV15ChatPromptBuilder(PurePromptBuilder):
+    """Vicuna-v1.5 chat format (vicuna_v15_prompter.py:26-80): system prompt
+    prepended on the first human turn; "USER: ... ASSISTANT: " wrapping."""
+
+    SYS_PROMPT = (
+        "A chat between a curious user and an artificial intelligence assistant. "
+        "The assistant gives helpful, detailed, and polite answers to the user's questions."
+    )
+
+    def __post_init__(self):
+        if self.system_prompt is None:
+            self.system_prompt = self.SYS_PROMPT
+        self.system_prompt = self.system_prompt.strip() + " "
+
+    def wrap_human(self, msg: str) -> str:
+        return f"USER: {msg} ASSISTANT: "
+
+    def add_turn(self, role: str, message: str) -> str:
+        assert (role == "human") if (self.turn_count % 2 == 0) else (role == "gpt")
+        message = message.replace("<image>", "").strip()
+        if self.turn_count == 0:
+            wrapped = self.system_prompt + self.wrap_human(message)
+        elif self.turn_count % 2 == 0:
+            wrapped = self.wrap_human(message)
+        else:
+            wrapped = self.wrap_gpt(message)
+        self.prompt += wrapped
+        self.turn_count += 1
+        return wrapped
+
+
+@dataclass
+class LLaMa2ChatPromptBuilder(PurePromptBuilder):
+    """Llama-2 chat format (llama2_chat_prompter.py): [INST]/<<SYS>> wrapping,
+    system prompt folded into the first human turn."""
+
+    SYS_PROMPT = (
+        "You are a helpful language and vision assistant. "
+        "You are able to understand the visual content that the user provides, "
+        "and assist the user with a variety of tasks using natural language."
+    )
+
+    def __post_init__(self):
+        if self.system_prompt is None:
+            self.system_prompt = self.SYS_PROMPT
+        self.system_prompt = f"<<SYS>\n{self.system_prompt.strip()}\n<</SYS>>\n\n"
+
+    def wrap_human(self, msg: str) -> str:
+        return f"[INST] {msg} [/INST] "
+
+    def add_turn(self, role: str, message: str) -> str:
+        assert (role == "human") if (self.turn_count % 2 == 0) else (role == "gpt")
+        message = message.replace("<image>", "").strip()
+        if self.turn_count == 0:
+            wrapped = self.wrap_human(self.system_prompt + message)
+        elif self.turn_count % 2 == 0:
+            wrapped = self.wrap_human(message)
+        else:
+            wrapped = self.wrap_gpt(message)
+        self.prompt += wrapped
+        self.turn_count += 1
+        return wrapped
+
+
+@dataclass
+class MistralInstructPromptBuilder(PurePromptBuilder):
+    """Mistral-Instruct format (mistral_instruct_prompter.py): [INST] wrapping,
+    no system prompt."""
+
+    def wrap_human(self, msg: str) -> str:
+        return f"[INST] {msg} [/INST] "
+
+
+@dataclass
+class PhiPromptBuilder(PurePromptBuilder):
+    """Phi-2 Input/Output format (phi_prompter.py): CodeGen tokenizer adds no
+    special tokens, so BOS/EOS are spelled out in the text."""
+
+    bos: str = "<|endoftext|>"
+    eos: str = "<|endoftext|>"
+
+    def wrap_human(self, msg: str) -> str:
+        return f"Input: {msg}\nOutput: "
+
+    def wrap_gpt(self, msg: str) -> str:
+        return f"{msg if msg != '' else ' '}\n{self.eos}"
+
+    def add_turn(self, role: str, message: str) -> str:
+        assert (role == "human") if (self.turn_count % 2 == 0) else (role == "gpt")
+        message = message.replace("<image>", "").strip()
+        if self.turn_count == 0:
+            wrapped = f"{self.bos}{self.wrap_human(message)}"
+        elif self.turn_count % 2 == 0:
+            wrapped = self.wrap_human(message)
+        else:
+            wrapped = self.wrap_gpt(message)
+        self.prompt += wrapped
+        self.turn_count += 1
+        return wrapped
+
+
+# llm_backbone_id -> prompt builder class (models/materialize.py contract)
+PROMPT_BUILDERS = {
+    "llama2-7b-pure": PurePromptBuilder,
+    "llama2-13b-pure": PurePromptBuilder,
+    "llama2-7b-chat": LLaMa2ChatPromptBuilder,
+    "llama2-13b-chat": LLaMa2ChatPromptBuilder,
+    "vicuna-v15-7b": VicunaV15ChatPromptBuilder,
+    "vicuna-v15-13b": VicunaV15ChatPromptBuilder,
+    "mistral-v0.1-7b-pure": PurePromptBuilder,
+    "mistral-v0.1-7b-instruct": MistralInstructPromptBuilder,
+    "phi-2-3b": PhiPromptBuilder,
+}
+
+
 def vla_prompt(instruction: str) -> str:
     """The single-turn human prompt used everywhere in the attack + eval paths
     (RLDSBatchTransform.py:29; experiments/robot/openvla_utils.py:163)."""
