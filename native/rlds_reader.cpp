@@ -1,0 +1,359 @@
+// rlds_reader.cpp — native RLDS/TFRecord data-loader for roboticattack_tpu.
+//
+// The reference outsources its data plane to TensorFlow's C++ tf.data runtime
+// (SURVEY.md §2.6: "TF C++ tf.data pipeline"); this is the framework-native
+// equivalent: a dependency-light TFRecord reader + tf.Example wire-format
+// parser + libjpeg image decoder, with a multi-threaded prefetch ring so the
+// Python host loop never blocks on file IO while the TPU computes.
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 on this image).
+//
+// TFRecord framing:   u64 length | u32 masked_crc(length) | payload |
+//                     u32 masked_crc(payload)
+// tf.Example proto:   Example{1: Features{1: map<string, Feature>}}
+//                     Feature{1: BytesList, 2: FloatList, 3: Int64List}
+// (hand-rolled varint/wire parsing — protobuf runtime not required)
+
+#include <cstddef>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+#include <jpeglib.h>  // must follow <cstdio>/<cstddef> (uses FILE/size_t)
+#include <pthread.h>
+#include <deque>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- protobuf --
+struct Slice {
+  const uint8_t* data;
+  size_t len;
+};
+
+bool read_varint(const uint8_t*& p, const uint8_t* end, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (p < end && shift < 64) {
+    uint8_t byte = *p++;
+    result |= static_cast<uint64_t>(byte & 0x7f) << shift;
+    if (!(byte & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+  }
+  return false;
+}
+
+bool skip_field(const uint8_t*& p, const uint8_t* end, uint32_t wire_type) {
+  uint64_t tmp;
+  switch (wire_type) {
+    case 0:  // varint
+      return read_varint(p, end, &tmp);
+    case 1:  // 64-bit
+      if (end - p < 8) return false;
+      p += 8;
+      return true;
+    case 2:  // length-delimited
+      if (!read_varint(p, end, &tmp) || static_cast<uint64_t>(end - p) < tmp) return false;
+      p += tmp;
+      return true;
+    case 5:  // 32-bit
+      if (end - p < 4) return false;
+      p += 4;
+      return true;
+    default:
+      return false;
+  }
+}
+
+// Iterate the fields of a message, invoking fn(field_no, wire_type, p, end)
+// for length-delimited payloads; other wire types are skipped.
+template <typename Fn>
+bool for_each_field(Slice msg, Fn fn) {
+  const uint8_t* p = msg.data;
+  const uint8_t* end = msg.data + msg.len;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return false;
+    uint32_t field = static_cast<uint32_t>(tag >> 3);
+    uint32_t wire = static_cast<uint32_t>(tag & 7);
+    if (wire == 2) {
+      uint64_t len;
+      if (!read_varint(p, end, &len) || static_cast<uint64_t>(end - p) < len) return false;
+      fn(field, Slice{p, static_cast<size_t>(len)});
+      p += len;
+    } else {
+      const uint8_t* before = p;
+      if (!skip_field(p, end, wire)) return false;
+      (void)before;
+    }
+  }
+  return true;
+}
+
+enum FeatureKind { kBytes = 1, kFloat = 2, kInt64 = 3, kNone = 0 };
+
+struct FeatureValue {
+  FeatureKind kind = kNone;
+  std::vector<Slice> bytes_values;    // kBytes
+  std::vector<float> float_values;    // kFloat
+  std::vector<int64_t> int64_values;  // kInt64
+};
+
+void parse_float_list(Slice body, std::vector<float>* out) {
+  for_each_field(body, [&](uint32_t field, Slice payload) {
+    if (field == 1) {  // packed floats
+      size_t n = payload.len / 4;
+      size_t base = out->size();
+      out->resize(base + n);
+      memcpy(out->data() + base, payload.data, n * 4);
+    }
+  });
+}
+
+void parse_int64_list(Slice body, std::vector<int64_t>* out) {
+  // packed varints
+  for_each_field(body, [&](uint32_t field, Slice payload) {
+    if (field == 1) {
+      const uint8_t* p = payload.data;
+      const uint8_t* end = payload.data + payload.len;
+      uint64_t v;
+      while (p < end && read_varint(p, end, &v)) out->push_back(static_cast<int64_t>(v));
+    }
+  });
+}
+
+void parse_bytes_list(Slice body, std::vector<Slice>* out) {
+  for_each_field(body, [&](uint32_t field, Slice payload) {
+    if (field == 1) out->push_back(payload);
+  });
+}
+
+// Find feature `key` in a serialized tf.Example.
+bool find_feature(Slice example, const char* key, FeatureValue* out) {
+  size_t key_len = strlen(key);
+  bool found = false;
+  for_each_field(example, [&](uint32_t f1, Slice features) {
+    if (f1 != 1 || found) return;  // Example.features
+    for_each_field(features, [&](uint32_t f2, Slice entry) {
+      if (f2 != 1 || found) return;  // map entry
+      Slice entry_key{nullptr, 0}, entry_val{nullptr, 0};
+      for_each_field(entry, [&](uint32_t f3, Slice payload) {
+        if (f3 == 1) entry_key = payload;
+        if (f3 == 2) entry_val = payload;
+      });
+      if (entry_key.len != key_len || memcmp(entry_key.data, key, key_len) != 0) return;
+      // entry_val is a Feature: oneof bytes/float/int64 list
+      for_each_field(entry_val, [&](uint32_t f4, Slice body) {
+        if (f4 == 1) {
+          out->kind = kBytes;
+          parse_bytes_list(body, &out->bytes_values);
+        } else if (f4 == 2) {
+          out->kind = kFloat;
+          parse_float_list(body, &out->float_values);
+        } else if (f4 == 3) {
+          out->kind = kInt64;
+          parse_int64_list(body, &out->int64_values);
+        }
+      });
+      found = true;
+    });
+  });
+  return found && out->kind != kNone;
+}
+
+// ---------------------------------------------------------------- tfrecord --
+struct RecordReader {
+  FILE* f = nullptr;
+  bool next(std::vector<uint8_t>* out) {
+    uint64_t len;
+    uint8_t header[12];
+    if (fread(header, 1, 12, f) != 12) return false;  // len + masked crc
+    memcpy(&len, header, 8);
+    out->resize(len);
+    if (len && fread(out->data(), 1, len, f) != len) return false;
+    uint8_t crc[4];
+    if (fread(crc, 1, 4, f) != 4) return false;  // payload crc (unverified)
+    return true;
+  }
+};
+
+// ------------------------------------------------------------- prefetcher --
+struct Prefetcher {
+  std::vector<std::string> paths;
+  size_t path_idx = 0;
+  RecordReader reader;
+  std::deque<std::vector<uint8_t>*> queue;
+  size_t capacity = 64;
+  bool done = false, stop = false;
+  pthread_t thread;
+  pthread_mutex_t mu = PTHREAD_MUTEX_INITIALIZER;
+  pthread_cond_t cv_push = PTHREAD_COND_INITIALIZER;
+  pthread_cond_t cv_pop = PTHREAD_COND_INITIALIZER;
+
+  bool open_next_file() {
+    while (path_idx < paths.size()) {
+      if (reader.f) fclose(reader.f);
+      reader.f = fopen(paths[path_idx++].c_str(), "rb");
+      if (reader.f) return true;
+    }
+    return false;
+  }
+
+  static void* run(void* arg) {
+    auto* self = static_cast<Prefetcher*>(arg);
+    if (!self->open_next_file()) {
+      pthread_mutex_lock(&self->mu);
+      self->done = true;
+      pthread_cond_broadcast(&self->cv_pop);
+      pthread_mutex_unlock(&self->mu);
+      return nullptr;
+    }
+    for (;;) {
+      auto* rec = new std::vector<uint8_t>();
+      bool ok = self->reader.next(rec);
+      while (!ok) {
+        if (!self->open_next_file()) break;
+        ok = self->reader.next(rec);
+      }
+      pthread_mutex_lock(&self->mu);
+      if (!ok || self->stop) {
+        delete rec;
+        self->done = true;
+        pthread_cond_broadcast(&self->cv_pop);
+        pthread_mutex_unlock(&self->mu);
+        return nullptr;
+      }
+      while (self->queue.size() >= self->capacity && !self->stop)
+        pthread_cond_wait(&self->cv_push, &self->mu);
+      if (self->stop) {
+        delete rec;
+        self->done = true;
+        pthread_cond_broadcast(&self->cv_pop);
+        pthread_mutex_unlock(&self->mu);
+        return nullptr;
+      }
+      self->queue.push_back(rec);
+      pthread_cond_signal(&self->cv_pop);
+      pthread_mutex_unlock(&self->mu);
+    }
+  }
+
+  std::vector<uint8_t>* pop() {
+    pthread_mutex_lock(&mu);
+    while (queue.empty() && !done) pthread_cond_wait(&cv_pop, &mu);
+    std::vector<uint8_t>* rec = nullptr;
+    if (!queue.empty()) {
+      rec = queue.front();
+      queue.pop_front();
+      pthread_cond_signal(&cv_push);
+    }
+    pthread_mutex_unlock(&mu);
+    return rec;
+  }
+};
+
+}  // namespace
+
+// ------------------------------------------------------------------ C ABI --
+extern "C" {
+
+void* rlds_reader_open(const char** paths, int n_paths, int prefetch_depth) {
+  auto* p = new Prefetcher();
+  for (int i = 0; i < n_paths; i++) p->paths.emplace_back(paths[i]);
+  if (prefetch_depth > 0) p->capacity = static_cast<size_t>(prefetch_depth);
+  pthread_create(&p->thread, nullptr, &Prefetcher::run, p);
+  return p;
+}
+
+// Returns a malloc'd record buffer (caller frees via rlds_free) or NULL at EOF.
+uint8_t* rlds_reader_next(void* handle, int64_t* out_len) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  std::vector<uint8_t>* rec = p->pop();
+  if (!rec) {
+    *out_len = 0;
+    return nullptr;
+  }
+  auto* buf = static_cast<uint8_t*>(malloc(rec->size()));
+  memcpy(buf, rec->data(), rec->size());
+  *out_len = static_cast<int64_t>(rec->size());
+  delete rec;
+  return buf;
+}
+
+void rlds_free(void* buf) { free(buf); }
+
+void rlds_reader_close(void* handle) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  pthread_mutex_lock(&p->mu);
+  p->stop = true;
+  pthread_cond_broadcast(&p->cv_push);
+  pthread_cond_broadcast(&p->cv_pop);
+  pthread_mutex_unlock(&p->mu);
+  pthread_join(p->thread, nullptr);
+  for (auto* rec : p->queue) delete rec;
+  if (p->reader.f) fclose(p->reader.f);
+  delete p;
+}
+
+// Extract a feature. kind: 1=bytes (first element), 2=float list, 3=int64 list.
+// For bytes: *out points INTO record (no copy); for float/int64: malloc'd.
+int rlds_example_feature(const uint8_t* record, int64_t record_len, const char* key,
+                         int* out_kind, const uint8_t** out_ptr, int64_t* out_count) {
+  FeatureValue fv;
+  if (!find_feature(Slice{record, static_cast<size_t>(record_len)}, key, &fv)) return -1;
+  *out_kind = fv.kind;
+  if (fv.kind == kBytes) {
+    if (fv.bytes_values.empty()) return -1;
+    *out_ptr = fv.bytes_values[0].data;
+    *out_count = static_cast<int64_t>(fv.bytes_values[0].len);
+  } else if (fv.kind == kFloat) {
+    auto* buf = static_cast<float*>(malloc(fv.float_values.size() * 4));
+    memcpy(buf, fv.float_values.data(), fv.float_values.size() * 4);
+    *out_ptr = reinterpret_cast<uint8_t*>(buf);
+    *out_count = static_cast<int64_t>(fv.float_values.size());
+  } else {
+    auto* buf = static_cast<int64_t*>(malloc(fv.int64_values.size() * 8));
+    memcpy(buf, fv.int64_values.data(), fv.int64_values.size() * 8);
+    *out_ptr = reinterpret_cast<uint8_t*>(buf);
+    *out_count = static_cast<int64_t>(fv.int64_values.size());
+  }
+  return 0;
+}
+
+// Decode a JPEG into caller-provided RGB buffer (or probe dims with out=NULL).
+int rlds_jpeg_decode(const uint8_t* jpg, int64_t len, uint8_t* out, int* out_h,
+                     int* out_w, int* out_c) {
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(jpg), static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  *out_h = static_cast<int>(cinfo.image_height);
+  *out_w = static_cast<int>(cinfo.image_width);
+  *out_c = 3;
+  if (out == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_start_decompress(&cinfo);
+  int stride = cinfo.output_width * cinfo.output_components;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // extern "C"

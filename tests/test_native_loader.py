@@ -1,0 +1,92 @@
+"""Native C++ TFRecord/tf.Example reader vs TensorFlow's own writer/parsers."""
+
+import os
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from roboticattack_tpu.data.native_loader import NativeRLDSReader, decode_jpeg, load_library
+
+
+@pytest.fixture(scope="module")
+def record_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tfr") / "data.tfrecord")
+    rng = np.random.default_rng(0)
+    images, actions, langs = [], [], []
+    with tf.io.TFRecordWriter(path) as w:
+        for i in range(5):
+            img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            jpg = tf.io.encode_jpeg(img).numpy()
+            action = rng.standard_normal(7).astype(np.float32)
+            lang = f"instruction number {i}".encode()
+            ex = tf.train.Example(features=tf.train.Features(feature={
+                "image": tf.train.Feature(bytes_list=tf.train.BytesList(value=[jpg])),
+                "action": tf.train.Feature(float_list=tf.train.FloatList(value=action)),
+                "step": tf.train.Feature(int64_list=tf.train.Int64List(value=[i, i * 10])),
+                "language": tf.train.Feature(bytes_list=tf.train.BytesList(value=[lang])),
+            }))
+            w.write(ex.SerializeToString())
+            images.append(jpg)
+            actions.append(action)
+            langs.append(lang)
+    return path, images, actions, langs
+
+
+def test_library_builds():
+    lib = load_library()
+    assert lib is not None
+
+
+def test_read_examples_match_tf(record_file):
+    path, images, actions, langs = record_file
+    reader = NativeRLDSReader([path])
+    count = 0
+    for i, ex in enumerate(reader):
+        np.testing.assert_allclose(ex.feature("action"), actions[i], rtol=1e-6)
+        np.testing.assert_array_equal(ex.feature("step"), [i, i * 10])
+        assert ex.feature("language") == langs[i]
+        assert ex.feature("image") == images[i]
+        count += 1
+    assert count == 5
+    reader.close()
+
+
+def test_jpeg_decode_matches_pil(record_file):
+    path, images, _, _ = record_file
+    from PIL import Image
+    import io
+
+    ours = decode_jpeg(images[0])
+    want = np.asarray(Image.open(io.BytesIO(images[0])).convert("RGB"))
+    assert ours.shape == want.shape
+    # both use system libjpeg; allow tiny IDCT variation
+    assert np.mean(np.abs(ours.astype(int) - want.astype(int))) < 1.0
+
+
+def test_multiple_files_and_missing_key(record_file, tmp_path):
+    path, _, _, _ = record_file
+    reader = NativeRLDSReader([path, path])
+    examples = list(reader)
+    assert len(examples) == 10
+    with pytest.raises(KeyError):
+        examples[0].feature("nope")
+    reader.close()
+
+    # nonexistent file -> empty iterator, no crash
+    empty = NativeRLDSReader([str(tmp_path / "missing.tfrecord")])
+    assert list(empty) == []
+
+
+def test_prefetch_throughput_smoke(record_file, tmp_path):
+    """Many records through the ring without loss or reorder."""
+    path = str(tmp_path / "big.tfrecord")
+    with tf.io.TFRecordWriter(path) as w:
+        for i in range(500):
+            ex = tf.train.Example(features=tf.train.Features(feature={
+                "idx": tf.train.Feature(int64_list=tf.train.Int64List(value=[i])),
+            }))
+            w.write(ex.SerializeToString())
+    got = [int(ex.feature("idx")[0]) for ex in NativeRLDSReader([path], prefetch_depth=8)]
+    assert got == list(range(500))
