@@ -27,10 +27,13 @@ from ..ops.patch_ops import apply_patch_batch
 from ..utils.labels import mask_labels as _mask_labels
 from ..utils.labels import overwrite_with_target
 from ..utils.normalization import dual_normalize
+from ..utils.action_tokenizer import decode_tokens
+from ..utils.constants import ACTION_TOKEN_ZERO as ACTION_TOKEN_ZERO_
 from .losses import (
     action_preds_and_mask,
     clip_grad_l1,
     gripper_asr_counts,
+    per_dim_relative_distance,
     per_example_metrics,
     tma_metrics,
     uada_loss,
@@ -194,8 +197,12 @@ def make_val_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.n
 
     Returns val(params, patch, batch, rng) -> dict of scalar metrics plus
     per-example extras needed for the reference's host-side aggregation.
+    The clean-image forward that feeds the gripper pre-filter (TMA.py:223-250)
+    is only compiled in when maskidx == [6] — it would otherwise double the
+    val cost for nothing.
     """
     maskidx = tuple(maskidx)
+    need_clean_filter = len(maskidx) == 1 and maskidx[0] == 6
     target = jnp.asarray(target_tokens) if target_tokens is not None else None
 
     def val(params, patch, batch: AttackBatch, rng):
@@ -228,18 +235,28 @@ def make_val_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.n
 
         # clean-image forward for the maskidx==[6] pre-filter (TMA.py:223-250):
         # per-example gripper correctness on the unpatched image
-        clean_pixels = dual_normalize(batch.images).astype(jnp.dtype(cfg.dtype))
-        clean_out = vla_forward(
-            params, cfg, batch.input_ids, batch.attention_mask, clean_pixels, None
-        )
-        c_preds, c_gt, c_mask = action_preds_and_mask(clean_out.logits, batch.labels, cfg)
-        # last action token per row == gripper dim
-        order = jnp.argsort(~c_mask, axis=-1, stable=True)
-        last = order[:, 6]
-        grip_ok = jnp.take_along_axis(c_preds, last[:, None], 1)[:, 0] == jnp.take_along_axis(
-            c_gt, last[:, None], 1
-        )[:, 0]
-        metrics["clean_gripper_correct"] = grip_ok
+        if need_clean_filter:
+            clean_pixels = dual_normalize(batch.images).astype(jnp.dtype(cfg.dtype))
+            clean_out = vla_forward(
+                params, cfg, batch.input_ids, batch.attention_mask, clean_pixels, None
+            )
+            c_preds, c_gt, c_mask = action_preds_and_mask(clean_out.logits, batch.labels, cfg)
+            # last action token per row == gripper dim
+            order = jnp.argsort(~c_mask, axis=-1, stable=True)
+            last = order[:, 6]
+            grip_ok = jnp.take_along_axis(c_preds, last[:, None], 1)[:, 0] == jnp.take_along_axis(
+                c_gt, last[:, None], 1
+            )[:, 0]
+            metrics["clean_gripper_correct"] = grip_ok
+        else:
+            metrics["clean_gripper_correct"] = jnp.ones(batch.images.shape[0], bool)
+
+        # per-dim relative distance for UADA logging (UADA.py:354-369)
+        if spec.objective == "uada" and len(maskidx) > 0:
+            pred_act = decode_tokens(preds)
+            gt_act = decode_tokens(jnp.where(mask, gt, ACTION_TOKEN_ZERO_))
+            rd = per_dim_relative_distance(pred_act, gt_act, mask, maskidx)
+            metrics.update({f"rd_{k}": v for k, v in rd.items()})
         # example image for artifact dumps: first patched image, denormalized
         metrics["_patched_images"] = patched
         return metrics

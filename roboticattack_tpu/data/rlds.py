@@ -332,3 +332,33 @@ def _tokenizer_from_checkpoint(checkpoint: Optional[str]) -> TextTokenizer:
             print(f"[data] could not load tokenizer from {checkpoint}: {e}")
     print("[data] WARNING: using WordStubTokenizer (no Llama tokenizer available)")
     return WordStubTokenizer()
+
+
+def make_interleaved_frame_dataset(
+    mixture: Dict[str, float],
+    data_dir: Optional[str] = None,
+    train: bool = True,
+    image_size: int = 224,
+    seed: int = 42,
+    traj_datasets: Optional[Dict[str, object]] = None,
+    shuffle_buffer: int = SHUFFLE_BUFFER,
+):
+    """Weighted multi-dataset frame stream (make_interleaved_dataset,
+    rlds/dataset.py:457-588): per-dataset pipelines sampled by normalized
+    weight via tf.data.Dataset.sample_from_datasets."""
+    tf = _tf()
+    names = list(mixture)
+    weights = np.asarray([mixture[n] for n in names], np.float64)
+    weights = (weights / weights.sum()).tolist()
+    streams, stats = [], {}
+    for name in names:
+        frames, st = make_frame_dataset(
+            name, data_dir, train=train, image_size=image_size, seed=seed,
+            traj_dataset=(traj_datasets or {}).get(name),
+            shuffle_buffer=max(shuffle_buffer // max(len(names), 1), 1),
+        )
+        frames = frames.map(lambda f, n=name: dict(f, dataset_name=tf.constant(n)))
+        streams.append(frames)
+        stats[name] = st
+    mixed = tf.data.Dataset.sample_from_datasets(streams, weights=weights, seed=seed)
+    return mixed.prefetch(tf.data.AUTOTUNE), stats

@@ -136,3 +136,37 @@ def test_end_to_end_frames_to_batches():
         valid = row_lab != IGNORE_INDEX
         assert valid.sum() == 8  # 7 action tokens + EOS
         assert (row_ids != PAD_TOKEN_ID).sum() >= 10
+
+
+def test_interleaved_mixture_stream():
+    from roboticattack_tpu.data.rlds import make_interleaved_frame_dataset
+
+    ds_a = _synthetic_traj_dataset(n_traj=2, traj_len=6, seed=1, image_size=36)
+    ds_b = _synthetic_traj_dataset(n_traj=2, traj_len=6, seed=2, image_size=36)
+    mixed, stats = make_interleaved_frame_dataset(
+        {"bridge_orig": 0.7, "libero_goal_no_noops": 0.3},
+        image_size=64,
+        traj_datasets={"bridge_orig": ds_a, "libero_goal_no_noops": ds_b},
+        shuffle_buffer=32,
+        seed=0,
+    )
+    seen = {"bridge_orig": 0, "libero_goal_no_noops": 0}
+    it = mixed.as_numpy_iterator()
+    for _ in range(60):
+        f = next(it)
+        seen[f["dataset_name"].decode()] += 1
+        assert f["image"].shape == (64, 64, 3)
+    assert seen["bridge_orig"] > seen["libero_goal_no_noops"] > 0
+    assert set(stats) == {"bridge_orig", "libero_goal_no_noops"}
+
+
+def test_device_prefetch_preserves_order():
+    import jax.numpy as jnp
+    from roboticattack_tpu.data import device_prefetch
+
+    batches = ({"x": np.full((2, 2), i, np.float32)} for i in range(10))
+    out = list(device_prefetch(batches, depth=3))
+    assert len(out) == 10
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jnp.ndarray)
+        assert float(b["x"][0, 0]) == i
