@@ -30,6 +30,7 @@ from ..models.config import VLAConfig
 from ..parallel.mesh import process_zero, replicate, shard_batch
 from ..utils.constants import ACTION_DIM
 from ..utils.labels import build_tma_target_tokens
+from ..utils.profiling import StepTimer, maybe_trace
 from ..utils.tracking import Tracker
 from .artifacts import plot_loss_curve, save_checkpoint, save_history_pickles
 from .engine import (
@@ -165,8 +166,11 @@ class OpenVLAAttacker:
         self,
         train_batches: Iterator[AttackBatch],
         val_batches: Iterator[AttackBatch],
+        profile_dir: Optional[str] = None,
+        profile_steps: int = 3,
     ) -> AttackResult:
         a = self.attack
+        timer = StepTimer()
         rng_np = np.random.default_rng(a.seed)
         state = init_attack_state(jax.random.key(a.seed), a.patch_hw)
         if self.mesh is not None:
@@ -184,10 +188,15 @@ class OpenVLAAttacker:
 
             lr = cosine_schedule_with_warmup(i // a.accumulate_steps, a.lr, a.warmup, sched_total)
             apply_update = (i + 1) % a.accumulate_steps == 0
-            state, metrics = self._step(
-                self.params, state, batch,
-                jnp.float32(lr), jnp.bool_(apply_update), jax.random.key(a.seed * 1000003 + i),
-            )
+            trace_now = profile_dir is not None and i == 1  # skip compile step
+            with maybe_trace(profile_dir if trace_now else None):
+                with timer:
+                    state, metrics = self._step(
+                        self.params, state, batch,
+                        jnp.float32(lr), jnp.bool_(apply_update),
+                        jax.random.key(a.seed * 1000003 + i),
+                    )
+                    jax.block_until_ready(state.patch)
 
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items() if not k.startswith("ex_")}
             mean_loss = float(np.asarray(metrics["loss"]).mean())
@@ -204,6 +213,10 @@ class OpenVLAAttacker:
         patch = np.asarray(jax.device_get(state.patch))
         save_checkpoint(self.save_dir, "final", patch)
         save_history_pickles(self.save_dir, self.histories)
+        summary = timer.summary()
+        if summary:
+            self.tracker.log({f"TIMING_{k}": v for k, v in summary.items()},
+                             step=a.num_iter)
         return AttackResult(patch=patch, best_metric=self.best, histories=self.histories)
 
     def _validate(self, state: AttackState, val_batches: Iterator[AttackBatch], step: int) -> None:

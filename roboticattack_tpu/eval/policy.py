@@ -113,3 +113,35 @@ def load_policy(
         }
         unnorm_key = unnorm_key or "synthetic"
     return VLAPolicy(params, cfg, tokenizer, norm_stats, unnorm_key, center_crop)
+
+
+# --- reference dispatch shims (experiments/robot/robot_utils.py:40-74) --------
+
+def get_model(cfg_or_checkpoint, model_family: str = "openvla", **kwargs) -> VLAPolicy:
+    """`get_model` equivalent: accepts a checkpoint path (or config object with
+    .pretrained_checkpoint) and returns a loaded policy."""
+    checkpoint = getattr(cfg_or_checkpoint, "pretrained_checkpoint", cfg_or_checkpoint)
+    assert model_family == "openvla", f"unsupported model family {model_family}"
+    return load_policy(checkpoint, **kwargs)
+
+
+def get_action(policy: VLAPolicy, obs: Dict, task_label: str,
+               model_family: str = "openvla") -> np.ndarray:
+    """`get_action` equivalent: obs dict with 'full_image' -> 7-DoF action."""
+    assert model_family == "openvla", f"unsupported model family {model_family}"
+    return policy.get_action(obs["full_image"], task_label)
+
+
+def set_seed_everywhere(seed: int) -> None:
+    """robot_utils.py:29-37 equivalent; JAX randomness is key-threaded, so only
+    host-side RNGs need seeding."""
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+    except ImportError:
+        pass

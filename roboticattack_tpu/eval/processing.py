@@ -61,3 +61,17 @@ def libero_frame(agentview_image: np.ndarray, resize_size: int = IMAGE_SIZE) -> 
 def eval_prompt(task_label: str) -> str:
     """openvla_utils.py:163."""
     return f"In: What action should the robot take to {task_label.lower()}?\nOut:"
+
+
+def quat2axisangle(quat) -> "np.ndarray":
+    """Quaternion (x, y, z, w) -> exponential-map axis-angle
+    (libero_utils.py:77-101, after robosuite's transform_utils)."""
+    import math
+
+    q = np.asarray(quat, np.float64).copy()
+    # clip w to valid range to survive numerical drift
+    q[3] = float(np.clip(q[3], -1.0, 1.0))
+    den = math.sqrt(max(1.0 - q[3] * q[3], 0.0))
+    if math.isclose(den, 0.0):
+        return np.zeros(3)
+    return (q[:3] * 2.0 * math.acos(q[3])) / den

@@ -90,3 +90,25 @@ def test_queue_marker_resume(tmp_path):
     tasks2 = organize_experiments(patches, out)
     assert len(tasks2) == 3
     assert all(t["suite"] != "libero_goal" for t in tasks2)
+
+
+def test_is_noop_filter():
+    from roboticattack_tpu.eval.regenerate_libero import is_noop
+
+    zero = np.zeros(7)
+    move = np.array([0.01, 0, 0, 0, 0, 0, -1.0])
+    grip_flip = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    assert is_noop(zero, None)
+    assert not is_noop(move, zero)
+    assert is_noop(np.array([0, 0, 0, 0, 0, 0, -1.0]), np.array([1e-9] * 6 + [-1.0]))
+    assert not is_noop(grip_flip, np.array([0, 0, 0, 0, 0, 0, -1.0]))
+
+
+def test_robot_utils_dispatch():
+    from roboticattack_tpu.eval.policy import get_action, get_model, set_seed_everywhere
+
+    set_seed_everywhere(0)
+    policy = get_model(None, model_family="openvla", model_name="vla-tiny")
+    frame = np.random.default_rng(1).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    a = get_action(policy, {"full_image": frame}, "wipe the table")
+    assert a.shape == (7,)
