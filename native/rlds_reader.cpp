@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <csetjmp>
 
 #include <jpeglib.h>  // must follow <cstdio>/<cstddef> (uses FILE/size_t)
 #include <pthread.h>
@@ -325,12 +326,29 @@ int rlds_example_feature(const uint8_t* record, int64_t record_len, const char* 
   return 0;
 }
 
+// libjpeg's default error_exit() calls exit(); corrupt records must instead
+// surface as a -1 return, so install a setjmp-based error manager.
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+static void jpeg_error_longjmp(j_common_ptr cinfo) {
+  auto* mgr = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(mgr->setjmp_buffer, 1);
+}
+
 // Decode a JPEG into caller-provided RGB buffer (or probe dims with out=NULL).
 int rlds_jpeg_decode(const uint8_t* jpg, int64_t len, uint8_t* out, int* out_h,
                      int* out_w, int* out_c) {
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(jpg), static_cast<unsigned long>(len));
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {

@@ -104,7 +104,13 @@ class AttackConfig:
             add_inverse_ce=self.add_inverse_ce,
             upa_alpha=self.upa_alpha,
             upa_beta=self.upa_beta,
-            grad_clip_l1=1e-3 if self.objective == "upa" else None,
+            # UPA.py:155-158: the L1 clip sits in the shared adamW branch and
+            # applies to guide / negce variants as well
+            grad_clip_l1=(
+                1e-3
+                if self.objective.startswith("upa") and self.optimizer == "adamW"
+                else None
+            ),
         )
 
 
@@ -115,13 +121,13 @@ class AttackResult:
     histories: Dict[str, List[float]] = field(default_factory=dict)
 
 
-# objective -> (val metric key minimized for best-checkpoint, history names)
+# objective -> (val metric key, sign) where sign=+1 minimizes, -1 maximizes
 _BEST_KEY = {
-    "tma": "val_l1",
-    "uada": "val_mse_distance",
-    "upa": "val_loss",
-    "upa_guide": "val_ce",
-    "upa_negce": "val_ce",
+    "tma": ("val_l1", 1.0),
+    "uada": ("val_mse_distance", 1.0),
+    "upa": ("val_loss", 1.0),
+    "upa_guide": ("val_ce", 1.0),
+    "upa_negce": ("val_ce", -1.0),  # negce maximizes CE: best = highest val CE
 }
 
 
@@ -229,11 +235,15 @@ class OpenVLAAttacker:
             "other_to_zero", "other_total",
         )}
         adv_images = None
+        from ..utils.constants import ACTION_TOKEN_MIN, ACTION_TOKEN_ZERO
+
         for j in range(a.eval_batches):
             batch = self._place(next(val_batches))
             m = self._val(
                 self.params, state.patch, batch, jax.random.key(a.seed * 7 + step * 131 + j)
             )
+            # keep the (large) patched images on device; fetch only the last batch
+            patched_dev = m.pop("_patched_images")
             m = jax.device_get(m)
             # example selector: the clean-gripper-correct filter for maskidx=[6]
             # (TMA.py:223-250), else all examples
@@ -249,9 +259,20 @@ class OpenVLAAttacker:
             for k, v in m.items():
                 if k.startswith("ex_"):
                     sums[k[3:]] = sums.get(k[3:], 0.0) + float(np.asarray(v)[sel].sum())
-            for k in grip:
-                grip[k] += float(np.asarray(m[f"grip_{k}"]))
-            adv_images = np.asarray(m["_patched_images"])
+            # gripper flip counts over the SELECTED examples only, classified
+            # by the original gripper label (calculate_01_ASR semantics)
+            gp = np.asarray(m["gripper_pred_token"])[sel]
+            gg = np.asarray(m["gripper_gt_token"])[sel]
+            is_zero, is_one = gg == ACTION_TOKEN_ZERO, gg == ACTION_TOKEN_MIN
+            is_other = ~is_zero & ~is_one
+            grip["zero_total"] += float(is_zero.sum())
+            grip["zero_flipped"] += float((is_zero & (gp != ACTION_TOKEN_ZERO)).sum())
+            grip["one_total"] += float(is_one.sum())
+            grip["one_flipped"] += float((is_one & (gp != ACTION_TOKEN_MIN)).sum())
+            grip["other_total"] += float(is_other.sum())
+            grip["other_to_zero"] += float((is_other & (gp == ACTION_TOKEN_ZERO)).sum())
+            if j == a.eval_batches - 1:
+                adv_images = np.asarray(jax.device_get(patched_dev))
         if count == 0:
             return
         avg = {f"val_{k}": v / count for k, v in sums.items()}
@@ -276,10 +297,10 @@ class OpenVLAAttacker:
         for k, v in avg.items():
             self._record(k, v)
 
-        best_key = _BEST_KEY[a.objective]
+        best_key, best_sign = _BEST_KEY[a.objective]
         patch = np.asarray(jax.device_get(state.patch))
-        if best_key in avg and avg[best_key] < self.best:
-            self.best = avg[best_key]
+        if best_key in avg and best_sign * avg[best_key] < self.best:
+            self.best = best_sign * avg[best_key]
             if process_zero():
                 save_checkpoint(self.save_dir, str(step), patch, adv_images=adv_images)
         if process_zero():

@@ -230,8 +230,17 @@ def make_val_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.n
         per_ex = per_example_metrics(out.logits, labels, cfg, base_obj, spec.mse_weight)
         metrics.update({f"ex_{k}": v for k, v in per_ex.items()})
 
+        # gripper flip accounting runs against the ORIGINAL labels
+        # (calculate_01_ASR is called with gt=labels[:,1:], TMA.py:291 — the
+        # pre-overwrite batch labels), per-example so the host can apply the
+        # clean-correct filter before aggregating
+        o_preds, o_gt, o_mask = action_preds_and_mask(out.logits, batch.labels, cfg)
+        order_all = jnp.argsort(~o_mask, axis=-1, stable=True)
+        grip_slot = order_all[:, 6][:, None]
+        metrics["gripper_pred_token"] = jnp.take_along_axis(o_preds, grip_slot, 1)[:, 0]
+        metrics["gripper_gt_token"] = jnp.take_along_axis(o_gt, grip_slot, 1)[:, 0]
+
         preds, gt, mask = action_preds_and_mask(out.logits, labels, cfg)
-        metrics.update({f"grip_{k}": v for k, v in gripper_asr_counts(preds, gt, mask).items()})
 
         # clean-image forward for the maskidx==[6] pre-filter (TMA.py:223-250):
         # per-example gripper correctness on the unpatched image

@@ -127,8 +127,14 @@ def uada_loss(
     """UADA soft expected-bin loss (UADA.py:381-406).
 
     expectation E = sum softmax(action-slice logits) * (i+1)/256 over the 256
-    action slots; hard target = 1/256 for negative gt actions (push to +1 slot)
-    and 1.0 for gt >= 0 (push to -1 slot); loss = MSE(w*E, w*target).
+    action slots; hard target = 0.0 for negative gt actions and 1.0 for
+    gt >= 0; loss = MSE(w*E, w*target).
+
+    Target-value quirk (reproduced faithfully): the reference assigns 1/256
+    into an int64 label tensor (UADA.py:393), which silently truncates to 0 —
+    so the effective far-bound target for negative actions is 0.0, slightly
+    below the minimum attainable expectation 1/256. Same gradient direction,
+    different loss floor; we match the executed behavior, not the intent.
     `add_inverse_ce` mirrors the single-device variant's `+ 1/celoss`
     (UADA.py:147); the DDP variant omits it (UADA_ddp.py:204-206) and exposes
     `mse_weight` as --MSE_weights.
@@ -142,8 +148,9 @@ def uada_loss(
     reweigh = (jnp.arange(1, N_ACTION_BINS + 1, dtype=jnp.float32)) / N_ACTION_BINS
     expectation = jnp.sum(probs * reweigh, axis=-1)  # [B, S-1]
 
-    # gt token > zero-token <=> action < 0 -> target 1/256 (the +1 slot)
-    hard_target = jnp.where(gt > ACTION_TOKEN_ZERO, 1.0 / N_ACTION_BINS, 1.0)
+    # gt token > zero-token <=> action < 0 -> target 0.0 (the reference's
+    # truncated 1/256; see docstring), else 1.0
+    hard_target = jnp.where(gt > ACTION_TOKEN_ZERO, 0.0, 1.0)
     sq = (mse_weight * expectation - mse_weight * hard_target) ** 2
     mse_distance = _masked_mean(sq, mask)
 
@@ -269,7 +276,7 @@ def per_example_metrics(
         probs = jax.nn.softmax(action_slice, axis=-1)
         reweigh = jnp.arange(1, N_ACTION_BINS + 1, dtype=jnp.float32) / N_ACTION_BINS
         expectation = jnp.sum(probs * reweigh, axis=-1)
-        hard = jnp.where(gt > ACTION_TOKEN_ZERO, 1.0 / N_ACTION_BINS, 1.0)
+        hard = jnp.where(gt > ACTION_TOKEN_ZERO, 0.0, 1.0)
         out["mse_distance"] = _row_masked_mean(
             (mse_weight * expectation - mse_weight * hard) ** 2, mask
         )

@@ -65,6 +65,15 @@ class VLAPolicy:
             row[0, : len(ids)] = ids
             mask[0, : len(ids)] = 1
             row, mask = ensure_trailing_empty_token(row, mask)
+            # ensure() grows the row by one; drop the excess column(s) only if
+            # they're padding — a prompt that exactly fills prompt_pad would
+            # otherwise silently lose the required 29871
+            if mask[:, self.prompt_pad :].any():
+                raise ValueError(
+                    f"prompt for task '{task_label}' needs "
+                    f"{int(mask.sum())} tokens (incl. trailing 29871) but "
+                    f"prompt_pad={self.prompt_pad}; raise prompt_pad"
+                )
             row, mask = row[:, : self.prompt_pad], mask[:, : self.prompt_pad]
             self._prompt_cache[key] = (row, mask)
         return self._prompt_cache[key]

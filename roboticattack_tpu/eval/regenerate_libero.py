@@ -17,14 +17,16 @@ import numpy as np
 
 def is_noop(action: np.ndarray, prev_action: Optional[np.ndarray] = None,
             threshold: float = 1e-4) -> bool:
-    """A no-op action: zero movement in the first 6 dims AND no gripper state
-    change vs the previous action (regenerate_libero_dataset.py:46-60)."""
+    """A no-op action: near-zero L2 movement over all non-gripper dims AND the
+    gripper action exactly equal to the previous timestep's
+    (regenerate_libero_dataset.py:45-67)."""
     action = np.asarray(action, np.float64)
-    if np.abs(action[:6]).max() > threshold:
-        return False
     if prev_action is None:
-        return True
-    return bool(np.sign(action[6]) == np.sign(np.asarray(prev_action)[6]))
+        return bool(np.linalg.norm(action[:-1]) < threshold)
+    prev_action = np.asarray(prev_action, np.float64)
+    return bool(
+        np.linalg.norm(action[:-1]) < threshold and action[-1] == prev_action[-1]
+    )
 
 
 @dataclass

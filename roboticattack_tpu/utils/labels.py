@@ -80,19 +80,18 @@ def mask_labels(labels: jnp.ndarray, maskidx: Sequence[int]) -> jnp.ndarray:
 
 
 def change_target(labels: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-    """UPA 'guide' mode target flipping (UPA.py:358-364): action labels at the
-    zero bin flip to a random extreme; negative-action tokens (> zero bin id)
-    flip to the +1 token; positive-action tokens flip to the -1 token."""
+    """UPA 'guide' mode target flipping (UPA.py:358-364): labels at the zero
+    bin flip to a random extreme; labels above it (action < 0) flip to the +1
+    token; ALL other valid labels below it — including the EOS label 2 — flip
+    to the -1 token (the reference's `gt[mask & (gt < 31872)] = 31999` makes
+    the guide objective predict an action token in the EOS slot; reproduced
+    faithfully)."""
     valid = labels != IGNORE_INDEX
     coin = jax.random.bernoulli(rng, 0.5, labels.shape)
     flipped_zero = jnp.where(coin, ACTION_TOKEN_MIN, ACTION_TOKEN_MAX)
     out = jnp.where(valid & (labels == ACTION_TOKEN_ZERO), flipped_zero, labels)
     out = jnp.where(valid & (labels > ACTION_TOKEN_ZERO), ACTION_TOKEN_MIN, out)
-    out = jnp.where(
-        valid & (labels < ACTION_TOKEN_ZERO) & (labels > ACTION_TOKEN_BEGIN_IDX),
-        ACTION_TOKEN_MAX,
-        out,
-    )
+    out = jnp.where(valid & (labels < ACTION_TOKEN_ZERO), ACTION_TOKEN_MAX, out)
     return out
 
 

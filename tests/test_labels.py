@@ -112,4 +112,4 @@ def test_change_target_flips_directions():
     assert out[0, 1] in (ACTION_TOKEN_MIN, ACTION_TOKEN_MAX)
     assert out[0, 2] == ACTION_TOKEN_MIN   # negative action -> +1 token
     assert out[0, 3] == ACTION_TOKEN_MAX   # positive action -> -1 token
-    assert out[0, 4] == 2                  # EOS untouched
+    assert out[0, 4] == ACTION_TOKEN_MAX   # EOS flips too (reference quirk)

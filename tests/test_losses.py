@@ -63,13 +63,14 @@ def _torch_uada(logits, labels, celoss, mse_weight=5.0):
     reweigh = torch.arange(1, 257) / 256
     temp_prob = F.softmax(action_logits, dim=-1)
     reweighted = (temp_prob * reweigh).sum(dim=-1)
+    # literal reference semantics (UADA.py:390-396): the assignments run on
+    # the ORIGINAL int64 label tensor, so 1/256 truncates to 0
     hard = temp_label[action_mask].clone()
     hard[hard > 31872] = 31999
     hard[hard <= 31872] = 31744
-    hard = hard.float()
     hard[hard == 31999] = 1 / 256
-    hard[hard == 31744] = 1.0
-    mse = F.mse_loss(mse_weight * reweighted, mse_weight * hard)
+    hard[hard == 31744] = 1
+    mse = F.mse_loss(mse_weight * reweighted, mse_weight * hard.float())
     return float(mse + 1.0 / celoss), float(mse)
 
 

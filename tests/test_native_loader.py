@@ -90,3 +90,19 @@ def test_prefetch_throughput_smoke(record_file, tmp_path):
             w.write(ex.SerializeToString())
     got = [int(ex.feature("idx")[0]) for ex in NativeRLDSReader([path], prefetch_depth=8)]
     assert got == list(range(500))
+
+
+def test_corrupt_jpeg_raises_not_exits():
+    from roboticattack_tpu.data.native_loader import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 garbage not a jpeg at all")
+    # truncated real jpeg: valid header, cut body
+    import io
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(buf, format="JPEG")
+    data = buf.getvalue()[: len(buf.getvalue()) // 2]
+    with pytest.raises(ValueError):
+        decode_jpeg(data)
