@@ -362,3 +362,21 @@ def make_interleaved_frame_dataset(
         stats[name] = st
     mixed = tf.data.Dataset.sample_from_datasets(streams, weights=weights, seed=seed)
     return mixed.prefetch(tf.data.AUTOTUNE), stats
+
+
+def episodic_iterator(traj_dataset, image_size: int = 224):
+    """Whole-trajectory iteration (EpisodicRLDSDataset equivalent,
+    prismatic/vla/datasets/datasets.py:168-189): yields dicts with all frames
+    of one episode, decoded/resized."""
+    tf = _tf()
+    ds = traj_dataset.map(
+        lambda t: dict(
+            t,
+            image=tf.map_fn(
+                lambda im: decode_and_resize(im, image_size), t["image"],
+                fn_output_signature=tf.uint8,
+            ),
+        ),
+        num_parallel_calls=tf.data.AUTOTUNE,
+    )
+    yield from ds.as_numpy_iterator()

@@ -114,3 +114,19 @@ def gripper_open_rows(labels: jnp.ndarray) -> jnp.ndarray:
     --filterGripTrainTo1 (TMA.py:422-452)."""
     acts = extract_action_tokens(labels)
     return acts[:, ACTION_DIM - 1] == ACTION_TOKEN_MIN
+
+
+def modify_labels_dict(labels: jnp.ndarray, target_action: dict) -> jnp.ndarray:
+    """Secondary TMA label-rewrite API (modifiy_labels, TMA.py:385-396): for
+    each row, overwrite the label at (first-valid-index + int(key)) with the
+    given value; entries with value -100 are skipped."""
+    valid = labels != IGNORE_INDEX
+    first_valid = jnp.argmax(valid, axis=-1)  # [B]
+    out = labels
+    for key, value in target_action.items():
+        if int(value) == IGNORE_INDEX:
+            continue
+        pos = first_valid + int(key)
+        rows = jnp.arange(labels.shape[0])
+        out = out.at[rows, pos].set(int(value))
+    return out

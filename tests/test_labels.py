@@ -113,3 +113,13 @@ def test_change_target_flips_directions():
     assert out[0, 2] == ACTION_TOKEN_MIN   # negative action -> +1 token
     assert out[0, 3] == ACTION_TOKEN_MAX   # positive action -> -1 token
     assert out[0, 4] == ACTION_TOKEN_MAX   # EOS flips too (reference quirk)
+
+
+def test_modify_labels_dict():
+    from roboticattack_tpu.utils.labels import modify_labels_dict
+
+    labels = jnp.asarray([[IGNORE_INDEX, IGNORE_INDEX, 31800, 31801, 31802, 2]])
+    out = np.asarray(modify_labels_dict(labels, {"0": 31744, "2": 31999, "1": -100}))
+    assert out[0, 2] == 31744   # first valid + 0
+    assert out[0, 3] == 31801   # -100 entry skipped
+    assert out[0, 4] == 31999   # first valid + 2

@@ -170,3 +170,13 @@ def test_device_prefetch_preserves_order():
     for i, b in enumerate(out):
         assert isinstance(b["x"], jnp.ndarray)
         assert float(b["x"][0, 0]) == i
+
+
+def test_episodic_iterator():
+    from roboticattack_tpu.data.rlds import episodic_iterator
+
+    ds = _synthetic_traj_dataset(n_traj=2, traj_len=5, image_size=30)
+    eps = list(episodic_iterator(ds, image_size=48))
+    assert len(eps) == 2
+    assert eps[0]["image"].shape == (5, 48, 48, 3)
+    assert eps[0]["action"].shape == (5, 7)
