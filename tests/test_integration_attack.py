@@ -1,0 +1,100 @@
+"""End-to-end integration: train a tiny VLA on an image-dependent task, then
+TMA-attack it and verify the patch actually hijacks the policy.
+
+Synthetic task: the correct action is +0.8*ones when the image is bright and
+-0.8*ones when dark. The trained model reads brightness; a trained adversarial
+patch (white/black square) can then genuinely flip its prediction — giving a
+real, non-vacuous ASR signal with no robot or checkpoint required. This is the
+framework's own closed-loop sanity proof (SURVEY.md §4(c))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from roboticattack_tpu.attacks import (
+    AttackConfig,
+    AttackSpec,
+    cosine_schedule_with_warmup,
+    init_attack_state,
+    make_attack_step,
+    make_val_step,
+)
+from roboticattack_tpu.data import collate
+from roboticattack_tpu.models import VLA_TINY, init_vla_params
+from roboticattack_tpu.training import TrainConfig, VLATrainer
+from roboticattack_tpu.utils import WordStubTokenizer, build_tma_target_tokens, build_vla_example
+
+BRIGHT = 0.8
+IMG = 56
+
+
+def _brightness_frames(batch, rng, bright=None):
+    tok = WordStubTokenizer()
+    rows = []
+    for _ in range(batch):
+        is_bright = bool(rng.integers(2)) if bright is None else bright
+        # bases close to the 0.5 boundary so a large patch can plausibly flip
+        # the model (oracle calibration: an all-white 36x36 patch reaches
+        # CE~0.6 / 31% flips on this task)
+        base = 0.65 if is_bright else 0.35
+        img = np.clip(base + rng.normal(0, 0.03, (IMG, IMG, 3)), 0, 1)
+        action = np.full(7, BRIGHT if is_bright else -BRIGHT)
+        ids, labels = build_vla_example("press the lever", action, tok)
+        rows.append(dict(image=(img * 255).astype(np.uint8), input_ids=ids, labels=labels))
+    return collate(rows, pad_to=32)
+
+
+def _batches(batch, seed, bright=None):
+    rng = np.random.default_rng(seed)
+    while True:
+        yield _brightness_frames(batch, rng, bright)
+
+
+@pytest.mark.slow
+def test_train_then_attack_flips_policy():
+    # --- 1. train the tiny VLA until it predicts brightness-dependent actions
+    params = init_vla_params(jax.random.key(0), VLA_TINY)
+    trainer = VLATrainer(
+        params, VLA_TINY,
+        TrainConfig(strategy="ddp", learning_rate=2e-3, max_steps=160, max_grad_norm=1.0),
+    )
+    final_loss = trainer.run_training(_batches(8, seed=1), num_steps=160)
+    assert final_loss < 0.5, f"tiny model failed to learn the task: loss={final_loss}"
+    trained = jax.device_get(trainer.params)
+
+    # --- 2. sanity: on DARK images the clean model predicts the dark action
+    maskidx = [0, 1, 2, 3, 4, 5, 6]
+    target = build_tma_target_tokens(np.full(7, BRIGHT), maskidx)  # attack: force "bright" output
+    spec = AttackSpec(objective="tma", geometry=False, inner_loop=2)
+    val = make_val_step(spec, VLA_TINY, target, maskidx)
+
+    dark_val = _brightness_frames(16, np.random.default_rng(2), bright=False)
+    m0 = jax.device_get(val(trained, jnp.zeros((14, 14, 3)), dark_val, jax.random.key(3)))
+    baseline_success = float(np.asarray(m0["ex_success"]).mean())
+    assert baseline_success < 0.3, "dark images should not already yield the bright action"
+
+    # --- 3. TMA: train a patch that forces the BRIGHT action on DARK images
+    step = make_attack_step(spec, VLA_TINY, target, maskidx)
+    state = init_attack_state(jax.random.key(4), (36, 36))  # ~41% of 56x56
+    batches = _batches(8, seed=5, bright=False)
+    ce0 = None
+    for i in range(60):
+        lr = cosine_schedule_with_warmup(i, 5e-2, 3, 60)
+        state, metrics = step(
+            trained, state, next(batches), jnp.float32(lr), jnp.bool_(True), jax.random.key(6 + i)
+        )
+        ce = float(np.asarray(metrics["ce"])[-1])
+        if ce0 is None:
+            ce0 = ce
+    m1 = jax.device_get(val(trained, state.patch, dark_val, jax.random.key(7)))
+    attacked_success = float(np.asarray(m1["ex_success"]).mean())
+    attacked_ce = float(np.asarray(m1["ex_ce"]).mean())
+    clean_ce = float(np.asarray(m0["ex_ce"]).mean())
+
+    # the patch must substantially move the model toward the target action,
+    # beating the trivial all-white oracle (~CE 0.6 / 31% flips)
+    assert attacked_ce < clean_ce * 0.25, (clean_ce, attacked_ce)
+    assert attacked_success >= 0.25 and attacked_success > baseline_success, (
+        baseline_success, attacked_success,
+    )
