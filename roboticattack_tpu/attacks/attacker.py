@@ -33,6 +33,7 @@ from ..utils.labels import build_tma_target_tokens
 from ..utils.profiling import StepTimer, maybe_trace
 from ..utils.tracking import Tracker
 from .artifacts import plot_loss_curve, save_checkpoint, save_history_pickles
+from .engine import AttackState as _AttackState
 from .engine import (
     AttackBatch,
     AttackSpec,
@@ -168,17 +169,53 @@ class OpenVLAAttacker:
     def _place(self, batch: AttackBatch) -> AttackBatch:
         return shard_batch(batch, self.mesh) if self.mesh is not None else batch
 
+    def save_state(self, state: AttackState, iteration: int) -> None:
+        """Full resumable attack state (patch + AdamW moments + grad buffer) —
+        the reference has no optimizer-state resume (SURVEY.md §5); we do."""
+        from ..training.checkpointing import save_checkpoint as orbax_save
+
+        host_state = jax.device_get(state)
+        orbax_save(
+            os.path.join(self.save_dir, "attack_state"), step=iteration,
+            params=host_state._asdict(), keep_latest_copy=True,
+        )
+
+    def load_state(self, resume_dir: str) -> tuple:
+        from ..training.checkpointing import latest_checkpoint, restore_checkpoint
+
+        path = latest_checkpoint(os.path.join(resume_dir, "attack_state"))
+        if path is None:
+            raise FileNotFoundError(f"no attack_state checkpoints under {resume_dir}")
+        payload = restore_checkpoint(path)["params"]
+        import re
+
+        step = int(re.search(r"step-(\d+)", os.path.basename(path)).group(1))
+        from .optimizer import AdamState
+
+        state = AttackState(
+            patch=jnp.asarray(payload["patch"]),
+            opt=AdamState(*[jnp.asarray(payload["opt"][k]) for k in ("m", "v", "count")]),
+            grad_acc=jnp.asarray(payload["grad_acc"]),
+        )
+        return state, step
+
     def run(
         self,
         train_batches: Iterator[AttackBatch],
         val_batches: Iterator[AttackBatch],
         profile_dir: Optional[str] = None,
         profile_steps: int = 3,
+        resume_from: Optional[str] = None,
     ) -> AttackResult:
         a = self.attack
         timer = StepTimer()
         rng_np = np.random.default_rng(a.seed)
-        state = init_attack_state(jax.random.key(a.seed), a.patch_hw)
+        start_iter = 0
+        if resume_from is not None:
+            state, start_iter = self.load_state(resume_from)
+            print(f"resumed attack state from {resume_from} at iter {start_iter}")
+        else:
+            state = init_attack_state(jax.random.key(a.seed), a.patch_hw)
         if self.mesh is not None:
             state = replicate(state, self.mesh)
         sched_total = int(a.num_iter / a.accumulate_steps)
@@ -186,7 +223,7 @@ class OpenVLAAttacker:
             a.filter_grip_train_to_1 and len(a.maskidx) == 1 and a.maskidx[0] == 6
         )
 
-        for i in range(a.num_iter):
+        for i in range(start_iter, a.num_iter):
             batch = next(train_batches)
             if grip_filter:
                 batch = filter_gripper_open(batch, rng_np)
@@ -215,6 +252,8 @@ class OpenVLAAttacker:
 
             if i % a.eval_every == 0:
                 self._validate(state, val_batches, i)
+                if process_zero():
+                    self.save_state(state, i)
 
         patch = np.asarray(jax.device_get(state.patch))
         save_checkpoint(self.save_dir, "final", patch)

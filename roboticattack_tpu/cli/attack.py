@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None, type=str, help="run dir (default run/<attack>/<uuid>)")
     p.add_argument("--profile", default=None, type=str,
                    help="write a jax.profiler trace of one training step to this dir")
+    p.add_argument("--resume", default=None, type=str,
+                   help="resume patch + optimizer state from a previous run dir")
     return p
 
 
@@ -184,7 +186,7 @@ def main(argv=None):
     mesh = make_mesh() if args.data_parallel else None
     train, val = make_data(args, cfg)
     runner = OpenVLAAttacker(params, cfg, out_dir, attack, mesh=mesh, tracker=tracker)
-    result = runner.run(train, val, profile_dir=args.profile)
+    result = runner.run(train, val, profile_dir=args.profile, resume_from=args.resume)
     print(f"Attack done! best {attack.objective} val metric: {result.best_metric:.6g}")
     print(f"patch artifacts under {out_dir}")
     return result

@@ -6,3 +6,5 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .distributed import initialize_multihost
+from .sharding import llama_param_specs, shard_params, vla_param_specs
