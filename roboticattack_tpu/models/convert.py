@@ -134,8 +134,20 @@ def convert_state_dict(state: Mapping[str, np.ndarray], cfg: VLAConfig) -> Dict:
 
 
 def load_checkpoint_dir(path: str, cfg: VLAConfig) -> Dict:
-    """Load a local HF OpenVLA checkpoint directory (safetensors shards)."""
+    """Load a local HF OpenVLA checkpoint directory (safetensors shards).
+
+    Loads through torch (framework="pt"): the released checkpoints are bf16,
+    which numpy (and hence safetensors' "np" framework) cannot represent.
+    bf16 tensors round-trip via ml_dtypes views, so no precision is lost."""
+    import torch
     from safetensors import safe_open  # lazy: only needed on the real path
+
+    def to_numpy(t: "torch.Tensor") -> np.ndarray:
+        if t.dtype == torch.bfloat16:
+            import ml_dtypes
+
+            return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+        return t.numpy()
 
     state: Dict[str, np.ndarray] = {}
     index_path = os.path.join(path, "model.safetensors.index.json")
@@ -147,9 +159,9 @@ def load_checkpoint_dir(path: str, cfg: VLAConfig) -> Dict:
             f for f in os.listdir(path) if f.endswith(".safetensors")
         )
     for shard in shard_files:
-        with safe_open(os.path.join(path, shard), framework="np") as sf:
+        with safe_open(os.path.join(path, shard), framework="pt") as sf:
             for key in sf.keys():
-                state[key] = sf.get_tensor(key)
+                state[key] = to_numpy(sf.get_tensor(key))
     return convert_state_dict(state, cfg)
 
 
