@@ -123,3 +123,95 @@ def make_interleaved_mixture_kwargs(mixture_name: str, **kwargs) -> List[Dict]:
         entry["sample_weight"] = weight
         out.append(entry)
     return out
+
+
+# --- additional OXE families (beyond the five the attacks exercise) -----------
+# Standardization transforms are written against the tf.data trajectory dicts
+# these TFDS builders emit; datasets whose raw schema we cannot validate here
+# register config-only (transform=None -> identity) and can be completed via
+# register_oxe_dataset at use time.
+
+def _tf():
+    from .rlds import _tf as inner
+
+    return inner()
+
+
+def rt1_style_transform(traj):
+    """fractal20220817_data / kuka: dict actions {world_vector, rotation_delta,
+    gripper_closedness_action} with relative gripper -> 7-dof EEF_POS + abs
+    gripper (oxe/transforms.py rt1/kuka transforms)."""
+    from .rlds import rel2abs_gripper_actions
+
+    tf = _tf()
+    gripper = rel2abs_gripper_actions(traj["action"]["gripper_closedness_action"][:, 0])
+    traj["action"] = tf.concat(
+        [
+            traj["action"]["world_vector"],
+            traj["action"]["rotation_delta"],
+            gripper[:, None],
+        ],
+        axis=-1,
+    )
+    return traj
+
+
+def taco_play_transform(traj):
+    """taco_play: rel_actions_world with gripper clipped to [0, 1]."""
+    tf = _tf()
+    action = traj["action"]["rel_actions_world"]
+    traj["observation"]["state_eef"] = traj["observation"]["robot_obs"][:, :6]
+    traj["observation"]["state_gripper"] = traj["observation"]["robot_obs"][:, 7:8]
+    traj["action"] = tf.concat(
+        [action[:, :6], tf.clip_by_value(action[:, -1:], 0, 1)], axis=-1
+    )
+    return traj
+
+
+register_oxe_dataset(
+    "fractal20220817_data",
+    OXEDatasetConfig(
+        image_obs_keys={"primary": "image", "secondary": None, "wrist": None},
+        state_obs_keys=["base_pose_tool_reached", "gripper_closed"],
+        state_encoding=StateEncoding.POS_QUAT,
+    ),
+    transform=rt1_style_transform,
+)
+register_oxe_dataset(
+    "kuka",
+    OXEDatasetConfig(
+        image_obs_keys={"primary": "image", "secondary": None, "wrist": None},
+        state_obs_keys=["clip_function_input/base_pose_tool_reached", "gripper_closed"],
+        state_encoding=StateEncoding.POS_QUAT,
+    ),
+    transform=rt1_style_transform,
+)
+register_oxe_dataset(
+    "bridge_oxe",
+    OXEDatasetConfig(
+        image_obs_keys={"primary": "image", "secondary": "image_1", "wrist": None},
+        state_obs_keys=["EEF_state", None, "gripper_state"],
+    ),
+)
+register_oxe_dataset(
+    "taco_play",
+    OXEDatasetConfig(
+        image_obs_keys={"primary": "rgb_static", "secondary": None, "wrist": "rgb_gripper"},
+        state_obs_keys=["state_eef", None, "state_gripper"],
+    ),
+    transform=taco_play_transform,
+)
+register_oxe_dataset(
+    "jaco_play",
+    OXEDatasetConfig(
+        image_obs_keys={"primary": "image", "secondary": None, "wrist": "image_wrist"},
+        state_obs_keys=["state_eef", None, "state_gripper"],
+    ),
+)
+
+OXE_NAMED_MIXTURES["oxe_magic_soup_lite"] = [
+    ("fractal20220817_data", 1.0),
+    ("kuka", 0.8),
+    ("bridge_orig", 1.0),
+    ("taco_play", 2.0),
+]

@@ -101,3 +101,30 @@ def test_bridge_module_gated():
     assert cfg.unnorm_key == "bridge_orig"
     with pytest.raises(ImportError, match="widowx_envs"):
         WidowXGym(cfg)
+
+
+def test_rt1_style_transform():
+    import tensorflow as tf
+    from roboticattack_tpu.data.oxe_registry import rt1_style_transform
+
+    traj = {
+        "action": {
+            "world_vector": tf.constant(np.random.randn(4, 3), tf.float32),
+            "rotation_delta": tf.constant(np.random.randn(4, 3), tf.float32),
+            # relative gripper: close at t=1, open at t=3
+            "gripper_closedness_action": tf.constant([[0.0], [1.0], [0.0], [-1.0]], tf.float32),
+        },
+        "observation": {},
+    }
+    out = rt1_style_transform(traj)
+    a = out["action"].numpy()
+    assert a.shape == (4, 7)
+    np.testing.assert_allclose(a[:, 6], [1, 0, 0, 1])  # abs gripper, +1=open
+
+
+def test_extended_registry_entries():
+    from roboticattack_tpu.data.oxe_registry import make_oxe_dataset_kwargs
+
+    for name in ("fractal20220817_data", "kuka", "taco_play", "jaco_play", "bridge_oxe"):
+        kw = make_oxe_dataset_kwargs(name)
+        assert kw["action_normalization_mask"] == [True] * 6 + [False]
