@@ -380,3 +380,77 @@ def episodic_iterator(traj_dataset, image_size: int = 224):
         num_parallel_calls=tf.data.AUTOTUNE,
     )
     yield from ds.as_numpy_iterator()
+
+
+def augment_frame(frame: Dict, seed, augment_kwargs: Dict):
+    """Training-time image augmentations (obs_transforms.py:17-43 /
+    RLDSDataset config, datasets.py:126-139): random_resized_crop + photometric
+    jitter in a caller-specified order, stateless-seeded."""
+    tf = _tf()
+    image = tf.image.convert_image_dtype(frame["image"], tf.float32)
+    seeds = tf.unstack(
+        tf.random.experimental.stateless_split(seed, num=len(augment_kwargs.get("augment_order", [])) + 1)
+    )
+    for i, op in enumerate(augment_kwargs.get("augment_order", [])):
+        s = seeds[i]
+        if op == "random_resized_crop":
+            cfg = augment_kwargs["random_resized_crop"]
+            h, w = image.shape[0], image.shape[1]
+            scale = tf.random.stateless_uniform(
+                [], s, cfg["scale"][0], cfg["scale"][1]
+            )
+            ratio = tf.random.stateless_uniform(
+                [], s + 1, cfg["ratio"][0], cfg["ratio"][1]
+            )
+            ch = tf.cast(tf.sqrt(scale / ratio) * tf.cast(h, tf.float32), tf.int32)
+            cw = tf.cast(tf.sqrt(scale * ratio) * tf.cast(w, tf.float32), tf.int32)
+            ch = tf.minimum(ch, h)
+            cw = tf.minimum(cw, w)
+            image = tf.image.stateless_random_crop(image, [ch, cw, 3], seed=s)
+            image = tf.image.resize(image, (h, w), method="lanczos3", antialias=True)
+        elif op == "random_brightness":
+            image = tf.image.stateless_random_brightness(
+                image, augment_kwargs["random_brightness"][0], seed=s
+            )
+        elif op == "random_contrast":
+            lo, hi = augment_kwargs["random_contrast"]
+            image = tf.image.stateless_random_contrast(image, lo, hi, seed=s)
+        elif op == "random_saturation":
+            lo, hi = augment_kwargs["random_saturation"]
+            image = tf.image.stateless_random_saturation(image, lo, hi, seed=s)
+        elif op == "random_hue":
+            image = tf.image.stateless_random_hue(
+                image, augment_kwargs["random_hue"][0], seed=s
+            )
+        else:
+            raise ValueError(f"unknown augmentation '{op}'")
+    image = tf.clip_by_value(image, 0.0, 1.0)
+    return dict(frame, image=tf.image.convert_image_dtype(image, tf.uint8, saturate=True))
+
+
+# the reference's default VLA augmentation config (datasets.py:128-139)
+DEFAULT_AUGMENT_KWARGS = dict(
+    random_resized_crop=dict(scale=[0.9, 0.9], ratio=[1.0, 1.0]),
+    random_brightness=[0.2],
+    random_contrast=[0.8, 1.2],
+    random_saturation=[0.8, 1.2],
+    random_hue=[0.05],
+    augment_order=[
+        "random_resized_crop", "random_brightness", "random_contrast",
+        "random_saturation", "random_hue",
+    ],
+)
+
+
+def with_augmentations(frame_dataset, augment_kwargs: Optional[Dict] = None, seed: int = 0):
+    """Map stateless-seeded augmentations over an (already decoded) frame
+    stream; only applied at train time, like apply_frame_transforms."""
+    tf = _tf()
+    kwargs = augment_kwargs or DEFAULT_AUGMENT_KWARGS
+    ds = frame_dataset.enumerate()
+    return ds.map(
+        lambda i, f: augment_frame(
+            f, tf.stack([tf.cast(i, tf.int32), tf.constant(seed, tf.int32)]), kwargs
+        ),
+        num_parallel_calls=tf.data.AUTOTUNE,
+    )

@@ -180,3 +180,23 @@ def test_episodic_iterator():
     assert len(eps) == 2
     assert eps[0]["image"].shape == (5, 48, 48, 3)
     assert eps[0]["action"].shape == (5, 7)
+
+
+def test_augmentations():
+    from roboticattack_tpu.data.rlds import make_frame_dataset, with_augmentations
+
+    ds = _synthetic_traj_dataset(n_traj=2, traj_len=6, image_size=40)
+    frames, _ = make_frame_dataset(
+        "bridge_orig", train=True, image_size=64, traj_dataset=ds, seed=0, shuffle_buffer=16
+    )
+    aug = with_augmentations(frames, seed=1)
+    it = aug.as_numpy_iterator()
+    f1, f2 = next(it), next(it)
+    assert f1["image"].shape == (64, 64, 3) and f1["image"].dtype == np.uint8
+    # determinism: re-building the pipeline reproduces the same augmented frames
+    frames2, _ = make_frame_dataset(
+        "bridge_orig", train=True, image_size=64, traj_dataset=_synthetic_traj_dataset(
+            n_traj=2, traj_len=6, image_size=40), seed=0, shuffle_buffer=16
+    )
+    it2 = with_augmentations(frames2, seed=1).as_numpy_iterator()
+    np.testing.assert_array_equal(next(it2)["image"], f1["image"])
