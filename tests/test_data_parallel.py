@@ -69,3 +69,33 @@ def test_uada_sharded_metrics_match():
     for key in ("loss", "mse_distance", "uad", "ce"):
         np.testing.assert_allclose(m2[key], m1[key], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(p2, p1, rtol=1e-5, atol=1e-6)
+
+
+def test_tensor_parallel_step_matches_single_device():
+    """dp x tp sharded attack step (Megatron-style Llama splits via
+    parallel/sharding.py) must match the unsharded step numerically."""
+    from roboticattack_tpu.parallel.sharding import shard_params
+
+    params = init_vla_params(jax.random.key(7), VLA_TINY)
+    frames = dummy_frame_iterator(WordStubTokenizer(), image_size=56, seed=9)
+    batch = next(batch_iterator(frames, batch_size=8, pad_to=48))
+    maskidx = [0, 1, 2, 3, 4, 5, 6]
+    target = build_tma_target_tokens(np.zeros(7), maskidx)
+    spec = AttackSpec(objective="tma", geometry=True, inner_loop=1)
+
+    def run(tp: bool):
+        step = make_attack_step(spec, VLA_TINY, target, maskidx)
+        state = init_attack_state(jax.random.key(8), (10, 10))
+        p, s, b = params, state, batch
+        if tp:
+            mesh = make_mesh(data=4, model=2)
+            p = shard_params(params, mesh, shard_projector=True)
+            s = replicate(state, mesh)
+            b = shard_batch(batch, mesh)
+        s, m = step(p, s, b, jnp.float32(1e-2), jnp.bool_(True), jax.random.key(9))
+        return np.asarray(s.patch), float(np.asarray(m["loss"])[-1])
+
+    patch_ref, loss_ref = run(tp=False)
+    patch_tp, loss_tp = run(tp=True)
+    assert abs(loss_tp - loss_ref) < 1e-4, (loss_ref, loss_tp)
+    np.testing.assert_allclose(patch_tp, patch_ref, rtol=2e-4, atol=2e-5)
