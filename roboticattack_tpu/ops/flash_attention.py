@@ -17,6 +17,12 @@ VMEM and emits dQ, dK, dV in one pass:
 Used for the Llama decoder (head_dim 128, MXU-aligned). fp32 softmax matches
 ops.attention.mha bit-for-bit in expectation; parity is tested in interpret
 mode on CPU (tests/test_flash_attention.py).
+
+Sharding note: under multi-chip TP meshes GSPMD cannot partition a pallas_call
+automatically (it gathers inputs and runs it replicated — correct but
+wasteful). Heads are fully independent, so the efficient TP integration is a
+custom_partitioning / shard_map wrapper sharding on (batch, head); until that
+lands, use attn_impl='chunked' for TP runs (models/config.py note).
 """
 
 from __future__ import annotations
