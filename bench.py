@@ -111,4 +111,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit a parseable line for the driver
+        log(f"bench failed: {type(e).__name__}: {e}")
+        print(json.dumps({
+            "metric": "uada_attack_inner_steps_per_sec_7b_bs8",
+            "value": 0.0,
+            "unit": "fwd+bwd inner steps/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:200]}",
+        }))
+        sys.exit(1)

@@ -67,3 +67,52 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = restore_checkpoint(str(tmp_path) + "/latest-checkpoint")
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conversation_dataset_and_sampler(tmp_path):
+    import json as _json
+    from PIL import Image
+    from roboticattack_tpu.training.preprocessing import (
+        ConversationDataset,
+        SplitModalitySampler,
+    )
+    from roboticattack_tpu.utils import WordStubTokenizer
+    from roboticattack_tpu.utils.constants import IGNORE_INDEX
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((32, 40, 3), np.uint8)).save(img_dir / "a.jpg")
+    records = [
+        {"id": 0, "image": "a.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nwhat is shown?"},
+            {"from": "gpt", "value": "a black square"},
+            {"from": "human", "value": "and its color?"},
+            {"from": "gpt", "value": "black"},
+        ]},
+        {"id": 1, "conversations": [
+            {"from": "human", "value": "say hi"},
+            {"from": "gpt", "value": "hi"},
+        ]},
+    ]
+    jpath = tmp_path / "data.json"
+    jpath.write_text(_json.dumps(records))
+
+    ds = ConversationDataset(str(jpath), str(img_dir), WordStubTokenizer())
+    ex = ds[0]
+    assert ex["image"].shape == (224, 224, 3)
+    assert (ex["labels"] != IGNORE_INDEX).sum() > 0      # gpt turns supervised
+    assert ex["labels"][0] == IGNORE_INDEX               # human prefix ignored
+    assert len(ds) == 2 and "image" not in ds[1]
+
+    align = ConversationDataset(str(jpath), str(img_dir), WordStubTokenizer(), align=True)
+    ex_a = align[0]
+    assert len(ex_a["input_ids"]) < len(ex["input_ids"])  # caption-only
+
+    lengths = ds.get_modality_lengths()
+    assert lengths[0][0] is True and lengths[1][0] is False
+    sampler = SplitModalitySampler(lengths * 4, batch_size=2, seed=0)
+    batches = list(sampler)
+    assert len(batches) == len(sampler) == 4
+    for b in batches:  # single-modality batches
+        mods = {(lengths * 4)[i][0] for i in b}
+        assert len(mods) == 1
