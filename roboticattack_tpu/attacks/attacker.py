@@ -269,6 +269,7 @@ class OpenVLAAttacker:
         is_grip_target = len(a.maskidx) == 1 and a.maskidx[0] == 6
         sums: Dict[str, float] = {}
         count = 0.0
+        batch_loss_sum, batch_count = 0.0, 0
         grip = {k: 0.0 for k in (
             "zero_flipped", "zero_total", "one_flipped", "one_total",
             "other_to_zero", "other_total",
@@ -298,6 +299,8 @@ class OpenVLAAttacker:
             for k, v in m.items():
                 if k.startswith("ex_"):
                     sums[k[3:]] = sums.get(k[3:], 0.0) + float(np.asarray(v)[sel].sum())
+            batch_loss_sum += float(np.asarray(m["loss"]))
+            batch_count += 1
             # gripper flip counts over the SELECTED examples only, classified
             # by the original gripper label (calculate_01_ASR semantics)
             gp = np.asarray(m["gripper_pred_token"])[sel]
@@ -315,11 +318,11 @@ class OpenVLAAttacker:
         if count == 0:
             return
         avg = {f"val_{k}": v / count for k, v in sums.items()}
-        # UPA batch-level reverse loss from per-example pieces (UPA.py:382-386)
-        if a.objective == "upa":
-            avg["val_loss"] = a.upa_alpha * avg["val_angle"] + a.upa_beta * (
-                1.0 / (avg["val_xyz_dist"] + 1e-3)
-            )
+        # UPA's reverse loss is BATCH-level (1/(mean dist) per batch, then
+        # averaged over batches, UPA.py:230-238) — recomposing it from
+        # example averages would introduce a Jensen gap on the 1/x term
+        if a.objective == "upa" and batch_count:
+            avg["val_loss"] = batch_loss_sum / batch_count
         if is_grip_target:
             for num, den, name in (
                 ("zero_flipped", "zero_total", "ASR_02other"),
