@@ -14,8 +14,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..utils.constants import DINO_MEAN, DINO_STD
-
 
 def save_patch_pt(patch_hwc: np.ndarray, path: str) -> None:
     """Save [H, W, 3] float patch as the reference's [3, H, W] torch tensor."""

@@ -33,7 +33,6 @@ from ..utils.labels import build_tma_target_tokens
 from ..utils.profiling import StepTimer, maybe_trace
 from ..utils.tracking import Tracker
 from .artifacts import plot_loss_curve, save_checkpoint, save_history_pickles
-from .engine import AttackState as _AttackState
 from .engine import (
     AttackBatch,
     AttackSpec,

@@ -21,8 +21,7 @@ uniform shards (tests/test_ddp_shard_map.py).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ hand (UADA_ddp.py:166). See parallel/mesh.py.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,6 @@ from ..utils.constants import ACTION_TOKEN_ZERO as ACTION_TOKEN_ZERO_
 from .losses import (
     action_preds_and_mask,
     clip_grad_l1,
-    gripper_asr_counts,
     per_dim_relative_distance,
     per_example_metrics,
     tma_metrics,

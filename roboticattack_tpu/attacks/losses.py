@@ -24,7 +24,6 @@ from ..models.config import VLAConfig
 from ..models.vlm import action_logit_slice
 from ..utils.action_tokenizer import decode_tokens
 from ..utils.constants import (
-    ACTION_DIM,
     ACTION_TOKEN_BEGIN_IDX,
     ACTION_TOKEN_MIN,
     ACTION_TOKEN_ZERO,

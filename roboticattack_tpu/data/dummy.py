@@ -8,7 +8,7 @@ collator is shared with the real pipeline.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

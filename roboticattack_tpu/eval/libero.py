@@ -19,7 +19,7 @@ and unit-testable without them. Protocol constants preserved:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np

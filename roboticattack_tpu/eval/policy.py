@@ -12,7 +12,6 @@ instruction; the env-side gripper sign conventions stay with the caller
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

@@ -13,7 +13,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
 
 import numpy as np
 

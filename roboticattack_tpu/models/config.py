@@ -13,8 +13,8 @@ The flagship `openvla-7b` config is the dinosiglip-224px + Llama-2-7B stack:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 
 @dataclass(frozen=True)

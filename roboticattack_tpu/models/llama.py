@@ -20,7 +20,6 @@ Params pytree:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -20,7 +20,6 @@ from typing import Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.constants import IGNORE_INDEX
 from .config import VLAConfig
 from .llama import cross_entropy_loss, embed_tokens, init_llama_params, llama_apply
 from .vit import init_vit_params, vit_features

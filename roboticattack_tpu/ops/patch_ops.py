@@ -21,7 +21,7 @@ it as a defect to fix, not copy.)
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

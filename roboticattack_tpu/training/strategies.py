@@ -21,8 +21,7 @@ conf/vla.py): full finetune, or freeze vision / freeze LLM subsets.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
