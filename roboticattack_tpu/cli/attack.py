@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of one training step to this dir")
     p.add_argument("--resume", default=None, type=str,
                    help="resume patch + optimizer state from a previous run dir")
+    p.add_argument("--pad_to", default=32, type=int,
+                   help="fixed text pad length (multimodal seq = 256 + pad_to). "
+                        "32 -> seq 288 is the largest that fits the bs=8 7B attack "
+                        "step in 16 GB HBM; raise only with more HBM or smaller bs")
     return p
 
 
@@ -105,16 +109,19 @@ def make_data(args, cfg, tokenizer=None):
         image_size = cfg.dino.image_size
         train = batch_iterator(
             dummy_frame_iterator(tok, image_size=image_size, seed=args.seed),
-            args.bs, pad_to=48,
+            args.bs, pad_to=args.pad_to,
         )
         val = batch_iterator(
             dummy_frame_iterator(tok, image_size=image_size, seed=args.seed + 1),
-            8, pad_to=48,  # val bs fixed at 8 (openvla_dataloader.py:151)
+            8, pad_to=args.pad_to,  # val bs fixed at 8 (openvla_dataloader.py:151)
         )
         return train, val
     from ..data.rlds import make_attack_iterators  # requires tensorflow_datasets
 
-    return make_attack_iterators(args.dataset, args.bs, seed=args.seed, checkpoint=args.checkpoint)
+    return make_attack_iterators(
+        args.dataset, args.bs, seed=args.seed, checkpoint=args.checkpoint,
+        pad_to=args.pad_to,
+    )
 
 
 def main(argv=None):
@@ -158,7 +165,9 @@ def main(argv=None):
     else:
         if cfg.name.startswith("openvla"):
             print("WARNING: no --checkpoint given; using random weights (smoke mode)")
-        params = init_vla_params(jax.random.key(args.seed), cfg)
+        # init under jit: eager init materializes fp32 intermediates (up to
+        # ~6 GB for a single 7B weight stack) and fragments HBM
+        params = jax.jit(lambda k: init_vla_params(k, cfg))(jax.random.key(args.seed))
 
     attack = AttackConfig(
         objective=objective,

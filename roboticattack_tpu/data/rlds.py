@@ -308,15 +308,17 @@ def make_attack_iterators(
     checkpoint: Optional[str] = None,
     data_dir: Optional[str] = None,
     tokenizer: Optional[TextTokenizer] = None,
+    pad_to: int = 32,
 ) -> Tuple[Iterator, Iterator]:
     """(train, val) AttackBatch iterators for a named RLDS dataset
-    (openvla_dataloader.py:81-156 equivalent; val batch size fixed at 8)."""
+    (openvla_dataloader.py:81-156 equivalent; val batch size fixed at 8).
+    pad_to=32 (multimodal seq 288) is the 16 GB bs=8 7B fit envelope."""
     if tokenizer is None:
         tokenizer = _tokenizer_from_checkpoint(checkpoint)
     train_frames, stats = make_frame_dataset(dataset, data_dir, train=True, seed=seed)
     val_frames, _ = make_frame_dataset(dataset, data_dir, train=False, stats=stats, seed=seed)
-    train = frames_to_attack_batches(train_frames, tokenizer, batch_size)
-    val = frames_to_attack_batches(val_frames, tokenizer, 8)
+    train = frames_to_attack_batches(train_frames, tokenizer, batch_size, pad_to=pad_to)
+    val = frames_to_attack_batches(val_frames, tokenizer, 8, pad_to=pad_to)
     return train, val
 
 
