@@ -174,9 +174,14 @@ class OpenVLAAttacker:
         from ..training.checkpointing import save_checkpoint as orbax_save
 
         host_state = jax.device_get(state)
+        payload = dict(
+            host_state._asdict(),
+            _best=np.float64(self.best),
+            _histories={k: np.asarray(v, np.float64) for k, v in self.histories.items()},
+        )
         orbax_save(
             os.path.join(self.save_dir, "attack_state"), step=iteration,
-            params=host_state._asdict(), keep_latest_copy=True,
+            params=payload, keep_latest_copy=True,
         )
 
     def load_state(self, resume_dir: str) -> tuple:
@@ -196,7 +201,12 @@ class OpenVLAAttacker:
             opt=AdamState(*[jnp.asarray(payload["opt"][k]) for k in ("m", "v", "count")]),
             grad_acc=jnp.asarray(payload["grad_acc"]),
         )
-        return state, step
+        if "_best" in payload:
+            self.best = float(payload["_best"])
+        for k, v in payload.get("_histories", {}).items():
+            self.histories[k] = list(np.asarray(v))
+        # the state was saved AFTER completing `step`; resume at the next one
+        return state, step + 1
 
     def run(
         self,

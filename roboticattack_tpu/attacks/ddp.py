@@ -48,11 +48,15 @@ def _local_loss(spec: AttackSpec, cfg: VLAConfig, params, patch, batch, labels, 
     ce = out.loss
     if spec.objective == "tma":
         m = tma_metrics(out.logits, labels, ce, cfg)
-        return ce / spec.accumulate_steps, {"ce": ce, "l1": m.l1}
+        return ce, {"ce": ce, "l1": m.l1}
     if spec.objective == "uada":
         r = uada_loss(out.logits, labels, ce, cfg, mse_weight=spec.mse_weight,
                       add_inverse_ce=spec.add_inverse_ce)
         return r.loss, {"ce": ce, "mse_distance": r.mse_distance, "uad": r.uad}
+    if spec.objective == "upa_guide":
+        return ce, {"ce": ce}
+    if spec.objective == "upa_negce":
+        return -ce, {"ce": ce}
     r = upa_loss(out.logits, labels, ce, cfg, alpha=spec.upa_alpha, beta=spec.upa_beta)
     return r.loss, {"ce": ce, "angle": r.angle_loss, "distance": r.distance_loss}
 
@@ -67,6 +71,12 @@ def make_ddp_attack_step(
     """step(params, state, batch, lr, rng) -> (state, metrics). `batch` must be
     sharded over mesh axis 'data'; params/state replicated."""
     maskidx = tuple(maskidx)
+    if spec.accumulate_steps != 1:
+        raise NotImplementedError(
+            "make_ddp_attack_step supports accumulate_steps=1 only (the "
+            "reference DDP variant, UADA_ddp.py, has no accumulation either); "
+            "use the default engine step for accumulation"
+        )
     target = jnp.asarray(target_tokens) if target_tokens is not None else None
 
     def prepare_labels(labels, rng):
@@ -74,6 +84,10 @@ def make_ddp_attack_step(
             return overwrite_with_target(labels, target)
         if spec.objective in ("uada", "upa_negce"):
             return _mask_labels(labels, maskidx)
+        if spec.objective == "upa_guide":
+            from ..utils.labels import change_target
+
+            return change_target(labels, rng)
         return labels
 
     def per_device(params, state: AttackState, batch: AttackBatch, lr, rng):

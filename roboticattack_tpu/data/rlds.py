@@ -284,19 +284,33 @@ def frames_to_attack_batches(
     frame_dataset,
     tokenizer: TextTokenizer,
     batch_size: int,
-    pad_to: Optional[int] = 48,
+    pad_to: Optional[int] = 32,
 ) -> Iterator:
     """Host loop: tokenize prompts + collate into AttackBatch (the reference's
-    RLDSBatchTransform + collator, done in the numpy iterator)."""
+    RLDSBatchTransform + collator, done in the numpy iterator).
+
+    Frames whose tokenization exceeds `pad_to` are SKIPPED with a warning
+    (the 16 GB bs=8 7B envelope caps the multimodal sequence at 288, i.e.
+    pad_to=32; a crash hours into a run would be worse than a slightly
+    filtered instruction distribution — raise --pad_to on bigger chips)."""
     it = frame_dataset.as_numpy_iterator()
+    skipped = 0
     while True:
         rows = []
-        for _ in range(batch_size):
+        while len(rows) < batch_size:
             f = next(it)
             lang = f["language"]
             if isinstance(lang, bytes):
                 lang = lang.decode()
             input_ids, labels = build_vla_example(lang, f["action"], tokenizer)
+            if pad_to is not None and len(input_ids) > pad_to:
+                skipped += 1
+                if skipped in (1, 100, 10000):
+                    print(f"[data] WARNING: skipped {skipped} frames with "
+                          f"prompts longer than pad_to={pad_to} "
+                          f"(latest: {len(input_ids)} tokens); raise --pad_to "
+                          "if HBM allows")
+                continue
             rows.append(dict(image=f["image"], input_ids=input_ids, labels=labels))
         yield collate(rows, pad_to=pad_to)
 

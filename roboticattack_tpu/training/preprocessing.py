@@ -78,8 +78,10 @@ class ConversationDataset:
         for i, turn in enumerate(convo):
             role = "human" if turn["from"] == "human" else "gpt"
             wrapped = builder.add_turn(role, turn["value"])
-            if i == 0:
-                wrapped = wrapped if not wrapped.startswith(builder.bos) else wrapped
+            if i == 0 and wrapped.startswith(builder.bos):
+                # the tokenizer re-adds BOS (add_bos=True); strip a
+                # builder-embedded literal one (e.g. PhiPromptBuilder)
+                wrapped = wrapped.removeprefix(builder.bos)
             ids = self.tokenizer.encode(wrapped, add_bos=(i == 0))
             input_ids.extend(ids)
             labels.extend(ids if role == "gpt" else [IGNORE_INDEX] * len(ids))
