@@ -260,9 +260,16 @@ def make_frame_dataset(
     seed: int = 42,
     traj_dataset=None,
     shuffle_buffer: int = SHUFFLE_BUFFER,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ):
     """Full per-dataset pipeline: load -> standardize -> stats -> normalize ->
-    frames. `traj_dataset` injects a pre-built trajectory dataset (tests)."""
+    frames. `traj_dataset` injects a pre-built trajectory dataset (tests).
+
+    num_shards/shard_index: per-host trajectory sharding for multi-host DP
+    (the reference DDP's `dataset.shard(world, rank)`, UADA_ddp.py:157-159).
+    Statistics are computed over the UNsharded stream so every host
+    normalizes identically."""
     split = "train[:95%]" if train else "train[95%:]"  # dataset.py:234-237
     if traj_dataset is None:
         traj_dataset = load_tfds_trajectories(name, data_dir, split)
@@ -273,6 +280,8 @@ def make_frame_dataset(
         stats = compute_dataset_statistics(
             traj_dataset, save_path=data_dir, cache_key=f"{name}-{split}"
         )
+    if num_shards > 1:
+        traj_dataset = traj_dataset.shard(num_shards, shard_index)
     traj_dataset = traj_dataset.map(lambda t: normalize_traj_actions(t, stats))
     frames = trajectories_to_frames(
         traj_dataset, image_size, train=train, seed=seed, shuffle_buffer=shuffle_buffer
@@ -323,14 +332,24 @@ def make_attack_iterators(
     data_dir: Optional[str] = None,
     tokenizer: Optional[TextTokenizer] = None,
     pad_to: int = 32,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> Tuple[Iterator, Iterator]:
     """(train, val) AttackBatch iterators for a named RLDS dataset
     (openvla_dataloader.py:81-156 equivalent; val batch size fixed at 8).
-    pad_to=32 (multimodal seq 288) is the 16 GB bs=8 7B fit envelope."""
+    pad_to=32 (multimodal seq 288) is the 16 GB bs=8 7B fit envelope.
+    num_shards/shard_index give each HOST a disjoint trajectory shard for
+    multi-host data parallelism (pass jax.process_count()/process_index())."""
     if tokenizer is None:
         tokenizer = _tokenizer_from_checkpoint(checkpoint)
-    train_frames, stats = make_frame_dataset(dataset, data_dir, train=True, seed=seed)
-    val_frames, _ = make_frame_dataset(dataset, data_dir, train=False, stats=stats, seed=seed)
+    train_frames, stats = make_frame_dataset(
+        dataset, data_dir, train=True, seed=seed,
+        num_shards=num_shards, shard_index=shard_index,
+    )
+    val_frames, _ = make_frame_dataset(
+        dataset, data_dir, train=False, stats=stats, seed=seed,
+        num_shards=num_shards, shard_index=shard_index,
+    )
     train = frames_to_attack_batches(train_frames, tokenizer, batch_size, pad_to=pad_to)
     val = frames_to_attack_batches(val_frames, tokenizer, 8, pad_to=pad_to)
     return train, val

@@ -22,9 +22,10 @@ from roboticattack_tpu.utils.constants import IGNORE_INDEX, PAD_TOKEN_ID
 
 
 def _synthetic_traj_dataset(n_traj=4, traj_len=10, seed=0, image_size=32):
-    rng = np.random.default_rng(seed)
-
     def gen():
+        # seed inside: each epoch (incl. the statistics pass) must yield the
+        # SAME trajectories, like a real TFDS source
+        rng = np.random.default_rng(seed)
         for i in range(n_traj):
             state = rng.standard_normal((traj_len, 7)).astype(np.float32)
             action = np.concatenate(
@@ -200,3 +201,24 @@ def test_augmentations():
     )
     it2 = with_augmentations(frames2, seed=1).as_numpy_iterator()
     np.testing.assert_array_equal(next(it2)["image"], f1["image"])
+
+
+def test_host_sharding_disjoint_and_stats_global():
+    from roboticattack_tpu.data.rlds import make_frame_dataset
+
+    def build(shard_index, num_shards):
+        ds = _synthetic_traj_dataset(n_traj=4, traj_len=6, image_size=30)
+        return make_frame_dataset(
+            "bridge_orig", train=True, image_size=32, traj_dataset=ds, seed=0,
+            shuffle_buffer=1, num_shards=num_shards, shard_index=shard_index,
+        )
+
+    frames0, stats0 = build(0, 2)
+    frames1, stats1 = build(1, 2)
+    # statistics computed on the unsharded stream -> identical across hosts
+    np.testing.assert_allclose(stats0["action"]["q99"], stats1["action"]["q99"])
+    # disjoint trajectory shards -> disjoint frame actions (trajectories differ)
+    a0 = {tuple(np.round(next(frames0.as_numpy_iterator())["action"], 5)) for _ in range(1)}
+    acts0 = [tuple(np.round(f["action"], 5)) for _, f in zip(range(8), frames0.as_numpy_iterator())]
+    acts1 = [tuple(np.round(f["action"], 5)) for _, f in zip(range(8), frames1.as_numpy_iterator())]
+    assert set(acts0).isdisjoint(set(acts1))
