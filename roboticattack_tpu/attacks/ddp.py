@@ -87,12 +87,19 @@ def make_ddp_attack_step(
         if spec.objective == "upa_guide":
             from ..utils.labels import change_target
 
-            return change_target(labels, rng)
+            # non-reverse path applies mask_labels before change_target
+            # (UPA.py:128-131)
+            return change_target(_mask_labels(labels, maskidx), rng)
         return labels
 
     def per_device(params, state: AttackState, batch: AttackBatch, lr, rng):
-        labels = prepare_labels(batch.labels, rng)
-        keys = jax.random.split(rng, spec.inner_loop)
+        # Split once (no key reuse between the label coin and the inner
+        # placement streams) and give each rank its own label-flip stream,
+        # mirroring the reference's per-rank torch RNG (UADA_ddp.py:81-87).
+        k_label, k_inner = jax.random.split(rng)
+        k_label = jax.random.fold_in(k_label, jax.lax.axis_index("data"))
+        labels = prepare_labels(batch.labels, k_label)
+        keys = jax.random.split(k_inner, spec.inner_loop)
 
         def inner(st: AttackState, key):
             # per-image placement RNG must differ across devices: fold in the

@@ -129,13 +129,17 @@ def _inner_step(
     metrics = dict(metrics, loss=loss, grad_mean=jnp.mean(grad))
 
     grad_total = state.grad_acc + grad
+    # Clip only at optimizer-step time (UPA.py:155-158); the accumulation
+    # buffer keeps raw gradients — clipping the running buffer each inner step
+    # would repeatedly rescale (annihilate) earlier contributions.
+    update_grad = grad_total
     if spec.grad_clip_l1 is not None:
-        grad_total = clip_grad_l1(grad_total, spec.grad_clip_l1)
+        update_grad = clip_grad_l1(grad_total, spec.grad_clip_l1)
 
     if spec.optimizer == "adamW":
-        new_patch, new_opt = adamw_update(grad_total, state.opt, state.patch, lr)
+        new_patch, new_opt = adamw_update(update_grad, state.opt, state.patch, lr)
     elif spec.optimizer == "pgd":
-        new_patch, new_opt = pgd_update(grad_total, state.patch, spec.pgd_alpha), state.opt
+        new_patch, new_opt = pgd_update(update_grad, state.patch, spec.pgd_alpha), state.opt
     else:
         raise ValueError(f"unknown optimizer {spec.optimizer}")
     new_patch = jnp.clip(new_patch, 0.0, 1.0)
@@ -167,7 +171,10 @@ def make_attack_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[n
         if spec.objective == "upa_guide":
             from ..utils.labels import change_target
 
-            return change_target(labels, rng)
+            # guide mode is reached via the non-reverse path, which applies
+            # mask_labels BEFORE change_target (UPA.py:128-131): only the
+            # --maskidx action dims (+ EOS) get flipped targets.
+            return change_target(_mask_labels(labels, maskidx), rng)
         return labels  # upa reverse-direction keeps raw labels (UPA.py:127-131)
 
     def step(params, state: AttackState, batch: AttackBatch, lr, apply_update, rng):
@@ -212,7 +219,7 @@ def make_val_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.n
         elif spec.objective == "upa_guide":
             from ..utils.labels import change_target
 
-            labels = change_target(batch.labels, k_label)
+            labels = change_target(_mask_labels(batch.labels, maskidx), k_label)
         else:
             labels = batch.labels
 

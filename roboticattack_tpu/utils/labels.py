@@ -80,12 +80,20 @@ def mask_labels(labels: jnp.ndarray, maskidx: Sequence[int]) -> jnp.ndarray:
 
 
 def change_target(labels: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-    """UPA 'guide' mode target flipping (UPA.py:358-364): labels at the zero
-    bin flip to a random extreme; labels above it (action < 0) flip to the +1
-    token; ALL other valid labels below it — including the EOS label 2 — flip
-    to the -1 token (the reference's `gt[mask & (gt < 31872)] = 31999` makes
-    the guide objective predict an action token in the EOS slot; reproduced
-    faithfully)."""
+    """UPA 'guide' mode target flipping: labels at the zero bin flip to a
+    random extreme; labels above it (action < 0) flip to the +1 token; all
+    other valid labels below it — including the EOS label 2 — flip to the -1
+    token.
+
+    This implements the reference's *intent* (UPA.py:358-364), which is a
+    known defect we fix (SURVEY.md §7): the reference mutates ``gt`` in place
+    sequentially, so its ``gt>31872 -> 31744`` writes are re-caught by the
+    final ``gt<31872 -> 31999`` pass and EVERY valid label collapses to 31999
+    — a constant-target attack where the random flip and the sign flip are
+    dead code. We evaluate all three conditions against the original labels
+    instead, producing the directional sign-flip target the branches were
+    written to express. The EOS-slot flip (EOS label 2 < 31872 -> 31999) is
+    shared by both readings and kept."""
     valid = labels != IGNORE_INDEX
     coin = jax.random.bernoulli(rng, 0.5, labels.shape)
     flipped_zero = jnp.where(coin, ACTION_TOKEN_MIN, ACTION_TOKEN_MAX)

@@ -66,6 +66,7 @@ def test_uada_and_upa_steps_run():
         ("uada", dict(mse_weight=5.0)),
         ("upa", dict(grad_clip_l1=1e-3)),
         ("upa_negce", {}),
+        ("upa_guide", dict(grad_clip_l1=1e-3)),
     ]:
         spec = AttackSpec(objective=objective, geometry=True, inner_loop=1, **kwargs)
         step = make_attack_step(spec, VLA_TINY, None, [0, 1, 2])
@@ -93,6 +94,28 @@ def test_accumulate_holds_update():
     state, _ = step(params, state, batch, jnp.float32(1e-2), jnp.bool_(True), jax.random.key(6))
     assert (np.asarray(state.patch) != p0).any()                 # update applied
     assert np.abs(np.asarray(state.grad_acc)).sum() == 0         # buffer reset
+
+
+def test_accumulation_buffer_keeps_raw_gradients():
+    """The L1 clip applies only to the gradient fed into the optimizer at
+    update time (UPA.py:155-158); the accumulation buffer must carry RAW
+    gradients — clipping the buffer each inner step would repeatedly rescale
+    away earlier contributions."""
+    params, batches = _setup()
+    batch = next(batches)
+    states = {}
+    for clip in (None, 1e-3):
+        spec = AttackSpec(objective="upa", geometry=False, inner_loop=1,
+                          accumulate_steps=2, grad_clip_l1=clip)
+        step = make_attack_step(spec, VLA_TINY, None, [0, 1, 2])
+        state = init_attack_state(jax.random.key(9), (8, 8))
+        state, _ = step(
+            params, state, batch, jnp.float32(1e-2), jnp.bool_(False), jax.random.key(10)
+        )
+        states[clip] = state
+    np.testing.assert_array_equal(
+        np.asarray(states[None].grad_acc), np.asarray(states[1e-3].grad_acc)
+    )
 
 
 def test_val_step_metrics():

@@ -75,7 +75,8 @@ def test_ddp_gradient_is_mean_of_rank_gradients():
     for d in range(4):
         shard = jax.tree.map(lambda x: np.asarray(x)[d : d + 1], batch)
         labels = mask_labels(jnp.asarray(shard.labels), maskidx)
-        key = jax.random.fold_in(jax.random.split(jax.random.key(7), spec.inner_loop)[0], d)
+        _, k_inner = jax.random.split(jax.random.key(7))
+        key = jax.random.fold_in(jax.random.split(k_inner, spec.inner_loop)[0], d)
         g = jax.grad(
             lambda pt: _local_loss(spec, VLA_TINY, params, pt, eng.AttackBatch(
                 jnp.asarray(shard.images), jnp.asarray(shard.input_ids),

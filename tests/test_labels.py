@@ -115,6 +115,32 @@ def test_change_target_flips_directions():
     assert out[0, 4] == ACTION_TOKEN_MAX   # EOS flips too (reference quirk)
 
 
+def test_guide_mode_masks_before_flipping():
+    """upa_guide composition (UPA.py:128-131): mask_labels runs first, so
+    action dims outside --maskidx stay IGNORE and never receive flipped
+    targets."""
+    from roboticattack_tpu.utils import change_target
+    from roboticattack_tpu.utils.constants import ACTION_TOKEN_MAX, ACTION_TOKEN_MIN
+
+    # 7 action tokens (alternating signs) + EOS, one leading prompt ignore
+    acts = [ACTION_TOKEN_ZERO_OFF(i) for i in range(7)]
+    labels = np.array([[IGNORE_INDEX] + acts + [2]], dtype=np.int32)
+    out = np.asarray(
+        change_target(mask_labels(jnp.asarray(labels), [0, 2]), jax.random.key(1))
+    )
+    flipped = {ACTION_TOKEN_MIN, ACTION_TOKEN_MAX}
+    assert out[0, 1] in flipped and out[0, 3] in flipped  # maskidx dims flip
+    for j in (2, 4, 5, 6, 7):                             # others stay IGNORE
+        assert out[0, j] == IGNORE_INDEX, (j, out)
+    assert out[0, 8] == ACTION_TOKEN_MAX                  # EOS still flips
+
+
+def ACTION_TOKEN_ZERO_OFF(i):
+    from roboticattack_tpu.utils.constants import ACTION_TOKEN_ZERO
+
+    return ACTION_TOKEN_ZERO + (5 if i % 2 else -5)
+
+
 def test_modify_labels_dict():
     from roboticattack_tpu.utils.labels import modify_labels_dict
 
