@@ -119,8 +119,8 @@ SIGLIP_SO400M = ViTConfig(
 )
 # flash = Pallas head-resident attention (ops/flash_attention.py): measured
 # ~4% faster end-to-end than the chunked-XLA path on the 7B attack step.
-# NOTE: under multi-chip TP the Pallas call needs shard_map (chunked XLA
-# partitions automatically) — switch attn_impl to 'chunked' for TP meshes.
+# Partitions under data x model meshes via custom_partitioning on
+# (batch, head) — no collectives, kernel runs on local blocks.
 LLAMA2_7B = LlamaConfig(attn_impl="flash")
 
 OPENVLA_7B = VLAConfig(name="openvla-7b", dino=DINOV2_VIT_L, siglip=SIGLIP_SO400M, llm=LLAMA2_7B)

@@ -18,22 +18,26 @@ Used for the Llama decoder (head_dim 128, MXU-aligned). fp32 softmax matches
 ops.attention.mha bit-for-bit in expectation; parity is tested in interpret
 mode on CPU (tests/test_flash_attention.py).
 
-Sharding note: under multi-chip TP meshes GSPMD cannot partition a pallas_call
-automatically (it gathers inputs and runs it replicated — correct but
-wasteful). Heads are fully independent, so the efficient TP integration is a
-custom_partitioning / shard_map wrapper sharding on (batch, head); until that
-lands, use attn_impl='chunked' for TP runs (models/config.py note).
+Sharding: the partitioner cannot split a bare pallas_call, so both the fwd
+and bwd kernels are wrapped in `custom_partitioning` sharded on (batch, head)
+— heads are fully independent, so under a data x model mesh each device runs
+the kernel on its local (B/dp, H/tp) block with ZERO collectives (the TP
+equivalent of flash-attn 2.5.5 running per-GPU under Megatron-style head
+splits). Sequence/head_dim factors are declared replicated; the bias follows
+the batch sharding. Single-device jit lowers to the plain kernel.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
@@ -94,14 +98,7 @@ def _specs(bh: int, s: int, d: int, heads: int):
     return qspec, bspec
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_attention(q, k, v, bias, interpret: bool = False):
-    """q/k/v: [B, H, S, D] (same dtype, e.g. bf16); bias: [B, S, S] fp32
-    additive (causal+padding). Returns [B, H, S, D]."""
-    return _forward(q, k, v, bias, interpret)
-
-
-def _forward(q, k, v, bias, interpret):
+def _fwd_pallas(q, k, v, bias, interpret):
     b, h, s, d = q.shape
     scale = d ** -0.5
     qf = q.reshape(b * h, s, d)
@@ -117,13 +114,7 @@ def _forward(q, k, v, bias, interpret):
     return out.reshape(b, h, s, d)
 
 
-def _fwd_rule(q, k, v, bias, interpret):
-    out = _forward(q, k, v, bias, interpret)
-    return out, (q, k, v, bias)
-
-
-def _bwd_rule(interpret, residuals, g):
-    q, k, v, bias = residuals
+def _bwd_pallas(q, k, v, bias, g, interpret):
     b, h, s, d = q.shape
     scale = d ** -0.5
     qspec, bspec = _specs(b * h, s, d, h)
@@ -143,7 +134,71 @@ def _bwd_rule(interpret, residuals, g):
         g.reshape(b * h, s, d),
     )
     rs = lambda x: x.reshape(b, h, s, d)
-    return rs(dq), rs(dk), rs(dv), None
+    return rs(dq), rs(dk), rs(dv)
+
+
+def _bh_partition(n_out: int):
+    """partition callback: shard every [B,H,S,D] operand/result like q's
+    (batch, head) sharding, the [B,S,S] bias like q's batch; S/D replicated.
+    Per-shard lowering is the plain kernel on local blocks — no collectives."""
+
+    def partition(lower_fn, mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        qb = spec[0] if len(spec) > 0 else None
+        qh = spec[1] if len(spec) > 1 else None
+        qsharding = NamedSharding(mesh, P(qb, qh, None, None))
+        bsharding = NamedSharding(mesh, P(qb, None, None))
+        shardings = tuple(
+            bsharding if len(a.shape) == 3 else qsharding for a in arg_shapes
+        )
+        out = qsharding if n_out == 1 else (qsharding,) * n_out
+        return mesh, lower_fn, out, shardings
+
+    return partition
+
+
+@lru_cache(maxsize=None)
+def _sharded_fwd(interpret: bool):
+    fn = custom_partitioning(lambda q, k, v, bias: _fwd_pallas(q, k, v, bias, interpret))
+    fn.def_partition(
+        partition=partial(_bh_partition(1), lambda q, k, v, bias: _fwd_pallas(q, k, v, bias, interpret)),
+        sharding_rule="b h s e, b h s e, b h s e, b t u -> b h s e",
+        need_replication_factors=("s", "e", "t", "u"),
+    )
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _sharded_bwd(interpret: bool):
+    fn = custom_partitioning(lambda q, k, v, bias, g: _bwd_pallas(q, k, v, bias, g, interpret))
+    fn.def_partition(
+        partition=partial(_bh_partition(3), lambda q, k, v, bias, g: _bwd_pallas(q, k, v, bias, g, interpret)),
+        sharding_rule="b h s e, b h s e, b h s e, b t u, b h s e -> b h s e, b h s e, b h s e",
+        need_replication_factors=("s", "e", "t", "u"),
+    )
+    return fn
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention(q, k, v, bias, interpret: bool = False):
+    """q/k/v: [B, H, S, D] (same dtype, e.g. bf16); bias: [B, S, S] fp32
+    additive (causal+padding). Returns [B, H, S, D]."""
+    return _forward(q, k, v, bias, interpret)
+
+
+def _forward(q, k, v, bias, interpret):
+    return _sharded_fwd(bool(interpret))(q, k, v, bias)
+
+
+def _fwd_rule(q, k, v, bias, interpret):
+    out = _forward(q, k, v, bias, interpret)
+    return out, (q, k, v, bias)
+
+
+def _bwd_rule(interpret, residuals, g):
+    q, k, v, bias = residuals
+    dq, dk, dv = _sharded_bwd(bool(interpret))(q, k, v, bias, g)
+    return dq, dk, dv, None
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
