@@ -91,7 +91,10 @@ def _decoder_block(
     x = x + attn @ p["o_w"]
 
     y = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-    gate = jax.nn.silu((y @ p["gate_w"]).astype(jnp.float32)).astype(x.dtype)
+    # silu in the model dtype, matching HF LlamaMLP (act_fn applied to the
+    # bf16 gate_proj output); an fp32 upcast here would also materialize a
+    # [B, S, inter] fp32 temp (~100 MB at bs8/7B) in the remat backward.
+    gate = jax.nn.silu(y @ p["gate_w"])
     x = x + (gate * (y @ p["up_w"])) @ p["down_w"]
     return x
 

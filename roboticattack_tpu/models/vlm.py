@@ -62,8 +62,20 @@ def vla_forward(
     labels: Optional[jnp.ndarray] = None,
 ) -> VLAOutput:
     """The multimodal training/attack forward (modeling_prismatic.py:362-415)."""
-    patches = vision_features(params["vision"], cfg, pixel_values)
-    projected = projector_apply(params["projector"], patches)  # [B, P, D]
+
+    def encode(vision_params, projector_params, pixels):
+        patches = vision_features(vision_params, cfg, pixels)
+        return projector_apply(projector_params, patches)
+
+    if cfg.remat:
+        # Outer checkpoint over the whole vision tower: saves only the pixel
+        # stack (~5 MB bf16 at bs8) + projected patches instead of ~220 MB of
+        # per-block ViT carries that would otherwise stay live through the
+        # entire LLM backward. Costs one extra ViT forward (~1% of step
+        # FLOPs); the per-block remat inside vit_features still bounds the
+        # ViT backward's own peak.
+        encode = jax.checkpoint(encode)
+    projected = encode(params["vision"], params["projector"], pixel_values)  # [B, P, D]
 
     emb = embed_tokens(params["llm"], input_ids)
     mm_emb = jnp.concatenate([emb[:, :1], projected.astype(emb.dtype), emb[:, 1:]], axis=1)

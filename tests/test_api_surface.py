@@ -114,7 +114,7 @@ def test_rt1_style_transform():
             # relative gripper: close at t=1, open at t=3
             "gripper_closedness_action": tf.constant([[0.0], [1.0], [0.0], [-1.0]], tf.float32),
         },
-        "observation": {},
+        "observation": {"natural_language_instruction": tf.constant(["pick"] * 4)},
     }
     out = rt1_style_transform(traj)
     a = out["action"].numpy()
