@@ -29,3 +29,15 @@ from .vlm import (
     vla_forward,
 )
 from .convert import convert_state_dict, load_checkpoint_dir, load_norm_stats
+from .registry import (
+    GLOBAL_REGISTRY,
+    MODEL_REGISTRY,
+    ModelSpec,
+    UnsupportedArchitecture,
+    available_model_names,
+    available_models,
+    build_config,
+    get_model_description,
+    hub_files,
+    load,
+)

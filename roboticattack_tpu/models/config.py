@@ -122,6 +122,16 @@ SIGLIP_SO400M = ViTConfig(
 # Partitions under data x model meshes via custom_partitioning on
 # (batch, head) — no collectives, kernel runs on local blocks.
 LLAMA2_7B = LlamaConfig(attn_impl="flash")
+# Llama-2-13B dims (prismatic 13B zoo variants; conf/models.py llama2+13b etc.)
+LLAMA2_13B = LlamaConfig(
+    hidden_size=5120, num_layers=40, num_heads=40, num_kv_heads=40,
+    intermediate_size=13824, attn_impl="flash",
+)
+# Mistral-v0.1-7B dims (GQA 8 kv heads; sliding window 4096 never binds at the
+# ~300-token OpenVLA sequence length, so plain causal attention is exact here)
+MISTRAL_7B = LlamaConfig(
+    vocab_size=32064, intermediate_size=14336, num_kv_heads=8, attn_impl="chunked",
+)
 
 OPENVLA_7B = VLAConfig(name="openvla-7b", dino=DINOV2_VIT_L, siglip=SIGLIP_SO400M, llm=LLAMA2_7B)
 

@@ -1,0 +1,393 @@
+"""Pretrained-model ID registry + checkpoint acquisition.
+
+Behavioral port of /root/reference/prismatic/models/registry.py (the 49-entry
+model-ID zoo with alternate display names), conf/models.py (per-ID structural
+specs: vision/LLM backbone IDs, arch specifier, resize strategy), and
+load.py:27-121 (HF-Hub download + load). One call goes
+ID -> hub files -> downloaded checkpoint -> converted parameter pytree.
+
+Registry entries are authored as (id, names, structural overrides) on top of
+family defaults instead of 49 repeated dicts; descriptions are synthesized
+from the structural fields (the reference's description blocks restate them).
+
+Architectures constructible in this framework: DINOv2 / SigLIP / fused
+DINOv2+SigLIP / IN1K ViTs at 224px over Llama-2-family decoders (Llama-2,
+Vicuna v1.5, Mistral v0.1 in 7B/13B dims). CLIP towers (quick-GELU), 336/384px
+resolutions, and Phi-2 resolve and download but `build_config` reports them
+unsupported — the attack framework targets the OpenVLA (dinosiglip-224px)
+stack.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, replace
+from typing import Callable, Dict, List, Optional, Tuple
+
+from .config import (
+    DINOV2_VIT_L,
+    LLAMA2_7B,
+    LLAMA2_13B,
+    MISTRAL_7B,
+    OPENVLA_7B,
+    SIGLIP_SO400M,
+    ViTConfig,
+    VLAConfig,
+)
+
+# HF Hub homes (reference load.py:27-29); the released OpenVLA checkpoints are
+# standalone repos under the openvla org (TMA_wrapper.py:58, openvla_dataloader.py:85-100)
+PRISMATIC_HUB_REPO = "TRI-ML/prismatic-vlms"
+VLA_HUB_REPO = "openvla/openvla-dev"
+OPENVLA_HUB_ORG = "openvla"
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    model_id: str
+    names: Tuple[str, ...] = ()
+    vision_backbone_id: str = "clip-vit-l-336px"
+    llm_backbone_id: str = "vicuna-v15-7b"
+    arch_specifier: str = "no-align+gelu-mlp"
+    image_resize_strategy: str = "letterbox"
+    llm_max_length: int = 2048
+    family: str = "prismatic"  # prismatic | openvla
+
+    @property
+    def description(self) -> Dict:
+        return {
+            "name": self.names[0] if self.names else self.model_id,
+            "model_id": self.model_id,
+            "visual_representation": self.vision_backbone_id,
+            "image_processing": self.image_resize_strategy,
+            "language_model": self.llm_backbone_id,
+            "arch_specifier": self.arch_specifier,
+            "family": self.family,
+        }
+
+
+MODEL_REGISTRY: Dict[str, ModelSpec] = {}
+GLOBAL_REGISTRY: Dict[str, ModelSpec] = {}
+
+
+def register_model(spec: ModelSpec) -> None:
+    MODEL_REGISTRY[spec.model_id] = spec
+    GLOBAL_REGISTRY[spec.model_id] = spec
+    for name in spec.names:
+        GLOBAL_REGISTRY[name] = spec
+
+
+def _family(defaults: ModelSpec):
+    def add(model_id: str, *names: str, **over) -> None:
+        register_model(replace(defaults, model_id=model_id, names=tuple(names), **over))
+
+    return add
+
+
+# === Prismatic VLM zoo (registry.py:9-688 names; conf/models.py structure) ===
+
+# LLaVa-style base: CLIP ViT-L 336px letterbox over Vicuna v1.5 7B
+_base = _family(ModelSpec(model_id=""))
+_base("reproduction-llava-v15+7b", "LLaVa v1.5 7B (Reproduction)", arch_specifier="gelu-mlp")
+_base("reproduction-llava-v15+13b", "LLaVa v1.5 13B (Reproduction)",
+      arch_specifier="gelu-mlp", llm_backbone_id="vicuna-v15-13b")
+_base("one-stage+7b", "One-Stage 7B", "Single-Stage 7B", "Frozen ViT (Single-Stage)",
+      "CLIP ViT-L 336px (Letterbox)", "CLIP ViT-L 336px", "Vicuña v1.5 7B", "1 Epoch", "Base")
+_base("one-stage+13b", "One-Stage 13B", "Single-Stage 13B", "Vicuña v1.5 13B",
+      llm_backbone_id="vicuna-v15-13b")
+_base("full-ft-multi-stage+7b", "Finetune ViT (Multi-Stage)", arch_specifier="gelu-mlp")
+_base("full-ft-one-stage+7b", "Finetune ViT (Single-Stage)")
+
+# visual-representation ablations (single-stage 7B)
+_base("in1k-224px+7b", "IN1K ViT-L 224px", vision_backbone_id="in1k-vit-l")
+_base("dinov2-224px+7b", "DINOv2 ViT-L 224px", vision_backbone_id="dinov2-vit-l")
+_base("clip-224px+7b", "CLIP ViT-L 224px", vision_backbone_id="clip-vit-l")
+_base("siglip-224px+7b", "SigLIP ViT-SO 224px", vision_backbone_id="siglip-vit-so400m")
+_base("clip-336px-resize-crop+7b", "CLIP ViT-L 336px (Resize Crop)",
+      image_resize_strategy="resize-crop")
+_base("clip-336px-resize-naive+7b", "CLIP ViT-L 336px (Naive Resize)",
+      "CLIP 336px (Naive Resize)", image_resize_strategy="resize-naive")
+_base("siglip-384px-letterbox+7b", "SigLIP ViT-SO 384px (Letterbox)", "SigLIP ViT-SO 384px",
+      vision_backbone_id="siglip-vit-so400m-384px")
+_base("siglip-384px-resize-crop+7b", "SigLIP ViT-SO 384px (Resize Crop)",
+      vision_backbone_id="siglip-vit-so400m-384px", image_resize_strategy="resize-crop")
+_base("siglip-384px-resize-naive+7b", "SigLIP ViT-SO 384px (Naive Resize)",
+      "SigLIP 384px (Naive Resize)",
+      vision_backbone_id="siglip-vit-so400m-384px", image_resize_strategy="resize-naive")
+_base("dinoclip-336px-letterbox+7b", "DINOv2 + CLIP 336px (Letterbox)",
+      vision_backbone_id="dinoclip-vit-l-336px", arch_specifier="no-align+fused-gelu-mlp")
+_base("dinoclip-336px-resize-naive+7b", "DINOv2 + CLIP 336px (Naive Resize)",
+      vision_backbone_id="dinoclip-vit-l-336px", arch_specifier="no-align+fused-gelu-mlp",
+      image_resize_strategy="resize-naive")
+_base("dinosiglip-384px-letterbox+7b", "DINOv2 + SigLIP 384px (Letterbox)",
+      vision_backbone_id="dinosiglip-vit-so-384px", arch_specifier="no-align+fused-gelu-mlp")
+_base("dinosiglip-384px-resize-naive+7b", "DINOv2 + SigLIP 384px (Naive Resize)",
+      vision_backbone_id="dinosiglip-vit-so-384px", arch_specifier="no-align+fused-gelu-mlp",
+      image_resize_strategy="resize-naive")
+
+# language-model ablations
+_base("llama2+7b", "Llama-2 7B", llm_backbone_id="llama2-7b-pure")
+_base("llama2+13b", "Llama-2 13B", llm_backbone_id="llama2-13b-pure")
+_base("vicuna-no-cotraining+7b", "Vicuña v1.5 7B (No Co-training)")
+_base("llama2-no-cotraining+7b", "Llama-2 7B (No Co-training)", llm_backbone_id="llama2-7b-pure")
+
+# training-schedule / data ablations
+_base("train-1.25-epochs+7b", "1.25 Epochs")
+_base("train-1.5-epochs+7b", "1.5 Epochs")
+_base("train-2-epochs+7b", "2 Epochs")
+_base("train-3-epochs+7b", "3 Epochs")
+_base("llava-lvis4v+7b", "Base + LVIS-4V")
+_base("llava-lrv+7b", "Base + LRV")
+_base("llava-lvis4v-lrv+7b", "Base + LVIS-4V + LRV")
+
+# Prism models (resize-naive over Llama-2)
+_prism = _family(ModelSpec(model_id="", llm_backbone_id="llama2-7b-pure",
+                           image_resize_strategy="resize-naive"))
+for _size, _llm in (("7b", "llama2-7b-pure"), ("13b", "llama2-13b-pure")):
+    _n = _size.upper()
+    _prism(f"prism-clip-controlled+{_size}", f"Prism-CLIP {_n} (Controlled)", llm_backbone_id=_llm)
+    _prism(f"prism-clip+{_size}", f"Prism-CLIP {_n}", llm_backbone_id=_llm)
+    # NOTE: the reference's prism-siglip+13b config keeps the CLIP tower
+    # (conf/models.py Prism_13B_SigLIP — reproduced as-is)
+    _prism(f"prism-siglip-controlled+{_size}", f"Prism-SigLIP {_n} (Controlled)",
+           llm_backbone_id=_llm, vision_backbone_id="siglip-vit-so400m-384px")
+    _prism(f"prism-siglip+{_size}", f"Prism-SigLIP {_n}", llm_backbone_id=_llm,
+           vision_backbone_id="siglip-vit-so400m-384px" if _size == "7b" else "clip-vit-l-336px")
+    _extra = ([f"Prism {_n} (Controlled)"])
+    _prism(f"prism-dinosiglip-controlled+{_size}", f"Prism-DINOSigLIP {_n} (Controlled)",
+           *_extra, llm_backbone_id=_llm, vision_backbone_id="dinosiglip-vit-so-384px",
+           arch_specifier="no-align+fused-gelu-mlp")
+    _prism(f"prism-dinosiglip+{_size}", f"Prism-DINOSigLIP {_n}", llm_backbone_id=_llm,
+           vision_backbone_id="dinosiglip-vit-so-384px", arch_specifier="no-align+fused-gelu-mlp")
+_prism("prism-dinosiglip-224px-controlled+7b", "Prism-DINOSigLIP 224px 7B (Controlled)",
+       vision_backbone_id="dinosiglip-vit-so-224px", arch_specifier="no-align+fused-gelu-mlp")
+_prism("prism-dinosiglip-224px+7b", "Prism-DINOSigLIP 224px 7B",
+       vision_backbone_id="dinosiglip-vit-so-224px", arch_specifier="no-align+fused-gelu-mlp")
+# registered in conf/models.py but absent from the public registry names
+_prism("dinosiglip-224px-resize-naive+7b", vision_backbone_id="dinosiglip-vit-so-224px",
+       arch_specifier="no-align+fused-gelu-mlp", llm_backbone_id="vicuna-v15-7b")
+
+# additional LLM backbones
+_base("llama2-chat+7b", "Llama-2 Chat 7B", llm_backbone_id="llama2-7b-chat")
+_base("llama2-chat+13b", "Llama-2 Chat 13B", llm_backbone_id="llama2-13b-chat")
+_base("mistral-v0.1+7b", "Mistral v0.1 7B", llm_backbone_id="mistral-v0.1-7b-pure")
+_base("mistral-instruct-v0.1+7b", "Mistral Instruct v0.1 7B",
+      llm_backbone_id="mistral-v0.1-7b-instruct")
+_base("phi-2+3b", "Phi-2 3B", llm_backbone_id="phi-2-3b")
+
+# === OpenVLA checkpoints (the attack targets; TMA_wrapper.py:30-41) ===
+_vla = _family(ModelSpec(
+    model_id="", vision_backbone_id="dinosiglip-vit-so-224px",
+    llm_backbone_id="llama2-7b-pure", arch_specifier="no-align+fused-gelu-mlp",
+    image_resize_strategy="resize-naive", family="openvla",
+))
+_vla("openvla-7b", "OpenVLA 7B")
+for _suite in ("libero-spatial", "libero-object", "libero-goal", "libero-10"):
+    _vla(f"openvla-7b-finetuned-{_suite}", f"OpenVLA 7B ({_suite} finetune)")
+
+
+# === Listing / description API (load.py:33-48) ===
+
+def available_models() -> List[str]:
+    return list(MODEL_REGISTRY.keys())
+
+
+def available_model_names() -> List[str]:
+    return list(GLOBAL_REGISTRY.keys())
+
+
+def get_model_description(model_id_or_name: str) -> Dict:
+    if model_id_or_name not in GLOBAL_REGISTRY:
+        raise ValueError(
+            f"couldn't find '{model_id_or_name}'; check available_model_names()"
+        )
+    return GLOBAL_REGISTRY[model_id_or_name].description
+
+
+# === Structural config construction ===
+
+_VIT_224 = {
+    "dinov2-vit-l": (DINOV2_VIT_L, None),
+    "siglip-vit-so400m": (SIGLIP_SO400M, None),
+    "in1k-vit-l": (ViTConfig(embed_dim=1024, depth=24, num_heads=16, mlp_hidden=4096,
+                             patch_size=16, use_cls_token=True), None),
+    "dinosiglip-vit-so-224px": (DINOV2_VIT_L, SIGLIP_SO400M),
+}
+
+_LLMS = {
+    "llama2-7b-pure": LLAMA2_7B,
+    "llama2-7b-chat": LLAMA2_7B,
+    "vicuna-v15-7b": LLAMA2_7B,
+    "llama2-13b-pure": LLAMA2_13B,
+    "llama2-13b-chat": LLAMA2_13B,
+    "vicuna-v15-13b": LLAMA2_13B,
+    "mistral-v0.1-7b-pure": MISTRAL_7B,
+    "mistral-v0.1-7b-instruct": MISTRAL_7B,
+}
+
+
+class UnsupportedArchitecture(NotImplementedError):
+    pass
+
+
+def build_config(model_id_or_name: str) -> VLAConfig:
+    """Structural VLAConfig for a registry ID, for the architectures this
+    framework implements (224px DINOv2/SigLIP/IN1K towers over Llama-family
+    decoders). CLIP/336px/384px/Phi-2 entries resolve and download but are
+    not constructible here."""
+    spec = GLOBAL_REGISTRY.get(model_id_or_name)
+    if spec is None:
+        raise KeyError(f"unknown model '{model_id_or_name}'; see available_model_names()")
+    if spec.family == "openvla":
+        return OPENVLA_7B
+    if spec.vision_backbone_id not in _VIT_224:
+        raise UnsupportedArchitecture(
+            f"vision backbone '{spec.vision_backbone_id}' is not constructible here "
+            f"(supported: {sorted(_VIT_224)}); checkpoint acquisition still works"
+        )
+    if spec.llm_backbone_id not in _LLMS:
+        raise UnsupportedArchitecture(
+            f"LLM backbone '{spec.llm_backbone_id}' is not constructible here "
+            f"(supported: {sorted(_LLMS)})"
+        )
+    dino, siglip = _VIT_224[spec.vision_backbone_id]
+    return VLAConfig(name=spec.model_id, dino=dino, siglip=siglip,
+                     llm=_LLMS[spec.llm_backbone_id])
+
+
+# === Hub acquisition (load.py:52-121) ===
+
+def hub_files(model_id_or_name: str) -> Tuple[str, List[str]]:
+    """(repo_id, filenames) for a registry entry. OpenVLA checkpoints are
+    standalone HF repos with safetensors shards; prismatic-zoo checkpoints
+    live in one repo keyed by model_id (load.py:66-72)."""
+    spec = GLOBAL_REGISTRY.get(model_id_or_name)
+    if spec is None:
+        raise KeyError(f"unknown model '{model_id_or_name}'; see available_model_names()")
+    if spec.family == "openvla":
+        return f"{OPENVLA_HUB_ORG}/{spec.model_id}", [
+            "config.json",
+            "dataset_statistics.json",
+            "model.safetensors.index.json",
+            "model-*.safetensors",
+        ]
+    return PRISMATIC_HUB_REPO, [
+        f"{spec.model_id}/config.json",
+        f"{spec.model_id}/checkpoints/latest-checkpoint.pt",
+    ]
+
+
+def _default_download(repo_id: str, patterns: List[str], cache_dir: Optional[str],
+                      hf_token: Optional[str]) -> str:
+    from huggingface_hub import snapshot_download
+
+    return snapshot_download(
+        repo_id=repo_id, allow_patterns=patterns, cache_dir=cache_dir, token=hf_token
+    )
+
+
+def load(
+    model_id_or_path: str,
+    cache_dir: Optional[str] = None,
+    hf_token: Optional[str] = None,
+    download_fn: Optional[Callable[..., str]] = None,
+    config: Optional[VLAConfig] = None,
+):
+    """ID or local dir -> (params pytree, VLAConfig, norm_stats|None).
+
+    Mirrors the reference's `prismatic.load` entry point (load.py:52-121):
+    a local directory is used in place; otherwise the ID resolves through
+    GLOBAL_REGISTRY and the checkpoint is fetched from the HF Hub.
+    `download_fn(repo_id, patterns, cache_dir, hf_token) -> local_dir` is
+    injectable for offline tests (mock hub); `config` overrides the
+    registry-derived architecture (tiny test checkpoints)."""
+    from .convert import load_checkpoint_dir, load_norm_stats
+
+    if os.path.isdir(model_id_or_path):
+        local_dir, cfg = model_id_or_path, config or _config_for_dir(model_id_or_path)
+    else:
+        spec = GLOBAL_REGISTRY.get(model_id_or_path)
+        if spec is None:
+            raise KeyError(
+                f"'{model_id_or_path}' is neither a local directory nor a known model ID"
+            )
+        if spec.family != "openvla":
+            # prismatic zoo: acquire, then convert via the legacy-layout shim
+            repo, patterns = hub_files(model_id_or_path)
+            fetch = download_fn or _default_download
+            local_dir = fetch(repo, patterns, cache_dir, hf_token)
+            return _load_prismatic_dir(os.path.join(local_dir, spec.model_id), spec, config)
+        cfg = config or build_config(model_id_or_path)
+        repo, patterns = hub_files(model_id_or_path)
+        fetch = download_fn or _default_download
+        local_dir = fetch(repo, patterns, cache_dir, hf_token)
+
+    params = load_checkpoint_dir(local_dir, cfg)
+    has_stats = os.path.exists(os.path.join(local_dir, "dataset_statistics.json")) or \
+        os.path.exists(os.path.join(local_dir, "config.json"))
+    norm_stats = load_norm_stats(local_dir) if has_stats else None
+    return params, cfg, norm_stats
+
+
+def _config_for_dir(path: str) -> VLAConfig:
+    """Resolve the config for a local checkpoint dir via its config.json
+    model id when present; defaults to the OpenVLA-7B architecture."""
+    cfg_path = os.path.join(path, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            blob = json.load(f)
+        mid = blob.get("model_id") or blob.get("_name_or_path", "")
+        mid = os.path.basename(str(mid))
+        if mid in GLOBAL_REGISTRY:
+            try:
+                return build_config(mid)
+            except UnsupportedArchitecture:
+                pass
+    return OPENVLA_7B
+
+
+# --- prismatic legacy checkpoint layout ------------------------------------------
+
+def prismatic_to_hf_names(state: Dict) -> Dict:
+    """Rename a legacy PrismaticVLM state dict (vlms/prismatic.py module tree:
+    vision_backbone.{dino_,siglip_,}featurizer / projector.projector.{0,2,4}
+    / llm_backbone.llm) to the HF OpenVLA names convert_state_dict expects."""
+    renames = [
+        ("vision_backbone.dino_featurizer.", "vision_backbone.featurizer."),
+        ("vision_backbone.siglip_featurizer.", "vision_backbone.fused_featurizer."),
+        ("projector.projector.0.", "projector.fc1."),
+        ("projector.projector.2.", "projector.fc2."),
+        ("projector.projector.4.", "projector.fc3."),
+        ("llm_backbone.llm.", "language_model."),
+    ]
+    out = {}
+    for key, val in state.items():
+        for old, new in renames:
+            if key.startswith(old):
+                key = new + key[len(old):]
+                break
+        out[key] = val
+    return out
+
+
+def _load_prismatic_dir(path: str, spec: ModelSpec, config: Optional[VLAConfig] = None):
+    """Load a TRI-ML/prismatic-vlms checkpoint dir: torch 'latest-checkpoint.pt'
+    holding {'model': {module: state_dict}} (load.py:60-67, ddp.py:26-53)."""
+    from .convert import convert_state_dict
+
+    cfg = config or build_config(spec.model_id)  # raises UnsupportedArchitecture early
+    import numpy as np
+    import torch
+
+    ckpt = torch.load(
+        os.path.join(path, "checkpoints", "latest-checkpoint.pt"),
+        map_location="cpu", weights_only=True,
+    )
+    modules = ckpt["model"]
+    flat = {}
+    for module, sd in modules.items():
+        for k, v in sd.items():
+            flat[f"{module}.{k}"] = np.asarray(v.to(torch.float32))
+    params = convert_state_dict(prismatic_to_hf_names(flat), cfg)
+    return params, cfg, None
