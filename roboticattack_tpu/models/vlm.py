@@ -58,10 +58,21 @@ def vla_forward(
     cfg: VLAConfig,
     input_ids: jnp.ndarray,
     attention_mask: jnp.ndarray,
-    pixel_values: jnp.ndarray,
+    pixel_values: Optional[jnp.ndarray],
     labels: Optional[jnp.ndarray] = None,
 ) -> VLAOutput:
-    """The multimodal training/attack forward (modeling_prismatic.py:362-415)."""
+    """The multimodal training/attack forward (modeling_prismatic.py:362-415).
+
+    `pixel_values=None` selects the unimodal (language-only) branch
+    (modeling_prismatic.py:344-359): plain decoder forward over input_ids,
+    full-row logits, same shifted CE."""
+    if pixel_values is None:
+        emb = embed_tokens(params["llm"], input_ids)
+        logits = llama_apply(
+            params["llm"], cfg.llm, emb, attention_mask=attention_mask, remat=cfg.remat
+        )
+        loss = cross_entropy_loss(logits, labels) if labels is not None else None
+        return VLAOutput(loss=loss, logits=logits)
 
     def encode(vision_params, projector_params, pixels):
         patches = vision_features(vision_params, cfg, pixels)
