@@ -326,6 +326,32 @@ int rlds_example_feature(const uint8_t* record, int64_t record_len, const char* 
   return 0;
 }
 
+// Number of elements in a (possibly repeated) feature; -1 if absent.
+// RLDS episodes store one bytes element per STEP (e.g. steps/observation/image
+// holds T JPEGs), so readers need the repeat count, not just element 0.
+int64_t rlds_example_feature_count(const uint8_t* record, int64_t record_len,
+                                   const char* key) {
+  FeatureValue fv;
+  if (!find_feature(Slice{record, static_cast<size_t>(record_len)}, key, &fv)) return -1;
+  if (fv.kind == kBytes) return static_cast<int64_t>(fv.bytes_values.size());
+  if (fv.kind == kFloat) return static_cast<int64_t>(fv.float_values.size());
+  return static_cast<int64_t>(fv.int64_values.size());
+}
+
+// Indexed access to one element of a repeated BYTES feature.
+// *out points INTO record (no copy). Returns -1 when absent/out of range or
+// the feature isn't bytes.
+int rlds_example_bytes_at(const uint8_t* record, int64_t record_len, const char* key,
+                          int64_t index, const uint8_t** out_ptr, int64_t* out_len) {
+  FeatureValue fv;
+  if (!find_feature(Slice{record, static_cast<size_t>(record_len)}, key, &fv)) return -1;
+  if (fv.kind != kBytes) return -1;
+  if (index < 0 || index >= static_cast<int64_t>(fv.bytes_values.size())) return -1;
+  *out_ptr = fv.bytes_values[index].data;
+  *out_len = static_cast<int64_t>(fv.bytes_values[index].len);
+  return 0;
+}
+
 // libjpeg's default error_exit() calls exit(); corrupt records must instead
 // surface as a -1 return, so install a setjmp-based error manager.
 struct JpegErrorMgr {

@@ -140,12 +140,17 @@ class OpenVLAAttacker:
         attack: AttackConfig,
         mesh=None,
         tracker: Optional[Tracker] = None,
+        data_counters: Optional[Dict] = None,
     ) -> None:
         self.cfg = cfg
         self.attack = attack
         self.save_dir = save_dir
         self.mesh = mesh
         self.tracker = tracker or Tracker(save_dir, quiet=False)
+        # live skip-rate counters from the data pipeline (rlds.py
+        # frames_to_attack_batches); reported at every eval cadence so a
+        # long-instruction dataset being filtered by pad_to is visible
+        self.data_counters = data_counters
         os.makedirs(save_dir, exist_ok=True)
 
         target = None
@@ -260,6 +265,15 @@ class OpenVLAAttacker:
             self.tracker.log(log, step=i)
 
             if i % a.eval_every == 0:
+                if self.data_counters and self.data_counters.get("frames_seen"):
+                    seen = self.data_counters["frames_seen"]
+                    skipped = self.data_counters.get("frames_skipped_pad_to", 0)
+                    self.tracker.log(
+                        {"DATA_frames_seen": seen,
+                         "DATA_frames_skipped_pad_to": skipped,
+                         "DATA_pad_to_skip_rate": skipped / seen},
+                        step=i,
+                    )
                 self._validate(state, val_batches, i)
                 if process_zero():
                     self.save_state(state, i)

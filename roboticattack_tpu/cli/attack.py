@@ -115,13 +115,15 @@ def make_data(args, cfg, tokenizer=None):
             dummy_frame_iterator(tok, image_size=image_size, seed=args.seed + 1),
             8, pad_to=args.pad_to,  # val bs fixed at 8 (openvla_dataloader.py:151)
         )
-        return train, val
+        return train, val, None
     from ..data.rlds import make_attack_iterators  # requires tensorflow_datasets
 
-    return make_attack_iterators(
+    counters = {}
+    train, val = make_attack_iterators(
         args.dataset, args.bs, seed=args.seed, checkpoint=args.checkpoint,
-        pad_to=args.pad_to,
+        pad_to=args.pad_to, counters=counters,
     )
+    return train, val, counters
 
 
 def main(argv=None):
@@ -193,8 +195,9 @@ def main(argv=None):
     )
 
     mesh = make_mesh() if args.data_parallel else None
-    train, val = make_data(args, cfg)
-    runner = OpenVLAAttacker(params, cfg, out_dir, attack, mesh=mesh, tracker=tracker)
+    train, val, data_counters = make_data(args, cfg)
+    runner = OpenVLAAttacker(params, cfg, out_dir, attack, mesh=mesh, tracker=tracker,
+                             data_counters=data_counters)
     result = runner.run(train, val, profile_dir=args.profile, resume_from=args.resume)
     print(f"Attack done! best {attack.objective} val metric: {result.best_metric:.6g}")
     print(f"patch artifacts under {out_dir}")

@@ -45,6 +45,16 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.rlds_example_feature_count.restype = ctypes.c_int64
+    lib.rlds_example_feature_count.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_char_p,
+    ]
+    lib.rlds_example_bytes_at.restype = ctypes.c_int
+    lib.rlds_example_bytes_at.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.rlds_jpeg_decode.restype = ctypes.c_int
     lib.rlds_jpeg_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -87,6 +97,27 @@ class NativeExample:
         ).copy()
         self._lib.rlds_free(ptr)
         return arr
+
+    def feature_count(self, key: str) -> int:
+        """Element count of a (repeated) feature; RLDS episodes store one
+        bytes element per step."""
+        n = self._lib.rlds_example_feature_count(self._buf, self._len, key.encode())
+        if n < 0:
+            raise KeyError(f"feature '{key}' not found in example")
+        return int(n)
+
+    def bytes_at(self, key: str, index: int) -> bytes:
+        """One element of a repeated bytes feature (copied out)."""
+        ptr = ctypes.POINTER(ctypes.c_uint8)()
+        length = ctypes.c_int64()
+        rc = self._lib.rlds_example_bytes_at(
+            self._buf, self._len, key.encode(), index, ctypes.byref(ptr),
+            ctypes.byref(length),
+        )
+        if rc != 0:
+            raise KeyError(f"bytes feature '{key}'[{index}] not found")
+        n = length.value
+        return bytes(ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8 * n)).contents)
 
     def decode_jpeg(self, key: str) -> np.ndarray:
         data = self.feature(key)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Callable, Dict, Iterator, List, Optional, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -129,42 +129,84 @@ DATASET_IMAGE_KEYS: Dict[str, str] = {
 
 # --- statistics ------------------------------------------------------------------
 
+LOCAL_STATS_CACHE = os.path.expanduser(os.path.join("~", ".cache", "roboticattack_tpu"))
+
+
+def _moment_block(values: np.ndarray) -> Dict:
+    return {
+        "mean": values.mean(0).tolist(),
+        "std": values.std(0).tolist(),
+        "max": values.max(0).tolist(),
+        "min": values.min(0).tolist(),
+        "q01": np.quantile(values, 0.01, axis=0).tolist(),
+        "q99": np.quantile(values, 0.99, axis=0).tolist(),
+    }
+
+
+def statistics_cache_path(hash_dependencies: Sequence[str],
+                          save_path: Optional[str] = None) -> str:
+    """Cache filename keyed by SHA-256 over the dependency strings —
+    builder info + obs keys + the standardization transform's SOURCE — so
+    editing a transform invalidates cached statistics
+    (utils/data_utils.py:195-202)."""
+    digest = hashlib.sha256("".join(hash_dependencies).encode("utf-8")).hexdigest()
+    base = save_path if save_path else LOCAL_STATS_CACHE
+    return os.path.join(base, f"dataset_statistics_{digest}.json")
+
+
 def compute_dataset_statistics(traj_dataset, save_path: Optional[str] = None,
-                               cache_key: str = "") -> Dict:
-    """Aggregate action statistics over transformed trajectories; cache JSON.
-    Mirrors utils/data_utils.py:185-271 (hash-keyed cache file)."""
-    if save_path and cache_key:
-        digest = hashlib.sha256(cache_key.encode()).hexdigest()[:16]
-        cache_file = os.path.join(save_path, f"dataset_statistics_{digest}.json")
-        if os.path.exists(cache_file):
-            with open(cache_file) as f:
-                return json.load(f)
+                               hash_dependencies: Sequence[str] = ()) -> Dict:
+    """Aggregate action/proprio statistics over transformed trajectories;
+    cache JSON in the reference's schema (action + proprio moment blocks +
+    transition/trajectory counts, utils/data_utils.py:185-271). The proprio
+    block falls back to zeros-like-action when the dataset carries no proprio,
+    exactly like the reference's traj_map default (:221-225)."""
+    cache_file = None
+    if hash_dependencies:
+        cache_file = statistics_cache_path(hash_dependencies, save_path)
+        local_file = statistics_cache_path(hash_dependencies, None)
+        for candidate in (cache_file, local_file):
+            if os.path.exists(candidate):
+                with open(candidate) as f:
+                    return json.load(f)
     actions: List[np.ndarray] = []
+    proprios: List[np.ndarray] = []
     num_transitions = 0
     num_trajectories = 0
     for traj in traj_dataset.as_numpy_iterator():
-        actions.append(np.asarray(traj["action"], np.float64))
-        num_transitions += traj["action"].shape[0]
+        act = np.asarray(traj["action"], np.float64)
+        actions.append(act)
+        obs = traj.get("observation") or {}
+        proprio = obs.get("proprio") if isinstance(obs, dict) else None
+        proprios.append(np.asarray(proprio, np.float64) if proprio is not None
+                        else np.zeros_like(act))
+        num_transitions += act.shape[0]
         num_trajectories += 1
     cat = np.concatenate(actions, axis=0)
     stats = {
-        "action": {
-            "mean": cat.mean(0).tolist(),
-            "std": cat.std(0).tolist(),
-            "max": cat.max(0).tolist(),
-            "min": cat.min(0).tolist(),
-            "q01": np.quantile(cat, 0.01, axis=0).tolist(),
-            "q99": np.quantile(cat, 0.99, axis=0).tolist(),
-            "mask": ACTION_NORM_MASK[: cat.shape[1]],
-        },
+        "action": dict(_moment_block(cat), mask=ACTION_NORM_MASK[: cat.shape[1]]),
+        "proprio": _moment_block(np.concatenate(proprios, axis=0)),
         "num_transitions": num_transitions,
         "num_trajectories": num_trajectories,
     }
-    if save_path and cache_key:
-        os.makedirs(save_path, exist_ok=True)
-        with open(cache_file, "w") as f:
-            json.dump(stats, f)
+    if cache_file is not None:
+        try:
+            os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+            with open(cache_file, "w") as f:
+                json.dump(stats, f)
+        except OSError:
+            os.makedirs(os.path.dirname(local_file), exist_ok=True)
+            with open(local_file, "w") as f:
+                json.dump(stats, f)
     return stats
+
+
+def save_reference_statistics(stats_by_dataset: Dict[str, Dict], path: str) -> None:
+    """Write the eval-side `dataset_statistics.json` (dataset name ->
+    statistics blocks), the schema `predict_action` unnormalization consumes
+    (experiments/robot/openvla_utils.py:60-70)."""
+    with open(path, "w") as f:
+        json.dump(stats_by_dataset, f, indent=2)
 
 
 def normalize_traj_actions(traj: Dict, stats: Dict) -> Dict:
@@ -221,9 +263,13 @@ def trajectories_to_frames(traj_dataset, image_size: int = 224,
     return ds.prefetch(tf.data.AUTOTUNE)
 
 
-def load_tfds_trajectories(name: str, data_dir: Optional[str], split: str):
+def load_tfds_trajectories(name: str, data_dir: Optional[str], split: str,
+                           return_builder_info: bool = False):
     """TFDS loader with the reference's field extraction. Requires
-    `tensorflow_datasets` (not installed on the dev box — gated)."""
+    `tensorflow_datasets` (not installed on the dev box — gated).
+
+    `return_builder_info=True` additionally returns `str(builder.info)` for
+    the statistics-cache hash (dataset.py:215-218)."""
     try:
         import tensorflow_datasets as tfds
     except ImportError as e:
@@ -248,7 +294,10 @@ def load_tfds_trajectories(name: str, data_dir: Optional[str], split: str):
             else steps["observation"]["natural_language_instruction"],
         }
 
-    return ds.map(restructure, num_parallel_calls=tf.data.AUTOTUNE)
+    mapped = ds.map(restructure, num_parallel_calls=tf.data.AUTOTUNE)
+    if return_builder_info:
+        return mapped, str(builder.info)
+    return mapped
 
 
 def make_frame_dataset(
@@ -262,6 +311,7 @@ def make_frame_dataset(
     shuffle_buffer: int = SHUFFLE_BUFFER,
     num_shards: int = 1,
     shard_index: int = 0,
+    file_layer: str = "tf",
 ):
     """Full per-dataset pipeline: load -> standardize -> stats -> normalize ->
     frames. `traj_dataset` injects a pre-built trajectory dataset (tests).
@@ -269,16 +319,50 @@ def make_frame_dataset(
     num_shards/shard_index: per-host trajectory sharding for multi-host DP
     (the reference DDP's `dataset.shard(world, rank)`, UADA_ddp.py:157-159).
     Statistics are computed over the UNsharded stream so every host
-    normalizes identically."""
+    normalizes identically.
+
+    file_layer='native' swaps the tf.data file layer for the C++ reader
+    (native/rlds_reader.cpp via data/native_pipeline.py): TFRecord framing,
+    proto parsing, and JPEG decode run native with NumPy standardization —
+    no TensorFlow on the hot path. Requires `stats` (or a tf-computed cache)
+    and currently covers the attack datasets (bridge_orig + LIBERO suites)."""
+    if file_layer == "native":
+        if stats is None:
+            raise ValueError(
+                "file_layer='native' needs `stats` (compute once with the tf "
+                "layer or load a reference dataset_statistics.json)"
+            )
+        from .native_pipeline import NativeFrameDataset, discover_tfrecords
+
+        paths = discover_tfrecords(name, data_dir or ".", split="train")
+        if num_shards > 1:
+            paths = paths[shard_index::num_shards] or paths[shard_index:shard_index + 1]
+        frames = NativeFrameDataset(
+            paths, name, stats, image_key=DATASET_IMAGE_KEYS.get(name, "image"),
+            image_size=image_size, shuffle_buffer=shuffle_buffer, seed=seed, train=train,
+        )
+        return frames, stats
     split = "train[:95%]" if train else "train[95%:]"  # dataset.py:234-237
+    builder_info = f"name={name}"
     if traj_dataset is None:
-        traj_dataset = load_tfds_trajectories(name, data_dir, split)
+        traj_dataset, builder_info = load_tfds_trajectories(
+            name, data_dir, split, return_builder_info=True
+        )
     transform = STANDARDIZATION_TRANSFORMS.get(name)
     if transform is not None:
         traj_dataset = traj_dataset.map(transform)
     if stats is None:
+        import inspect
+
+        # hash over builder info + transform SOURCE (dataset.py:213-220):
+        # editing a standardization transform invalidates cached statistics.
+        # NOTE: stats aggregate the loaded split; the reference aggregates
+        # split="all" — pass `stats=` (e.g. a reference-exported JSON) when
+        # exact normalization parity with a reference run is required.
+        transform_src = inspect.getsource(transform) if transform is not None else ""
         stats = compute_dataset_statistics(
-            traj_dataset, save_path=data_dir, cache_key=f"{name}-{split}"
+            traj_dataset, save_path=data_dir,
+            hash_dependencies=(builder_info, split, transform_src),
         )
     if num_shards > 1:
         traj_dataset = traj_dataset.shard(num_shards, shard_index)
@@ -294,6 +378,7 @@ def frames_to_attack_batches(
     tokenizer: TextTokenizer,
     batch_size: int,
     pad_to: Optional[int] = 32,
+    counters: Optional[Dict] = None,
 ) -> Iterator:
     """Host loop: tokenize prompts + collate into AttackBatch (the reference's
     RLDSBatchTransform + collator, done in the numpy iterator).
@@ -301,21 +386,28 @@ def frames_to_attack_batches(
     Frames whose tokenization exceeds `pad_to` are SKIPPED with a warning
     (the 16 GB bs=8 7B envelope caps the multimodal sequence at 288, i.e.
     pad_to=32; a crash hours into a run would be worse than a slightly
-    filtered instruction distribution — raise --pad_to on bigger chips)."""
+    filtered instruction distribution — raise --pad_to on bigger chips).
+    Pass a `counters` dict to observe the rate: 'frames_seen' and
+    'frames_skipped_pad_to' are incremented in place so the run tracker can
+    report a long-instruction dataset being quietly decimated."""
     it = frame_dataset.as_numpy_iterator()
-    skipped = 0
+    counters = counters if counters is not None else {}
+    counters.setdefault("frames_seen", 0)
+    counters.setdefault("frames_skipped_pad_to", 0)
     while True:
         rows = []
         while len(rows) < batch_size:
             f = next(it)
+            counters["frames_seen"] += 1
             lang = f["language"]
             if isinstance(lang, bytes):
                 lang = lang.decode()
             input_ids, labels = build_vla_example(lang, f["action"], tokenizer)
             if pad_to is not None and len(input_ids) > pad_to:
-                skipped += 1
-                if skipped in (1, 100, 10000):
-                    print(f"[data] WARNING: skipped {skipped} frames with "
+                counters["frames_skipped_pad_to"] += 1
+                if counters["frames_skipped_pad_to"] in (1, 100, 10000):
+                    print(f"[data] WARNING: skipped "
+                          f"{counters['frames_skipped_pad_to']} frames with "
                           f"prompts longer than pad_to={pad_to} "
                           f"(latest: {len(input_ids)} tokens); raise --pad_to "
                           "if HBM allows")
@@ -334,12 +426,14 @@ def make_attack_iterators(
     pad_to: int = 32,
     num_shards: int = 1,
     shard_index: int = 0,
+    counters: Optional[Dict] = None,
 ) -> Tuple[Iterator, Iterator]:
     """(train, val) AttackBatch iterators for a named RLDS dataset
     (openvla_dataloader.py:81-156 equivalent; val batch size fixed at 8).
     pad_to=32 (multimodal seq 288) is the 16 GB bs=8 7B fit envelope.
     num_shards/shard_index give each HOST a disjoint trajectory shard for
-    multi-host data parallelism (pass jax.process_count()/process_index())."""
+    multi-host data parallelism (pass jax.process_count()/process_index()).
+    `counters` (mutated in place) exposes the pad_to skip rate."""
     if tokenizer is None:
         tokenizer = _tokenizer_from_checkpoint(checkpoint)
     train_frames, stats = make_frame_dataset(
@@ -350,7 +444,8 @@ def make_attack_iterators(
         dataset, data_dir, train=False, stats=stats, seed=seed,
         num_shards=num_shards, shard_index=shard_index,
     )
-    train = frames_to_attack_batches(train_frames, tokenizer, batch_size, pad_to=pad_to)
+    train = frames_to_attack_batches(train_frames, tokenizer, batch_size,
+                                     pad_to=pad_to, counters=counters)
     val = frames_to_attack_batches(val_frames, tokenizer, 8, pad_to=pad_to)
     return train, val
 
