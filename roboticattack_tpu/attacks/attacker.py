@@ -84,6 +84,14 @@ class AttackConfig:
     eval_every: int = 100
     eval_batches: int = 100                   # 1000 for UADA (UADA.py:202)
     seed: int = 42
+    # gradient-sync semantics under a data mesh:
+    #   'gspmd' — global-mean loss, XLA inserts collectives (default path)
+    #   'exact' — average-of-per-rank-gradients via shard_map, byte-matching
+    #             torch DDP's bucket all-reduce (UADA_ddp.py:144-221); the
+    #             reference's rank-MAX on the logged patch grad is a no-op
+    #             (DDP syncs .grad before the log), so grad_mean needs no
+    #             extra reduction
+    ddp_semantics: str = "gspmd"
 
     @property
     def patch_hw(self):
@@ -160,7 +168,24 @@ class OpenVLAAttacker:
             )
         self._target = target
         spec = attack.spec()
-        self._step = make_attack_step(spec, cfg, target, attack.maskidx)
+        if attack.ddp_semantics == "exact":
+            if mesh is None:
+                raise ValueError("ddp_semantics='exact' needs a data mesh "
+                                 "(--data_parallel true)")
+            from .ddp import make_ddp_attack_step
+
+            exact = make_ddp_attack_step(spec, cfg, target, attack.maskidx, mesh)
+
+            # exact DDP has no accumulation (guarded inside), so apply_update
+            # is always True — adapt to the (params, state, batch, lr,
+            # apply_update, rng) calling convention of the default step
+            def step(params, state, batch, lr, apply_update, rng):
+                del apply_update
+                return exact(params, state, batch, lr, rng)
+
+            self._step = step
+        else:
+            self._step = make_attack_step(spec, cfg, target, attack.maskidx)
         self._val = make_val_step(spec, cfg, target, attack.maskidx)
 
         self.params = replicate(params, mesh) if mesh is not None else params

@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="local HF OpenVLA checkpoint dir (safetensors) to convert & load")
     p.add_argument("--data_parallel", type=str2bool, default=False,
                    help="shard batches over all local devices (replaces torchrun DDP)")
+    p.add_argument("--ddp_semantics", default="gspmd", choices=["gspmd", "exact"],
+                   help="'gspmd' = global-mean loss (XLA collectives); 'exact' = "
+                        "average-of-rank-gradients via shard_map, matching torch "
+                        "DDP's all-reduce exactly (UADA_ddp.py:144-221)")
     p.add_argument("--eval_every", default=None, type=int)
     p.add_argument("--eval_batches", default=None, type=int)
     p.add_argument("--output", default=None, type=str, help="run dir (default run/<attack>/<uuid>)")
@@ -192,6 +196,7 @@ def main(argv=None):
         eval_every=args.eval_every or (200 if args.data_parallel else 100),
         eval_batches=args.eval_batches or (1000 if objective == "uada" else 100),
         seed=args.seed,
+        ddp_semantics=args.ddp_semantics if args.data_parallel else "gspmd",
     )
 
     mesh = make_mesh() if args.data_parallel else None
