@@ -33,11 +33,37 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, type=str)
     p.add_argument("--model", default="openvla-7b", type=str)
     p.add_argument("--unnorm_key", default=None, type=str)
+    p.add_argument("--config_path", default=None, type=str,
+                   help="YAML/JSON LiberoEvalConfig file (draccus-style; the "
+                        "reference's clean eval is config-file driven, "
+                        "run_libero_eval.py) — CLI flags override file values")
     return p
 
 
+def apply_config_file(parser: "argparse.ArgumentParser", argv) -> None:
+    """Pre-scan for --config_path and fold the file's LiberoEvalConfig values
+    in as parser defaults (precedence: CLI flag > file > built-in default)."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config_path", default=None)
+    known, _ = pre.parse_known_args(argv)
+    if not known.config_path:
+        return
+    from ..eval.libero import LiberoEvalConfig
+    from ..utils.configurate import load_config
+
+    cfg = load_config(LiberoEvalConfig, known.config_path)
+    known_flags = {a.dest for a in parser._actions}
+    parser.set_defaults(**{
+        k: v for k, v in cfg.__dict__.items() if k in known_flags
+    })
+    if "output_dir" in cfg.__dict__ and "output" in known_flags:
+        parser.set_defaults(output=cfg.output_dir)
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    apply_config_file(parser, argv)
+    args = parser.parse_args(argv)
     from ..eval.libero import LiberoEvalConfig, eval_libero
     from ..eval.policy import load_policy
 
