@@ -207,10 +207,12 @@ def upa_loss(
     )
 
     dot = jnp.sum(xyz_pred * xyz_gt, axis=-1)
-    denom = jnp.maximum(
-        jnp.linalg.norm(xyz_pred, axis=-1) * jnp.linalg.norm(xyz_gt, axis=-1), 1e-8
-    )
-    cos_sim = dot / denom
+    # F.cosine_similarity clamps EACH norm to eps separately (the reference
+    # calls it at UPA.py:382); max(prod, eps) would differ on degenerate
+    # near-zero vectors — property-tested vs torch in tests/test_losses.py
+    nx = jnp.maximum(jnp.linalg.norm(xyz_pred, axis=-1), 1e-8)
+    ny = jnp.maximum(jnp.linalg.norm(xyz_gt, axis=-1), 1e-8)
+    cos_sim = dot / (nx * ny)
     angle_loss = jnp.mean(cos_sim + 1.0)
     distance_loss = 1.0 / (jnp.mean(jnp.linalg.norm(xyz_pred - xyz_gt, axis=-1)) + 1e-3)
     loss = alpha * angle_loss + beta * distance_loss

@@ -167,3 +167,51 @@ def test_clip_grad_l1_matches_torch():
     torch.nn.utils.clip_grad_norm_([p], max_norm=1e-3, norm_type=1)
     ours = np.asarray(clip_grad_l1(jnp.asarray(g), 1e-3))
     np.testing.assert_allclose(ours, p.grad.numpy(), rtol=1e-5, atol=1e-8)
+
+
+def _force_xyz_tokens(labels, token):
+    """Set each row's first three action-token labels to `token`."""
+    out = labels.copy()
+    for b in range(out.shape[0]):
+        pos = np.where(out[b] > ACTION_TOKEN_BEGIN_IDX)[0][:3]
+        out[b, pos] = token
+    return out
+
+
+def test_upa_degenerate_zero_gt_matches_torch():
+    """Zero gt xyz vectors (all three tokens at the +1 bin -> mapped 0.0):
+    F.cosine_similarity clamps EACH norm to eps separately, so the cosine is
+    ~0 rather than exploding — the clamp semantics the repo must match
+    (UPA.py:382, randomized sweep incl. the degenerate rows)."""
+    labels = _force_xyz_tokens(_label_batch(seed=7), ACTION_TOKEN_MIN)
+    logits = _random_logits(labels, seed=8)
+    want_total, want_angle, want_dist = _torch_upa(logits, labels)
+    got = upa_loss(_text(logits), jnp.asarray(labels), jnp.float32(1.0), CFG)
+    assert abs(float(got.angle_loss) - want_angle) < 1e-5
+    assert abs(float(got.distance_loss) - want_dist) < 2e-4
+    assert np.isfinite(float(got.loss))
+
+
+def test_upa_randomized_torch_sweep():
+    """Randomized parity sweep: per-seed random logits/labels with a mix of
+    ordinary, zero-gt, and near-zero-gt xyz rows."""
+    for seed in range(4):
+        labels = _label_batch(batch=3, seed=20 + seed)
+        if seed % 2:
+            labels = _force_xyz_tokens(labels, ACTION_TOKEN_MIN)
+        logits = _random_logits(labels, seed=40 + seed)
+        want_total, want_angle, want_dist = _torch_upa(logits, labels)
+        got = upa_loss(_text(logits), jnp.asarray(labels), jnp.float32(1.0), CFG)
+        assert abs(float(got.angle_loss) - want_angle) < 1e-5, seed
+        assert abs(float(got.distance_loss) - want_dist) < 2e-4, seed
+
+
+def test_uada_fully_masked_rows_stay_finite():
+    """maskidx=[] turns every action label IGNORE. The reference's boolean
+    `.view(-1, 7)` machinery would crash on this input; the static-shape
+    masked reductions here must simply produce finite values."""
+    labels = np.asarray(mask_labels(jnp.asarray(_label_batch(seed=9)), []))
+    logits = _random_logits(labels, seed=10)
+    got = uada_loss(_text(logits), jnp.asarray(labels), jnp.float32(1.3), CFG)
+    assert np.isfinite(float(got.loss))
+    assert np.isfinite(float(got.mse_distance)) and np.isfinite(float(got.uad))
