@@ -71,7 +71,14 @@ class LlamaConfig:
     # two-level remat: scan groups of this many blocks, checkpointing the
     # group AND each block — cuts saved carries from num_layers to
     # num_layers/group at ~one extra fwd of recompute. 1 = plain per-block.
+    # MEASURED SLOWER on the 7B (see BASELINE.md negative-result note).
     remat_group: int = 1
+    # lax.scan unroll factor for the block loop: >1 lets XLA software-pipeline
+    # the next layer's weight loads against the current layer's compute
+    # without regrouping the stacked weights. MEASURED on the 7B attack step:
+    # unroll=2 -> 1.166 inner/s vs 1.244 at unroll=1 (XLA already overlaps
+    # the scan's weight prefetch; unrolling only grows the program). Keep 1.
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:

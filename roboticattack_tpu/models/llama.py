@@ -142,7 +142,7 @@ def llama_apply(
         group_body = jax.checkpoint(group_body)
         x, _ = jax.lax.scan(group_body, inputs_embeds, grouped)
     else:
-        x, _ = jax.lax.scan(body, inputs_embeds, layers)
+        x, _ = jax.lax.scan(body, inputs_embeds, layers, unroll=cfg.scan_unroll)
     x = rms_norm(x, params["norm"], cfg.rms_eps)
     if logits_tail is not None:
         x = x[:, s - logits_tail :, :]

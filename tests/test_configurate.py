@@ -122,3 +122,23 @@ def test_eval_libero_config_path(tmp_path):
     assert args.x == 15                 # from file
     assert args.y == 99                 # CLI wins
     assert args.num_trials_per_task == 3
+
+
+def test_eval_bridge_cli_config_path(tmp_path):
+    from roboticattack_tpu.cli.eval_bridge import (
+        apply_config_file,
+        build_parser,
+        config_from_args,
+    )
+    from roboticattack_tpu.eval.bridge import BridgeEvalConfig
+
+    dump_config(BridgeEvalConfig(host_ip="10.0.0.7", max_steps=33,
+                                 initial_eep=(0.1, 0.2, 0.3)),
+                str(tmp_path / "bridge.yaml"))
+    parser = build_parser()
+    argv = ["--config_path", str(tmp_path / "bridge.yaml"), "--port", "7777"]
+    apply_config_file(parser, argv)
+    cfg = config_from_args(parser.parse_args(argv))
+    assert cfg.host_ip == "10.0.0.7" and cfg.max_steps == 33
+    assert cfg.port == 7777                      # CLI wins
+    assert cfg.initial_eep == (0.1, 0.2, 0.3)
