@@ -2,6 +2,8 @@
 # Data-parallel UADA over all local devices — replaces the reference's
 # `torchrun --nproc_per_node=N UADA_wrapper3_ddp.py` (README.md:107-126);
 # the mesh shards batches and XLA supplies the gradient all-reduce.
+# Add `--ddp_semantics exact` for torch-DDP's exact average-of-rank-gradients
+# sync (shard_map) instead of the default GSPMD global-mean formulation.
 current_dir=$(pwd)
 python -m roboticattack_tpu.cli.attack \
     --attack uada \

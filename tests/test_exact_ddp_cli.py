@@ -62,3 +62,23 @@ def test_cli_flag_maps_to_exact(tmp_path):
         ["--attack", "uada", "--data_parallel", "true", "--ddp_semantics", "exact"]
     )
     assert args.ddp_semantics == "exact" and args.data_parallel
+
+
+def test_skip_rate_reported_to_tracker(tmp_path):
+    """data_counters flow into run-metrics.jsonl at the eval cadence."""
+    import json
+
+    params = init_vla_params(jax.random.key(0), VLA_TINY)
+    cfg = AttackConfig(
+        objective="tma", maskidx=[0], lr=1e-2, num_iter=2, batch_size=2,
+        warmup=0, inner_loop=1, geometry=False, eval_every=1, eval_batches=1,
+        patch_size=(3, 8, 8),
+    )
+    counters = {"frames_seen": 100, "frames_skipped_pad_to": 25}
+    runner = OpenVLAAttacker(params, VLA_TINY, str(tmp_path), cfg,
+                             data_counters=counters)
+    runner.run(_data(2), _data(2, seed=1))
+    lines = [json.loads(l) for l in
+             open(tmp_path / "run-metrics.jsonl").read().splitlines()]
+    rates = [l["DATA_pad_to_skip_rate"] for l in lines if "DATA_pad_to_skip_rate" in l]
+    assert rates and abs(rates[0] - 0.25) < 1e-9
