@@ -102,8 +102,10 @@ def resolve_objective(args) -> str:
     return args.attack
 
 
-def make_data(args, cfg, tokenizer=None):
-    """Train/val AttackBatch iterators for the requested dataset."""
+def make_data(args, cfg, tokenizer=None, out_dir=None):
+    """Train/val AttackBatch iterators for the requested dataset. Real-data
+    runs also emit `<out_dir>/dataset_statistics.json` (the eval side's
+    unnormalization source, openvla_utils.py:60-70 schema)."""
     from ..data import batch_iterator, dummy_frame_iterator
 
     if args.dataset == "dummy":
@@ -120,13 +122,17 @@ def make_data(args, cfg, tokenizer=None):
             8, pad_to=args.pad_to,  # val bs fixed at 8 (openvla_dataloader.py:151)
         )
         return train, val, None
-    from ..data.rlds import make_attack_iterators  # requires tensorflow_datasets
+    from ..data.rlds import make_attack_iterators, save_reference_statistics
 
-    counters = {}
+    counters, stats_sink = {}, {}
     train, val = make_attack_iterators(
         args.dataset, args.bs, seed=args.seed, checkpoint=args.checkpoint,
-        pad_to=args.pad_to, counters=counters,
+        pad_to=args.pad_to, counters=counters, stats_sink=stats_sink,
     )
+    if out_dir and stats_sink:
+        save_reference_statistics(
+            stats_sink, os.path.join(out_dir, "dataset_statistics.json")
+        )
     return train, val, counters
 
 
@@ -200,7 +206,7 @@ def main(argv=None):
     )
 
     mesh = make_mesh() if args.data_parallel else None
-    train, val, data_counters = make_data(args, cfg)
+    train, val, data_counters = make_data(args, cfg, out_dir=out_dir)
     runner = OpenVLAAttacker(params, cfg, out_dir, attack, mesh=mesh, tracker=tracker,
                              data_counters=data_counters)
     result = runner.run(train, val, profile_dir=args.profile, resume_from=args.resume)

@@ -427,6 +427,7 @@ def make_attack_iterators(
     num_shards: int = 1,
     shard_index: int = 0,
     counters: Optional[Dict] = None,
+    stats_sink: Optional[Dict] = None,
 ) -> Tuple[Iterator, Iterator]:
     """(train, val) AttackBatch iterators for a named RLDS dataset
     (openvla_dataloader.py:81-156 equivalent; val batch size fixed at 8).
@@ -444,6 +445,8 @@ def make_attack_iterators(
         dataset, data_dir, train=False, stats=stats, seed=seed,
         num_shards=num_shards, shard_index=shard_index,
     )
+    if stats_sink is not None:
+        stats_sink[dataset] = stats
     train = frames_to_attack_batches(train_frames, tokenizer, batch_size,
                                      pad_to=pad_to, counters=counters)
     val = frames_to_attack_batches(val_frames, tokenizer, 8, pad_to=pad_to)

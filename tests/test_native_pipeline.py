@@ -203,3 +203,38 @@ def test_skip_rate_counters():
     assert counters["frames_skipped_pad_to"] >= 3
     rate = counters["frames_skipped_pad_to"] / counters["frames_seen"]
     assert 0.3 < rate < 0.7
+
+
+def test_make_attack_iterators_stats_sink(tmp_path, monkeypatch):
+    """stats_sink collects per-dataset statistics for the run-dir
+    dataset_statistics.json the eval side consumes."""
+    from roboticattack_tpu.data import rlds as rlds_mod
+    from roboticattack_tpu.data.rlds import (
+        make_attack_iterators,
+        save_reference_statistics,
+    )
+
+    class FakeFrames:
+        def as_numpy_iterator(self):
+            rng = np.random.default_rng(0)
+            while True:
+                yield {
+                    "image": rng.integers(0, 255, (56, 56, 3), dtype=np.uint8),
+                    "action": rng.uniform(-1, 1, 7).astype(np.float32),
+                    "language": "pick it up",
+                }
+
+    def fake_mfd(name, data_dir=None, train=True, stats=None, seed=42, **kw):
+        return FakeFrames(), (stats or _stats())
+
+    monkeypatch.setattr(rlds_mod, "make_frame_dataset", fake_mfd)
+    sink = {}
+    train, val = make_attack_iterators(
+        "bridge_orig", 2, tokenizer=WordStubTokenizer(), stats_sink=sink
+    )
+    next(train)
+    assert "bridge_orig" in sink and "q01" in sink["bridge_orig"]["action"]
+    out = tmp_path / "dataset_statistics.json"
+    save_reference_statistics(sink, str(out))
+    blob = json.loads(out.read_text())
+    assert blob["bridge_orig"]["action"]["q99"] == [2.0] * 7
