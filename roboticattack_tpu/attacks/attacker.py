@@ -262,6 +262,13 @@ class OpenVLAAttacker:
             a.filter_grip_train_to_1 and len(a.maskidx) == 1 and a.maskidx[0] == 6
         )
 
+        # NOTE on data/prefetch.py: wrapping train_batches in device_prefetch
+        # overlaps host batch assembly with device compute and works on
+        # plain backends, but MEASURED on the axon-relayed TPU it deadlocks
+        # after the first step (concurrent device_put from the daemon thread
+        # vs the main thread's execution through the relay). The attack loop
+        # therefore keeps the synchronous feed; the host cost is ~0.1 s per
+        # 1.7 s outer step.
         for i in range(start_iter, a.num_iter):
             batch = next(train_batches)
             if grip_filter:
