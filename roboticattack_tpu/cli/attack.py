@@ -68,6 +68,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="local HF OpenVLA checkpoint dir (safetensors) to convert & load")
     p.add_argument("--data_parallel", type=str2bool, default=False,
                    help="shard batches over all local devices (replaces torchrun DDP)")
+    p.add_argument("--file_layer", default="tf", choices=["tf", "native"],
+                   help="'native' reads RLDS TFRecords through the C++ reader "
+                        "(no TensorFlow on the hot path); needs --stats_json")
+    p.add_argument("--stats_json", default=None, type=str,
+                   help="dataset_statistics.json (reference schema: either "
+                        "{dataset: stats} or a bare stats block) to use for "
+                        "action normalization instead of computing from data")
+    p.add_argument("--data_dir", default=None, type=str,
+                   help="TFDS data root for real RLDS datasets")
+    p.add_argument("--shuffle_buffer", default=100_000, type=int,
+                   help="frame shuffle-buffer size (openvla_dataloader.py:101)")
     p.add_argument("--ddp_semantics", default="gspmd", choices=["gspmd", "exact"],
                    help="'gspmd' = global-mean loss (XLA collectives); 'exact' = "
                         "average-of-rank-gradients via shard_map, matching torch "
@@ -124,10 +135,25 @@ def make_data(args, cfg, tokenizer=None, out_dir=None):
         return train, val, None
     from ..data.rlds import make_attack_iterators, save_reference_statistics
 
+    stats = None
+    if args.stats_json:
+        import json
+
+        with open(args.stats_json) as f:
+            blob = json.load(f)
+        # reference schema keys by dataset name; also accept a bare block
+        stats = blob.get(args.dataset, blob if "action" in blob else None)
+        if stats is None:
+            raise SystemExit(
+                f"--stats_json has no entry for '{args.dataset}' "
+                f"(keys: {sorted(blob)})"
+            )
     counters, stats_sink = {}, {}
     train, val = make_attack_iterators(
         args.dataset, args.bs, seed=args.seed, checkpoint=args.checkpoint,
         pad_to=args.pad_to, counters=counters, stats_sink=stats_sink,
+        file_layer=args.file_layer, stats=stats, data_dir=args.data_dir,
+        shuffle_buffer=args.shuffle_buffer, image_size=cfg.dino.image_size,
     )
     if out_dir and stats_sink:
         save_reference_statistics(

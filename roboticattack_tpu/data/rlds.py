@@ -428,6 +428,10 @@ def make_attack_iterators(
     shard_index: int = 0,
     counters: Optional[Dict] = None,
     stats_sink: Optional[Dict] = None,
+    file_layer: str = "tf",
+    stats: Optional[Dict] = None,
+    shuffle_buffer: int = SHUFFLE_BUFFER,
+    image_size: int = 224,
 ) -> Tuple[Iterator, Iterator]:
     """(train, val) AttackBatch iterators for a named RLDS dataset
     (openvla_dataloader.py:81-156 equivalent; val batch size fixed at 8).
@@ -438,12 +442,14 @@ def make_attack_iterators(
     if tokenizer is None:
         tokenizer = _tokenizer_from_checkpoint(checkpoint)
     train_frames, stats = make_frame_dataset(
-        dataset, data_dir, train=True, seed=seed,
-        num_shards=num_shards, shard_index=shard_index,
+        dataset, data_dir, train=True, seed=seed, stats=stats,
+        num_shards=num_shards, shard_index=shard_index, file_layer=file_layer,
+        shuffle_buffer=shuffle_buffer, image_size=image_size,
     )
     val_frames, _ = make_frame_dataset(
         dataset, data_dir, train=False, stats=stats, seed=seed,
-        num_shards=num_shards, shard_index=shard_index,
+        num_shards=num_shards, shard_index=shard_index, file_layer=file_layer,
+        shuffle_buffer=shuffle_buffer, image_size=image_size,
     )
     if stats_sink is not None:
         stats_sink[dataset] = stats

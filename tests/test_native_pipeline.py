@@ -238,3 +238,34 @@ def test_make_attack_iterators_stats_sink(tmp_path, monkeypatch):
     save_reference_statistics(sink, str(out))
     blob = json.loads(out.read_text())
     assert blob["bridge_orig"]["action"]["q99"] == [2.0] * 7
+
+
+def test_attack_cli_native_file_layer(tmp_path):
+    """Full production-path integration: the attack CLI drives the C++ file
+    layer (--file_layer native --stats_json ...) end-to-end on a synthetic
+    RLDS TFRecord with the tiny model."""
+    from roboticattack_tpu.cli.attack import main
+
+    d = tmp_path / "bridge_orig" / "1.0.0"
+    d.mkdir(parents=True)
+    _write_episode_tfrecord(d / "bridge_orig-train.tfrecord-00000-of-00001",
+                            image_key="image_0", n_episodes=4)
+    stats_path = tmp_path / "dataset_statistics.json"
+    stats_path.write_text(json.dumps({"bridge_orig": _stats()}))
+    out = tmp_path / "run"
+    main([
+        "--attack", "tma", "--model", "vla-tiny", "--dataset", "bridge_orig",
+        "--data_dir", str(tmp_path), "--file_layer", "native",
+        "--stats_json", str(stats_path), "--maskidx", "0",
+        "--iter", "2", "--innerLoop", "1", "--bs", "2", "--lr", "5e-2",
+        "--warmup", "0", "--eval_every", "2", "--eval_batches", "1",
+        "--pad_to", "48", "--shuffle_buffer", "8", "--output", str(out),
+    ])
+    import torch
+
+    patch = torch.load(out / "last" / "patch.pt", weights_only=True)
+    assert patch.shape == (3, 50, 50)
+    assert 0.0 <= float(patch.min()) and float(patch.max()) <= 1.0
+    # the run dir carries the eval-consumable statistics file
+    blob = json.loads((out / "dataset_statistics.json").read_text())
+    assert "bridge_orig" in blob
