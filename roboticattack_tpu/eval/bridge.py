@@ -74,25 +74,83 @@ class WidowXGym:
         return self.get_observation()
 
 
+def get_next_task_label(task_label: str) -> str:
+    """Between-episode task relabel prompt (bridgev2_utils.py:50-64): Enter
+    keeps the current instruction, any other input replaces it."""
+    if task_label == "":
+        user_input = ""
+        while user_input == "":
+            user_input = input("Enter the task name: ").strip()
+        task_label = user_input
+    else:
+        user_input = input(
+            f"Enter the task name (or leave blank to repeat '{task_label}'): "
+        ).strip()
+        if user_input:
+            task_label = user_input
+    print(f"Task: {task_label}")
+    return task_label
+
+
+def save_rollout_video(frames, idx: int, save_dir: str, fps: int = 5) -> str:
+    """MP4 replay of an episode (bridgev2_utils.py:67-76). Falls back to a
+    stacked-frames .npy when no ffmpeg backend is installed."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, f"rollout-{idx + 1}.mp4")
+    try:
+        import imageio
+
+        with imageio.get_writer(path, fps=fps) as writer:
+            for img in frames:
+                writer.append_data(np.asarray(img))
+        return path
+    except (ImportError, ValueError):
+        path = os.path.join(save_dir, f"rollout-{idx + 1}.frames.npy")
+        np.save(path, np.stack([np.asarray(f) for f in frames]))
+        return path
+
+
+def save_rollout_data(orig_images, images, states, actions, idx: int,
+                      save_dir: str) -> str:
+    """Full episode record — raw + preprocessed frames, proprio states,
+    predicted actions — as one npz (bridgev2_utils.py:78-98)."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, f"rollout-{idx + 1}.npz")
+    np.savez(
+        path,
+        orig_images=np.asarray(orig_images),
+        images=np.asarray(images),
+        states=np.asarray(states),
+        actions=np.asarray(actions),
+    )
+    return path
+
+
 def run_bridge_eval(cfg: BridgeEvalConfig, policy: VLAPolicy, task_label: str):
-    """Rollout driver (run_bridgev2_eval.py): human-in-the-loop episodes."""
+    """Rollout driver (run_bridgev2_eval.py): human-in-the-loop episodes with
+    per-episode task relabeling, MP4 replays, and full rollout npz records."""
     env = WidowXGym(cfg)
     os.makedirs(cfg.save_dir, exist_ok=True)
     dt = 1.0 / cfg.control_frequency
     for episode in range(cfg.max_episodes):
+        task_label = get_next_task_label(task_label)
         obs = env.reset()
-        frames = []
+        orig_frames, frames, states, actions = [], [], [], []
         for t in range(cfg.max_steps):
             start = time.time()
+            orig_frames.append(np.asarray(obs["full_image"]))
             frame = resize_bicubic_pil(obs["full_image"], cfg.resize_size)
             frames.append(frame)
+            states.append(np.asarray(obs.get("state", np.zeros(7))))
             action = policy.get_action(frame, task_label)
             action = invert_gripper_action(normalize_gripper_action(action, binarize=True))
+            actions.append(np.asarray(action))
             obs = env.step(action)
             elapsed = time.time() - start
             if elapsed < dt:
                 time.sleep(dt - elapsed)
-        np.save(os.path.join(cfg.save_dir, f"episode_{episode}_frames.npy"), np.stack(frames))
+        save_rollout_video(orig_frames, episode, cfg.save_dir)
+        save_rollout_data(orig_frames, frames, states, actions, episode, cfg.save_dir)
         cont = input("episode done; continue? [y/n] ")
         if cont.strip().lower() != "y":
             break

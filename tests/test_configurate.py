@@ -142,3 +142,31 @@ def test_eval_bridge_cli_config_path(tmp_path):
     assert cfg.host_ip == "10.0.0.7" and cfg.max_steps == 33
     assert cfg.port == 7777                      # CLI wins
     assert cfg.initial_eep == (0.1, 0.2, 0.3)
+
+
+def test_bridge_rollout_save_utils(tmp_path, monkeypatch):
+    """save_rollout_video/data write replayable episode artifacts
+    (bridgev2_utils.py:67-98); get_next_task_label keeps on blank input."""
+    import numpy as np
+
+    from roboticattack_tpu.eval.bridge import (
+        get_next_task_label,
+        save_rollout_data,
+        save_rollout_video,
+    )
+
+    frames = [np.zeros((32, 32, 3), np.uint8) for _ in range(4)]
+    # mp4 with an ffmpeg backend, .frames.npy fallback without one
+    path = save_rollout_video(frames, 0, str(tmp_path))
+    import os
+
+    assert os.path.getsize(path) > 0 and "rollout-1" in path
+    npz = save_rollout_data(frames, frames, [np.zeros(7)] * 4,
+                            [np.ones(7)] * 4, 1, str(tmp_path))
+    blob = np.load(npz)
+    assert blob["actions"].shape == (4, 7) and blob["images"].shape[0] == 4
+
+    monkeypatch.setattr("builtins.input", lambda *_: "")
+    assert get_next_task_label("wipe the table") == "wipe the table"
+    monkeypatch.setattr("builtins.input", lambda *_: "new task")
+    assert get_next_task_label("wipe the table") == "new task"
