@@ -128,3 +128,14 @@ def test_extended_registry_entries():
     for name in ("fractal20220817_data", "kuka", "taco_play", "jaco_play", "bridge_oxe"):
         kw = make_oxe_dataset_kwargs(name)
         assert kw["action_normalization_mask"] == [True] * 6 + [False]
+
+
+def test_oxe_transforms_registered_on_package_import():
+    """make_frame_dataset must find every OXE standardization transform after
+    a plain `import roboticattack_tpu.data` (side-effect registration)."""
+    import roboticattack_tpu.data  # noqa: F401
+    from roboticattack_tpu.data.rlds import STANDARDIZATION_TRANSFORMS
+
+    assert len(STANDARDIZATION_TRANSFORMS) >= 73
+    for name in ("taco_play", "droid", "bc_z", "libero_10_no_noops"):
+        assert callable(STANDARDIZATION_TRANSFORMS[name]), name
