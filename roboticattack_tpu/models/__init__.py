@@ -2,11 +2,13 @@ from .config import (
     DINOV2_VIT_L,
     LLAMA2_7B,
     OPENVLA_7B,
+    PHI_2,
     REGISTRY,
     SIGLIP_SO400M,
     TINY_LLAMA,
     VLA_TINY,
     LlamaConfig,
+    PhiConfig,
     ViTConfig,
     VLAConfig,
     get_config,
@@ -29,6 +31,7 @@ from .vlm import (
     vla_forward,
 )
 from .convert import convert_state_dict, load_checkpoint_dir, load_norm_stats
+from .phi import convert_phi, init_phi_params, phi_apply
 from .registry import (
     GLOBAL_REGISTRY,
     MODEL_REGISTRY,
@@ -40,4 +43,5 @@ from .registry import (
     get_model_description,
     hub_files,
     load,
+    make_image_processor,
 )

@@ -13,6 +13,7 @@ The flagship `openvla-7b` config is the dinosiglip-224px + Llama-2-7B stack:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Optional
 
@@ -30,10 +31,21 @@ class ViTConfig:
     use_layerscale: bool = False
     # DINOv2-reg models add pos-embed to patch tokens only, then prepend
     # cls/reg tokens (timm `no_embed_class=True`); SigLIP has no prefix tokens.
+    # Models with embed_class layouts (CLIP, IN1K) fold the cls-position row
+    # into the cls token at conversion time, so runtime is layout-free.
     ln_eps: float = 1e-6
+    # CLIP towers (timm pre_norm=True): LayerNorm after pos-embed/prefix
+    # insertion, and NO patch-embed bias (timm `bias=not pre_norm`).
+    pre_norm: bool = False
+    # OpenAI CLIP checkpoints were trained with the quick-GELU approximation
+    # x*sigmoid(1.702x) (clip_vit.py:16-21 `override_act_layer="quick_gelu"`).
+    use_quick_gelu: bool = False
 
     @property
     def num_patches(self) -> int:
+        # floor semantics: a stride-P conv on a non-multiple image (e.g.
+        # 384 @ patch 14 -> 27x27) drops the trailing H%P rows/cols, exactly
+        # like timm's PatchEmbed at img_size overrides (base_vision.py:111)
         return (self.image_size // self.patch_size) ** 2
 
     @property
@@ -86,11 +98,42 @@ class LlamaConfig:
 
 
 @dataclass(frozen=True)
+class PhiConfig:
+    """Phi-2 decoder dims (microsoft/phi-2; reference backbone
+    prismatic/models/backbones/llm/phi.py). Structurally distinct from Llama:
+    LayerNorm with bias, parallel attn+MLP residual, partial rotary (40% of
+    head_dim), biased projections, gelu_new MLP, biased lm_head."""
+    vocab_size: int = 51200
+    hidden_size: int = 2560
+    num_layers: int = 32
+    num_heads: int = 32
+    intermediate_size: int = 10240
+    partial_rotary_factor: float = 0.4
+    rope_theta: float = 10000.0
+    ln_eps: float = 1e-5
+    max_seq_len: int = 2048
+    attn_impl: str = "chunked"
+    attn_chunk: Optional[int] = 64
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_heads  # Phi-2 has no GQA
+
+
+@dataclass(frozen=True)
 class VLAConfig:
     name: str
     dino: ViTConfig
     siglip: Optional[ViTConfig]
-    llm: LlamaConfig
+    llm: "LlamaConfig | PhiConfig"
     pad_token_id: int = 32000
     pad_to_multiple_of: int = 64
     n_action_bins: int = 256
@@ -124,6 +167,21 @@ DINOV2_VIT_L = ViTConfig(
 SIGLIP_SO400M = ViTConfig(
     embed_dim=1152, depth=27, num_heads=16, mlp_hidden=4304,
 )
+# Prismatic-zoo towers beyond the OpenVLA pair (conf/models.py ablations;
+# vision registry at models/materialize.py:29-51). Non-224 resolutions get
+# their position embeddings resampled at conversion time (models/convert.py).
+CLIP_VIT_L = ViTConfig(  # timm vit_large_patch14_clip_224.openai
+    embed_dim=1024, depth=24, num_heads=16, mlp_hidden=4096,
+    use_cls_token=True, pre_norm=True, use_quick_gelu=True, ln_eps=1e-5,
+)
+CLIP_VIT_L_336 = dataclasses.replace(CLIP_VIT_L, image_size=336)
+SIGLIP_SO400M_384 = dataclasses.replace(SIGLIP_SO400M, image_size=384)  # 27x27 grid
+IN1K_VIT_L = ViTConfig(  # timm vit_large_patch16_224.augreg_in21k_ft_in1k
+    embed_dim=1024, depth=24, num_heads=16, mlp_hidden=4096,
+    patch_size=16, use_cls_token=True,
+)
+DINOV2_VIT_L_336 = dataclasses.replace(DINOV2_VIT_L, image_size=336)
+DINOV2_VIT_L_384 = dataclasses.replace(DINOV2_VIT_L, image_size=384)  # 27x27, crops to 378
 # flash = Pallas head-resident attention (ops/flash_attention.py): measured
 # ~4% faster end-to-end than the chunked-XLA path on the 7B attack step.
 # Partitions under data x model meshes via custom_partitioning on
@@ -139,6 +197,7 @@ LLAMA2_13B = LlamaConfig(
 MISTRAL_7B = LlamaConfig(
     vocab_size=32064, intermediate_size=14336, num_kv_heads=8, attn_impl="chunked",
 )
+PHI_2 = PhiConfig()
 
 OPENVLA_7B = VLAConfig(name="openvla-7b", dino=DINOV2_VIT_L, siglip=SIGLIP_SO400M, llm=LLAMA2_7B)
 

@@ -49,6 +49,27 @@ def convert_llama(state: Mapping[str, np.ndarray], cfg: LlamaConfig,
     }
 
 
+def resample_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
+    """Resample a square [N, D] patch position-embedding grid to
+    [new_grid^2, D] with bicubic+antialias interpolation — the semantics timm
+    applies when a model is created at a non-native `img_size`
+    (timm resample_abs_pos_embed; triggered by base_vision.py:111's
+    `img_size=self.default_image_size` override)."""
+    old_grid = int(round(pos.shape[0] ** 0.5))
+    assert old_grid * old_grid == pos.shape[0], (
+        f"pos embed length {pos.shape[0]} is not a square grid"
+    )
+    if old_grid == new_grid:
+        return pos
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.ascontiguousarray(pos, dtype=np.float32))
+    t = t.reshape(1, old_grid, old_grid, -1).permute(0, 3, 1, 2)
+    t = F.interpolate(t, size=(new_grid, new_grid), mode="bicubic", antialias=True)
+    return t.permute(0, 2, 3, 1).reshape(new_grid * new_grid, -1).numpy()
+
+
 def convert_vit(state: Mapping[str, np.ndarray], cfg: ViTConfig, prefix: str) -> Dict:
     def get(name):
         return np.asarray(state[prefix + name])
@@ -64,9 +85,11 @@ def convert_vit(state: Mapping[str, np.ndarray], cfg: ViTConfig, prefix: str) ->
     pos = get("pos_embed")[0]  # [N(+1), D]
     cls_token = maybe("cls_token")
     cls_pos = None
-    if pos.shape[0] == cfg.num_patches + 1:
+    if cfg.use_cls_token and pos.shape[0] == int(round((pos.shape[0] - 1) ** 0.5)) ** 2 + 1:
         # embed_class layout: row 0 belongs to cls; fold it into the cls token
         cls_pos, pos = pos[0], pos[1:]
+    # non-native resolution (336/384px zoo variants): resample the grid
+    pos = resample_pos_embed(pos, cfg.image_size // cfg.patch_size)
 
     layers: Dict[str, list] = {}
 
@@ -95,8 +118,12 @@ def convert_vit(state: Mapping[str, np.ndarray], cfg: ViTConfig, prefix: str) ->
             push("ls1", ls1 if ls1 is not None else get(p + "ls1.gamma"))
             push("ls2", ls2 if ls2 is not None else get(p + "ls2.gamma"))
 
+    patch_embed: Dict = {"kernel": kernel}
+    bias = maybe("patch_embed.proj.bias")  # absent on pre-norm (CLIP) towers
+    if bias is not None:
+        patch_embed["bias"] = bias
     params: Dict = {
-        "patch_embed": {"kernel": kernel, "bias": get("patch_embed.proj.bias")},
+        "patch_embed": patch_embed,
         "pos_embed": pos,
         "blocks": {k: np.stack(v) for k, v in layers.items()},
     }
@@ -108,28 +135,43 @@ def convert_vit(state: Mapping[str, np.ndarray], cfg: ViTConfig, prefix: str) ->
         params["cls_token"] = cls
     if cfg.num_reg_tokens:
         params["reg_tokens"] = get("reg_token").reshape(cfg.num_reg_tokens, -1)
+    if cfg.pre_norm:
+        params["norm_pre"] = {"scale": get("norm_pre.weight"), "bias": get("norm_pre.bias")}
     return params
 
 
 def convert_projector(state: Mapping[str, np.ndarray], prefix: str = "projector.") -> Dict:
+    """Fused checkpoints carry the 3-layer fc1/fc2/fc3 MLP; single-tower ones
+    the 2-layer fc1/fc2 (modeling_prismatic.py:127-156)."""
     def get(name):
         return np.asarray(state[prefix + name])
 
-    return {
+    out = {
         "fc1_w": _t(get("fc1.weight")), "fc1_b": get("fc1.bias"),
         "fc2_w": _t(get("fc2.weight")), "fc2_b": get("fc2.bias"),
-        "fc3_w": _t(get("fc3.weight")), "fc3_b": get("fc3.bias"),
     }
+    if prefix + "fc3.weight" in state:
+        out["fc3_w"] = _t(get("fc3.weight"))
+        out["fc3_b"] = get("fc3.bias")
+    return out
 
 
 def convert_state_dict(state: Mapping[str, np.ndarray], cfg: VLAConfig) -> Dict:
+    from .config import PhiConfig
+
     vision = {"dino": convert_vit(state, cfg.dino, "vision_backbone.featurizer.")}
     if cfg.siglip is not None:
         vision["siglip"] = convert_vit(state, cfg.siglip, "vision_backbone.fused_featurizer.")
+    if isinstance(cfg.llm, PhiConfig):
+        from .phi import convert_phi
+
+        llm = convert_phi(state, cfg.llm)
+    else:
+        llm = convert_llama(state, cfg.llm)
     return {
         "vision": vision,
         "projector": convert_projector(state),
-        "llm": convert_llama(state, cfg.llm),
+        "llm": llm,
     }
 
 

@@ -64,6 +64,13 @@ def greedy_decode_actions(
     num_steps: int = ACTION_DIM,
 ) -> DecodeResult:
     """Greedy multimodal generation of `num_steps` action tokens."""
+    from .config import PhiConfig
+
+    if isinstance(cfg.llm, PhiConfig):
+        raise NotImplementedError(
+            "predict_action targets the OpenVLA (Llama-family) stack; the "
+            "Phi-2 zoo VLM is a forward/CE model, not an action policy"
+        )
     lcfg = cfg.llm
     dtype = jnp.dtype(cfg.dtype)
     b, s = input_ids.shape

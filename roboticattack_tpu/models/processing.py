@@ -25,10 +25,21 @@ from ..utils.constants import DINO_MEAN, DINO_STD, IMAGE_SIZE, PAD_TOKEN_ID, SIG
 from ..utils.prompting import TextTokenizer, pad_batch
 
 
+# Per-tower normalization stats (timm data configs the reference resolves at
+# base_vision.py:137-139). DINO_MEAN/STD in utils/constants are the OpenVLA
+# checkpoint's bf16-rounded copies of the ImageNet stats below.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)   # openai CLIP
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+INCEPTION_MEAN = (0.5, 0.5, 0.5)                   # siglip + augreg-in1k ViTs
+INCEPTION_STD = (0.5, 0.5, 0.5)
+
+
 @dataclass
 class PrismaticImageProcessor:
     image_size: int = IMAGE_SIZE
-    image_resize_strategy: str = "resize-naive"  # or "letterbox"
+    image_resize_strategy: str = "resize-naive"  # or "letterbox" / "resize-crop"
     means: Tuple[Tuple[float, ...], ...] = (DINO_MEAN, SIGLIP_MEAN)
     stds: Tuple[Tuple[float, ...], ...] = (DINO_STD, SIGLIP_STD)
 
@@ -53,7 +64,23 @@ class PrismaticImageProcessor:
         pil = pil.convert("RGB")
         if self.image_resize_strategy == "letterbox":
             pil = self._letterbox(pil)
-        pil = pil.resize((self.image_size, self.image_size), Image.BICUBIC)
+        if self.image_resize_strategy == "resize-crop":
+            # Resize(shorter side -> S) + CenterCrop(S), the reference's
+            # default timm transform (base_vision.py:144-168). Exact
+            # torchvision semantics: the long side truncates
+            # (F.resize size-int branch), the crop origin rounds
+            # (F.center_crop).
+            s = self.image_size
+            w, h = pil.size
+            if w <= h:
+                nw, nh = s, int(s * h / w)
+            else:
+                nw, nh = int(s * w / h), s
+            pil = pil.resize((nw, nh), Image.BICUBIC)
+            left, top = int(round((nw - s) / 2.0)), int(round((nh - s) / 2.0))
+            pil = pil.crop((left, top, left + s, top + s))
+        else:
+            pil = pil.resize((self.image_size, self.image_size), Image.BICUBIC)
         arr = np.asarray(pil, np.float32) / 255.0
         stacked = []
         for mean, std in zip(self.means, self.stds):

@@ -10,12 +10,9 @@ Registry entries are authored as (id, names, structural overrides) on top of
 family defaults instead of 49 repeated dicts; descriptions are synthesized
 from the structural fields (the reference's description blocks restate them).
 
-Architectures constructible in this framework: DINOv2 / SigLIP / fused
-DINOv2+SigLIP / IN1K ViTs at 224px over Llama-2-family decoders (Llama-2,
-Vicuna v1.5, Mistral v0.1 in 7B/13B dims). CLIP towers (quick-GELU), 336/384px
-resolutions, and Phi-2 resolve and download but `build_config` reports them
-unsupported — the attack framework targets the OpenVLA (dinosiglip-224px)
-stack.
+Every zoo architecture constructs: DINOv2 / SigLIP / CLIP (quick-GELU,
+pre-norm) / IN1K towers — single or fused — at 224/336/384px, over Llama-2 /
+Vicuna / Mistral decoders (models/llama.py) and Phi-2 (models/phi.py).
 """
 
 from __future__ import annotations
@@ -26,13 +23,19 @@ from dataclasses import dataclass, field, replace
 from typing import Callable, Dict, List, Optional, Tuple
 
 from .config import (
+    CLIP_VIT_L,
+    CLIP_VIT_L_336,
     DINOV2_VIT_L,
+    DINOV2_VIT_L_336,
+    DINOV2_VIT_L_384,
+    IN1K_VIT_L,
     LLAMA2_7B,
     LLAMA2_13B,
     MISTRAL_7B,
     OPENVLA_7B,
+    PHI_2,
     SIGLIP_SO400M,
-    ViTConfig,
+    SIGLIP_SO400M_384,
     VLAConfig,
 )
 
@@ -207,12 +210,20 @@ def get_model_description(model_id_or_name: str) -> Dict:
 
 # === Structural config construction ===
 
-_VIT_224 = {
+# vision_backbone_id -> (first tower, second tower|None); mirrors the
+# reference's VISION_BACKBONES registry (models/materialize.py:29-51).
+# Fused entries put the second tower in the VLAConfig `siglip` slot (its
+# features are concatenated after the first tower's, dinoclip_vit.py:107-123).
+_VISION = {
     "dinov2-vit-l": (DINOV2_VIT_L, None),
     "siglip-vit-so400m": (SIGLIP_SO400M, None),
-    "in1k-vit-l": (ViTConfig(embed_dim=1024, depth=24, num_heads=16, mlp_hidden=4096,
-                             patch_size=16, use_cls_token=True), None),
+    "in1k-vit-l": (IN1K_VIT_L, None),
+    "clip-vit-l": (CLIP_VIT_L, None),
+    "clip-vit-l-336px": (CLIP_VIT_L_336, None),
+    "siglip-vit-so400m-384px": (SIGLIP_SO400M_384, None),
     "dinosiglip-vit-so-224px": (DINOV2_VIT_L, SIGLIP_SO400M),
+    "dinosiglip-vit-so-384px": (DINOV2_VIT_L_384, SIGLIP_SO400M_384),
+    "dinoclip-vit-l-336px": (DINOV2_VIT_L_336, CLIP_VIT_L_336),
 }
 
 _LLMS = {
@@ -224,6 +235,7 @@ _LLMS = {
     "vicuna-v15-13b": LLAMA2_13B,
     "mistral-v0.1-7b-pure": MISTRAL_7B,
     "mistral-v0.1-7b-instruct": MISTRAL_7B,
+    "phi-2-3b": PHI_2,
 }
 
 
@@ -232,28 +244,74 @@ class UnsupportedArchitecture(NotImplementedError):
 
 
 def build_config(model_id_or_name: str) -> VLAConfig:
-    """Structural VLAConfig for a registry ID, for the architectures this
-    framework implements (224px DINOv2/SigLIP/IN1K towers over Llama-family
-    decoders). CLIP/336px/384px/Phi-2 entries resolve and download but are
-    not constructible here."""
+    """Structural VLAConfig for a registry ID. Every zoo architecture
+    constructs: DINOv2 / SigLIP / CLIP (quick-GELU, pre-norm) / IN1K towers
+    at 224/336/384px (pos-embeds resampled at conversion when the checkpoint
+    resolution differs) over Llama-2/Vicuña/Mistral/Phi-2 decoders.
+    Single-tower entries get the 2-layer gelu-mlp projector, fused entries
+    the 3-layer fused-gelu-mlp (modeling_prismatic.py:127-156)."""
     spec = GLOBAL_REGISTRY.get(model_id_or_name)
     if spec is None:
         raise KeyError(f"unknown model '{model_id_or_name}'; see available_model_names()")
     if spec.family == "openvla":
         return OPENVLA_7B
-    if spec.vision_backbone_id not in _VIT_224:
+    if spec.vision_backbone_id not in _VISION:
         raise UnsupportedArchitecture(
             f"vision backbone '{spec.vision_backbone_id}' is not constructible here "
-            f"(supported: {sorted(_VIT_224)}); checkpoint acquisition still works"
+            f"(supported: {sorted(_VISION)}); checkpoint acquisition still works"
         )
     if spec.llm_backbone_id not in _LLMS:
         raise UnsupportedArchitecture(
             f"LLM backbone '{spec.llm_backbone_id}' is not constructible here "
-            f"(supported: {sorted(_LLMS)})"
+            f"(supported: {sorted(_LLMS)}); checkpoint acquisition still works"
         )
-    dino, siglip = _VIT_224[spec.vision_backbone_id]
+    dino, siglip = _VISION[spec.vision_backbone_id]
     return VLAConfig(name=spec.model_id, dino=dino, siglip=siglip,
                      llm=_LLMS[spec.llm_backbone_id])
+
+
+def make_image_processor(model_id_or_name: str):
+    """PrismaticImageProcessor wired for a registry entry: per-tower
+    normalization stats (the timm data configs resolved at
+    base_vision.py:137-139), native image size, and the spec's resize
+    strategy. One stacked plane per tower, in tower order."""
+    from .processing import (
+        CLIP_MEAN,
+        CLIP_STD,
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        INCEPTION_MEAN,
+        INCEPTION_STD,
+        PrismaticImageProcessor,
+    )
+    from ..utils.constants import DINO_MEAN, DINO_STD, SIGLIP_MEAN, SIGLIP_STD
+
+    spec = GLOBAL_REGISTRY.get(model_id_or_name)
+    if spec is None:
+        raise KeyError(f"unknown model '{model_id_or_name}'; see available_model_names()")
+    if spec.family == "openvla":
+        # the OpenVLA checkpoints ship bf16-rounded stats (TMA.py:46-47)
+        return PrismaticImageProcessor(
+            image_resize_strategy=spec.image_resize_strategy,
+            means=(DINO_MEAN, SIGLIP_MEAN), stds=(DINO_STD, SIGLIP_STD),
+        )
+    stats = {
+        "dinov2": (IMAGENET_MEAN, IMAGENET_STD),
+        "clip": (CLIP_MEAN, CLIP_STD),
+        "siglip": (INCEPTION_MEAN, INCEPTION_STD),
+        "in1k": (INCEPTION_MEAN, INCEPTION_STD),
+    }
+    towers = {
+        "dinosiglip": ("dinov2", "siglip"), "dinoclip": ("dinov2", "clip"),
+    }.get(spec.vision_backbone_id.split("-")[0], (spec.vision_backbone_id.split("-")[0],))
+    first, _ = _VISION[spec.vision_backbone_id]
+    means = tuple(stats[t][0] for t in towers)
+    stds = tuple(stats[t][1] for t in towers)
+    return PrismaticImageProcessor(
+        image_size=first.image_size,
+        image_resize_strategy=spec.image_resize_strategy,
+        means=means, stds=stds,
+    )
 
 
 # === Hub acquisition (load.py:52-121) ===
@@ -356,6 +414,7 @@ def prismatic_to_hf_names(state: Dict) -> Dict:
     renames = [
         ("vision_backbone.dino_featurizer.", "vision_backbone.featurizer."),
         ("vision_backbone.siglip_featurizer.", "vision_backbone.fused_featurizer."),
+        ("vision_backbone.clip_featurizer.", "vision_backbone.fused_featurizer."),
         ("projector.projector.0.", "projector.fc1."),
         ("projector.projector.2.", "projector.fc2."),
         ("projector.projector.4.", "projector.fc3."),

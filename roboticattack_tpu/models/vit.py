@@ -17,9 +17,10 @@ TPU-first choices:
   - LayerNorm/softmax in fp32, matmuls in param dtype (bf16 on TPU).
 
 Params pytree (per backbone):
-  patch_embed: {kernel [P*P*3, D], bias [D]}
-  pos_embed:   [num_patches(+1 cls if embed_class), D]
-  cls_token / reg_tokens (optional)
+  patch_embed: {kernel [P*P*3, D], bias [D] (absent on pre-norm towers)}
+  pos_embed:   [num_patches, D] (embed_class checkpoints fold the cls row
+               into cls_token at conversion)
+  cls_token / reg_tokens / norm_pre {scale, bias} (optional)
   blocks: dict of stacked arrays, leading dim = depth:
     ln1_scale, ln1_bias, qkv_w [L, D, 3D], qkv_b, proj_w, proj_b,
     ls1 (opt), ln2_scale, ln2_bias, fc1_w, fc1_b, fc2_w, fc2_b, ls2 (opt)
@@ -45,10 +46,14 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float
 
 
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
-    """[B, H, W, C] -> [B, (H/P)*(W/P), P*P*C] in (ph, pw, c) order — matches a
-    torch Conv2d weight [D, C, kh, kw] permuted to [kh, kw, C, D] and flattened."""
+    """[B, H, W, C] -> [B, (H//P)*(W//P), P*P*C] in (ph, pw, c) order — matches a
+    torch Conv2d weight [D, C, kh, kw] permuted to [kh, kw, C, D] and flattened.
+    Non-multiple H/W are floor-cropped, matching a stride-P conv (384 @ 14
+    reads pixels 0..377 only)."""
     b, h, w, c = images.shape
     gh, gw = h // patch, w // patch
+    if (gh * patch, gw * patch) != (h, w):
+        images = images[:, : gh * patch, : gw * patch, :]
     x = images.reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, ph, pw, c]
     return x.reshape(b, gh * gw, patch * patch * c)
@@ -71,7 +76,13 @@ def _block(cfg: ViTConfig, x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.nda
 
     y = layer_norm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
     y = y @ p["fc1_w"] + p["fc1_b"]
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    yf = y.astype(jnp.float32)
+    if cfg.use_quick_gelu:
+        # OpenAI CLIP's quick-GELU x*sigmoid(1.702x) (clip_vit.py:16-27)
+        yf = yf * jax.nn.sigmoid(1.702 * yf)
+    else:
+        yf = jax.nn.gelu(yf, approximate=False)
+    y = yf.astype(x.dtype)
     y = y @ p["fc2_w"] + p["fc2_b"]
     if cfg.use_layerscale:
         y = y * p["ls2"]
@@ -89,7 +100,9 @@ def vit_features(
     residuals — mandatory for the 7B stack to fit 16 GB HBM."""
     dtype = params["patch_embed"]["kernel"].dtype
     x = patchify(images.astype(dtype), cfg.patch_size)
-    x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
+    x = x @ params["patch_embed"]["kernel"]
+    if "bias" in params["patch_embed"]:  # absent on pre-norm (CLIP) towers
+        x = x + params["patch_embed"]["bias"]
 
     # position embedding on patch tokens (no_embed_class semantics)
     x = x + params["pos_embed"].astype(dtype)
@@ -106,6 +119,10 @@ def vit_features(
         )
     if prefix:
         x = jnp.concatenate(prefix + [x], axis=1)
+
+    if cfg.pre_norm:
+        # CLIP's ln_pre (timm norm_pre), applied after prefix/pos insertion
+        x = layer_norm(x, params["norm_pre"]["scale"], params["norm_pre"]["bias"], cfg.ln_eps)
 
     # Blocks 0..depth-2 run (the tap point); the final block and final norm of
     # the timm checkpoint are dead in every OpenVLA path, so params['blocks']
@@ -134,8 +151,11 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Dict:
     def normal(key, shape, std=0.02):
         return (jax.random.normal(key, shape) * std).astype(dtype)
 
+    patch_embed = {"kernel": normal(k[0], (pdim, d))}
+    if not cfg.pre_norm:  # timm PatchEmbed bias = not pre_norm
+        patch_embed["bias"] = jnp.zeros((d,), dtype)
     params = {
-        "patch_embed": {"kernel": normal(k[0], (pdim, d)), "bias": jnp.zeros((d,), dtype)},
+        "patch_embed": patch_embed,
         "pos_embed": normal(k[1], (cfg.num_patches, d)),
         "blocks": {
             "ln1_scale": jnp.ones((depth, d), dtype),
@@ -159,4 +179,6 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Dict:
         params["cls_token"] = normal(k[6], (1, d))
     if cfg.num_reg_tokens:
         params["reg_tokens"] = normal(k[7], (cfg.num_reg_tokens, d))
+    if cfg.pre_norm:
+        params["norm_pre"] = {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
     return params

@@ -20,9 +20,19 @@ from typing import Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .config import VLAConfig
+from .config import PhiConfig, VLAConfig
 from .llama import cross_entropy_loss, embed_tokens, init_llama_params, llama_apply
 from .vit import init_vit_params, vit_features
+
+
+def decoder_apply_fn(cfg: VLAConfig):
+    """The decoder forward for this config: Llama-family by default, Phi-2
+    for the one zoo entry that isn't Llama-shaped (phi-2+3b)."""
+    if isinstance(cfg.llm, PhiConfig):
+        from .phi import phi_apply
+
+        return phi_apply
+    return llama_apply
 
 
 class VLAOutput(NamedTuple):
@@ -36,9 +46,14 @@ class VLAOutput(NamedTuple):
 
 
 def projector_apply(params: Dict, features: jnp.ndarray) -> jnp.ndarray:
+    """Fused (3-layer fc1/fc2/fc3) or single-tower (2-layer fc1/fc2) MLP —
+    the two PrismaticProjector arities (modeling_prismatic.py:127-156). The
+    arity is read off the params pytree, which is static under jit."""
     x = features @ params["fc1_w"] + params["fc1_b"]
     x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(features.dtype)
     x = x @ params["fc2_w"] + params["fc2_b"]
+    if "fc3_w" not in params:
+        return x
     x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(features.dtype)
     return x @ params["fc3_w"] + params["fc3_b"]
 
@@ -66,9 +81,10 @@ def vla_forward(
     `pixel_values=None` selects the unimodal (language-only) branch
     (modeling_prismatic.py:344-359): plain decoder forward over input_ids,
     full-row logits, same shifted CE."""
+    apply_fn = decoder_apply_fn(cfg)
     if pixel_values is None:
         emb = embed_tokens(params["llm"], input_ids)
-        logits = llama_apply(
+        logits = apply_fn(
             params["llm"], cfg.llm, emb, attention_mask=attention_mask, remat=cfg.remat
         )
         loss = cross_entropy_loss(logits, labels) if labels is not None else None
@@ -95,7 +111,7 @@ def vla_forward(
     mm_mask = jnp.concatenate([attention_mask[:, :1], ones, attention_mask[:, 1:]], axis=1)
 
     text_len = input_ids.shape[1]
-    logits = llama_apply(
+    logits = apply_fn(
         params["llm"], cfg.llm, mm_emb, attention_mask=mm_mask, remat=cfg.remat,
         logits_tail=text_len,
     )
@@ -125,22 +141,30 @@ def init_vla_params(rng: jax.Array, cfg: VLAConfig) -> Dict:
         vision["siglip"] = init_vit_params(k_sig, cfg.siglip, dtype)
 
     vdim, ldim = cfg.vision_dim, cfg.llm.hidden_size
-    hidden = 4 * vdim
     kp = jax.random.split(k_proj, 3)
 
     def normal(key, shape, std=0.02):
         return (jax.random.normal(key, shape) * std).astype(dtype)
 
-    projector = {
-        "fc1_w": normal(kp[0], (vdim, hidden)), "fc1_b": jnp.zeros((hidden,), dtype),
-        "fc2_w": normal(kp[1], (hidden, ldim)), "fc2_b": jnp.zeros((ldim,), dtype),
-        "fc3_w": normal(kp[2], (ldim, ldim)), "fc3_b": jnp.zeros((ldim,), dtype),
-    }
-    return {
-        "vision": vision,
-        "projector": projector,
-        "llm": init_llama_params(k_llm, cfg.llm, dtype),
-    }
+    if cfg.use_fused_vision_backbone:
+        hidden = 4 * vdim
+        projector = {
+            "fc1_w": normal(kp[0], (vdim, hidden)), "fc1_b": jnp.zeros((hidden,), dtype),
+            "fc2_w": normal(kp[1], (hidden, ldim)), "fc2_b": jnp.zeros((ldim,), dtype),
+            "fc3_w": normal(kp[2], (ldim, ldim)), "fc3_b": jnp.zeros((ldim,), dtype),
+        }
+    else:  # single-tower gelu-mlp: vision -> llm -> llm
+        projector = {
+            "fc1_w": normal(kp[0], (vdim, ldim)), "fc1_b": jnp.zeros((ldim,), dtype),
+            "fc2_w": normal(kp[1], (ldim, ldim)), "fc2_b": jnp.zeros((ldim,), dtype),
+        }
+    if isinstance(cfg.llm, PhiConfig):
+        from .phi import init_phi_params
+
+        llm = init_phi_params(k_llm, cfg.llm, dtype)
+    else:
+        llm = init_llama_params(k_llm, cfg.llm, dtype)
+    return {"vision": vision, "projector": projector, "llm": llm}
 
 
 def param_count(params: Dict) -> int:

@@ -62,20 +62,27 @@ def vla_param_specs(params: Dict, model_axis: str = "model",
         "projector": replicate_like(params["projector"]),
         "llm": {
             "embed": P(model_axis, None),
+            # unknown layer keys (the Phi-2 decoder's biases/fc weights)
+            # replicate; GSPMD still propagates consistent activation
+            # shardings around them
             "layers": {
-                k: llama_param_specs(model_axis)["layers"][k]
+                k: llama_param_specs(model_axis)["layers"].get(k, P())
                 for k in params["llm"]["layers"]
             },
-            "norm": P(),
-            "lm_head": P(None, model_axis),
+            "norm": jax.tree.map(lambda _: P(), params["llm"]["norm"]),
+            "lm_head": jax.tree.map(
+                lambda _: P(None, model_axis) if _.ndim == 2 else P(model_axis),
+                params["llm"]["lm_head"],
+            ) if isinstance(params["llm"]["lm_head"], dict) else P(None, model_axis),
         },
     }
     if shard_projector:
         specs["projector"] = {
             "fc1_w": P(None, model_axis), "fc1_b": P(model_axis),
             "fc2_w": P(model_axis, None), "fc2_b": P(),
-            "fc3_w": P(), "fc3_b": P(),
         }
+        if "fc3_w" in params["projector"]:  # fused 3-layer variant
+            specs["projector"].update({"fc3_w": P(), "fc3_b": P()})
     return specs
 
 

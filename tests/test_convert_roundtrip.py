@@ -32,7 +32,8 @@ def _vit_state(params, prefix, cfg, use_ls):
     sd[prefix + "patch_embed.proj.weight"] = (
         kernel.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
     )
-    sd[prefix + "patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["bias"])
+    if "bias" in params["patch_embed"]:  # absent on pre-norm (CLIP) towers
+        sd[prefix + "patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["bias"])
     sd[prefix + "pos_embed"] = np.asarray(params["pos_embed"])[None]
     if "cls_token" in params:
         sd[prefix + "cls_token"] = np.asarray(params["cls_token"])[None]
@@ -121,6 +122,82 @@ def test_convert_handles_embed_class_pos_layout():
         np.asarray(restored["vision"]["dino"]["pos_embed"]),
         np.asarray(params["vision"]["dino"]["pos_embed"]),
     )
+
+
+def test_convert_pre_norm_tower_and_two_layer_projector():
+    """CLIP-flavoured conversion: no patch-embed bias, norm_pre present,
+    2-layer projector (single-tower gelu-mlp)."""
+    import dataclasses
+
+    from roboticattack_tpu.models.convert import convert_projector, convert_vit
+
+    clip_tiny = dataclasses.replace(
+        VLA_TINY.dino, num_reg_tokens=0, use_layerscale=False,
+        pre_norm=True, use_quick_gelu=True, ln_eps=1e-5,
+    )
+    from roboticattack_tpu.models.vit import init_vit_params
+
+    params = jax.device_get(init_vit_params(jax.random.key(5), clip_tiny))
+    sd = _vit_state(params, "v.", clip_tiny, use_ls=False)
+    assert "v.patch_embed.proj.bias" not in sd  # timm bias=not pre_norm
+    sd["v.norm_pre.weight"] = np.asarray(params["norm_pre"]["scale"])
+    sd["v.norm_pre.bias"] = np.asarray(params["norm_pre"]["bias"])
+    restored = convert_vit(sd, clip_tiny, "v.")
+    assert "bias" not in restored["patch_embed"]
+    np.testing.assert_array_equal(
+        restored["norm_pre"]["scale"], np.asarray(params["norm_pre"]["scale"])
+    )
+    np.testing.assert_array_equal(restored["pos_embed"], np.asarray(params["pos_embed"]))
+
+    rng = np.random.default_rng(6)
+    proj_sd = {
+        "projector.fc1.weight": rng.standard_normal((8, 4)).astype(np.float32),
+        "projector.fc1.bias": rng.standard_normal(8).astype(np.float32),
+        "projector.fc2.weight": rng.standard_normal((8, 8)).astype(np.float32),
+        "projector.fc2.bias": rng.standard_normal(8).astype(np.float32),
+    }
+    proj = convert_projector(proj_sd)
+    assert set(proj) == {"fc1_w", "fc1_b", "fc2_w", "fc2_b"}
+    np.testing.assert_array_equal(proj["fc1_w"], proj_sd["projector.fc1.weight"].T)
+
+
+def test_convert_resamples_pos_embed_across_resolutions():
+    """Loading a checkpoint at a different resolution resamples the position
+    grid bicubically (timm resample_abs_pos_embed semantics, triggered by the
+    img_size override at base_vision.py:111)."""
+    import dataclasses
+
+    import torch
+    import torch.nn.functional as F
+
+    from roboticattack_tpu.models.convert import convert_vit, resample_pos_embed
+    from roboticattack_tpu.models.vit import init_vit_params, vit_features
+
+    # checkpoint saved at 56px (grid 4), loaded into an 84px config (grid 6)
+    src_cfg = VLA_TINY.dino
+    dst_cfg = dataclasses.replace(src_cfg, image_size=84)
+    params = jax.device_get(init_vit_params(jax.random.key(7), src_cfg))
+    sd = _vit_state(params, "v.", src_cfg, use_ls=True)
+    restored = convert_vit(sd, dst_cfg, "v.")
+    assert restored["pos_embed"].shape == (36, src_cfg.embed_dim)
+
+    pos = np.asarray(params["pos_embed"], np.float32)
+    want = (
+        F.interpolate(
+            torch.from_numpy(pos).reshape(1, 4, 4, -1).permute(0, 3, 1, 2),
+            size=(6, 6), mode="bicubic", antialias=True,
+        ).permute(0, 2, 3, 1).reshape(36, -1).numpy()
+    )
+    np.testing.assert_allclose(restored["pos_embed"], want, rtol=1e-6)
+
+    # identity when the grids match
+    np.testing.assert_array_equal(resample_pos_embed(pos, 4), pos)
+
+    # and the resampled tower runs at the new resolution
+    rng = np.random.default_rng(8)
+    images = jnp.asarray(rng.standard_normal((1, 84, 84, 3)).astype(np.float32))
+    feats = vit_features(jax.tree.map(jnp.asarray, restored), dst_cfg, images)
+    assert feats.shape == (1, 36, src_cfg.embed_dim)
 
 
 def test_load_bf16_safetensors_checkpoint(tmp_path):

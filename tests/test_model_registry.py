@@ -15,7 +15,6 @@ from roboticattack_tpu.models import (
     MODEL_REGISTRY,
     OPENVLA_7B,
     VLA_TINY,
-    UnsupportedArchitecture,
     available_model_names,
     available_models,
     build_config,
@@ -68,15 +67,107 @@ def test_build_config_supported_and_unsupported():
 
 
 def test_build_config_errors():
-    with pytest.raises(UnsupportedArchitecture, match="vision backbone"):
-        build_config("phi-2+3b")  # clip tower
-    with pytest.raises(UnsupportedArchitecture, match="vision backbone"):
-        build_config("prism-clip+7b")
     with pytest.raises(KeyError):
         build_config("nope")
     assert build_config("openvla-7b") is OPENVLA_7B
     assert build_config("dinov2-224px+7b").siglip is None
     assert build_config("dinosiglip-224px-resize-naive+7b").siglip is not None
+
+    from roboticattack_tpu.models.config import PhiConfig
+
+    phi = build_config("phi-2+3b")
+    assert isinstance(phi.llm, PhiConfig) and phi.llm.hidden_size == 2560
+    assert phi.dino.pre_norm  # clip-vit-l-336px tower
+
+
+def test_every_zoo_id_constructs():
+    """Every registered prismatic/openvla ID builds a structural config;
+    fused towers agree on the patch grid (their features concatenate
+    per-patch, dinoclip_vit.py:107-123)."""
+    for model_id, spec in MODEL_REGISTRY.items():
+        cfg = build_config(model_id)
+        if cfg.siglip is not None:
+            assert cfg.dino.num_patches == cfg.siglip.num_patches, model_id
+        assert cfg.num_patches in (196, 256, 576, 729), model_id
+
+
+def test_zoo_resolutions_and_towers():
+    clip = build_config("clip-336px-resize-naive+7b")
+    assert clip.siglip is None and clip.dino.pre_norm and clip.dino.use_quick_gelu
+    assert clip.dino.image_size == 336 and clip.num_patches == 576
+    sig384 = build_config("siglip-384px-letterbox+7b")
+    assert sig384.dino.image_size == 384 and sig384.num_patches == 729  # floor(384/14)=27
+    dinoclip = build_config("dinoclip-336px-letterbox+7b")
+    assert dinoclip.siglip.use_quick_gelu and not dinoclip.dino.use_quick_gelu
+    assert dinoclip.vision_dim == 2048
+    in1k = build_config("in1k-224px+7b")
+    assert in1k.dino.patch_size == 16 and in1k.num_patches == 196
+    assert build_config("llama2+13b").llm.hidden_size == 5120
+    assert build_config("mistral-v0.1+7b").llm.num_kv_heads == 8
+
+
+def test_make_image_processor_per_backbone():
+    from roboticattack_tpu.models.registry import make_image_processor
+    from roboticattack_tpu.models.processing import CLIP_MEAN, IMAGENET_MEAN
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (400, 300, 3), dtype=np.uint8)
+
+    proc = make_image_processor("dinoclip-336px-letterbox+7b")
+    out = proc(img)
+    assert out.shape == (2, 336, 336, 3)
+    assert proc.means == (IMAGENET_MEAN, CLIP_MEAN)
+
+    proc = make_image_processor("siglip-384px-resize-crop+7b")
+    out = proc(img)
+    assert out.shape == (1, 384, 384, 3)
+
+    # openvla keeps the checkpoint's bf16-rounded stats + 224px
+    proc = make_image_processor("openvla-7b")
+    assert proc(img).shape == (2, 224, 224, 3)
+
+
+def test_resize_crop_matches_torchvision_geometry():
+    """resize-crop = Resize(shorter->S, long side truncates) + CenterCrop(S,
+    rounded origin) — torchvision F.resize/F.center_crop semantics the
+    reference's default timm transform uses (base_vision.py:144-168)."""
+    from PIL import Image
+
+    from roboticattack_tpu.models.processing import PrismaticImageProcessor
+
+    proc = PrismaticImageProcessor(
+        image_size=224, image_resize_strategy="resize-crop",
+        means=((0.0,) * 3,), stds=((1.0,) * 3,),
+    )
+    # w=301 < h=407: resized to (301->224, 407 -> int(224*407/301)=302)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (407, 301, 3), dtype=np.uint8)
+    nw, nh = 224, int(224 * 407 / 301)
+    resized = Image.fromarray(img).resize((nw, nh), Image.BICUBIC)
+    top = int(round((nh - 224) / 2.0))
+    want = np.asarray(resized, np.float32)[top : top + 224, :, :] / 255.0
+    got = proc(img)[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_single_tower_vla_forward_uses_two_layer_projector():
+    """Non-fused configs get the 2-layer gelu-mlp projector
+    (modeling_prismatic.py:133-137) and run end-to-end."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from roboticattack_tpu.models import vla_forward
+
+    cfg = dataclasses.replace(VLA_TINY, name="tiny-single", siglip=None)
+    params = jax.device_get(init_vla_params(jax.random.key(3), cfg))
+    assert set(params["projector"]) == {"fc1_w", "fc1_b", "fc2_w", "fc2_b"}
+    ids = jnp.asarray(np.random.default_rng(4).integers(5, 30000, (2, 12)))
+    mask = jnp.ones((2, 12), jnp.int32)
+    pixels = jnp.zeros((2, 1, 56, 56, 3), jnp.float32)
+    labels = jnp.where(mask.astype(bool), ids, -100)
+    out = vla_forward(params, cfg, ids, mask, pixels, labels)
+    assert np.isfinite(float(out.loss))
 
 
 def test_hub_file_resolution():

@@ -103,6 +103,95 @@ def test_dinov2_with_registers_parity():
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
 
 
+def test_clip_parity():
+    """CLIP tower (quick-GELU + pre-norm ln_pre + bias-less patch embed +
+    embed_class pos layout folded into cls) vs transformers CLIPVisionModel —
+    the same architecture as timm's vit_*_clip_*.openai with
+    act_layer='quick_gelu' (clip_vit.py:16-27)."""
+    from dataclasses import replace
+
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from roboticattack_tpu.models.config import ViTConfig
+
+    cfg = ViTConfig(
+        embed_dim=32, depth=3, num_heads=2, mlp_hidden=64, patch_size=14,
+        image_size=56, use_cls_token=True, pre_norm=True, use_quick_gelu=True,
+        ln_eps=1e-5,
+    )
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=cfg.embed_dim, num_hidden_layers=cfg.depth,
+        num_attention_heads=cfg.num_heads, intermediate_size=cfg.mlp_hidden,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        hidden_act="quick_gelu", layer_norm_eps=cfg.ln_eps,
+    )
+    torch.manual_seed(2)
+    model = CLIPVisionModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    get = lambda n: sd["vision_model." + n]
+
+    conv = get("embeddings.patch_embedding.weight")  # bias=False in CLIP
+    pos = get("embeddings.position_embedding.weight")  # [1+N, D], row 0 = cls
+    params = {
+        "patch_embed": {
+            "kernel": jnp.asarray(conv.transpose(2, 3, 1, 0).reshape(-1, cfg.embed_dim)),
+        },
+        "pos_embed": jnp.asarray(pos[1:]),
+        "cls_token": jnp.asarray(get("embeddings.class_embedding")[None] + pos[:1]),
+        "norm_pre": {
+            "scale": jnp.asarray(get("pre_layrnorm.weight")),
+            "bias": jnp.asarray(get("pre_layrnorm.bias")),
+        },
+        "blocks": _stack_layers(
+            get, cfg.tap_layer,
+            "encoder.layers.{}.self_attn.q_proj",
+            "encoder.layers.{}.self_attn.k_proj",
+            "encoder.layers.{}.self_attn.v_proj",
+            "encoder.layers.{}.self_attn.out_proj",
+            "encoder.layers.{}.layer_norm1", "encoder.layers.{}.layer_norm2",
+            "encoder.layers.{}.mlp.fc1", "encoder.layers.{}.mlp.fc2",
+        ),
+    }
+
+    rng = np.random.default_rng(2)
+    images = rng.standard_normal((2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        hf_out = model(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)), output_hidden_states=True
+        )
+    want = hf_out.hidden_states[cfg.depth - 1].numpy()[:, 1:]  # strip cls
+
+    got = np.asarray(vit_features(params, cfg, jnp.asarray(images)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+    # quick-GELU must actually differ from exact GELU on this graph
+    got_gelu = np.asarray(
+        vit_features(params, replace(cfg, use_quick_gelu=False), jnp.asarray(images))
+    )
+    assert np.abs(got_gelu - want).max() > 1e-3
+
+
+def test_patchify_floor_crop_matches_strided_conv():
+    """Non-multiple image sizes (384 @ patch 14) follow conv floor semantics:
+    trailing rows/cols are dropped, exactly like torch Conv2d stride=P."""
+    from roboticattack_tpu.models.vit import patchify
+
+    rng = np.random.default_rng(3)
+    patch, h, w = 14, 62, 62  # grid 4x4, 6 trailing pixels dropped
+    images = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+    weight = rng.standard_normal((8, 3, patch, patch)).astype(np.float32)
+
+    kernel = weight.transpose(2, 3, 1, 0).reshape(-1, 8)
+    ours = np.asarray(patchify(jnp.asarray(images), patch)) @ kernel
+
+    conv = torch.nn.functional.conv2d(
+        torch.from_numpy(images.transpose(0, 3, 1, 2)),
+        torch.from_numpy(weight), stride=patch,
+    ).numpy()  # [B, 8, 4, 4]
+    want = conv.reshape(2, 8, -1).transpose(0, 2, 1)
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-5)
+
+
 def test_siglip_parity():
     from transformers import SiglipVisionConfig, SiglipVisionModel
 
