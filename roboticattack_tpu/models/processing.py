@@ -43,27 +43,24 @@ class PrismaticImageProcessor:
     means: Tuple[Tuple[float, ...], ...] = (DINO_MEAN, SIGLIP_MEAN)
     stds: Tuple[Tuple[float, ...], ...] = (DINO_STD, SIGLIP_STD)
 
-    def _letterbox(self, pil):
-        from PIL import Image, ImageOps
+    def _letterbox(self, pil, mean):
+        """Pad to square with THIS tower's channel means scaled to [0, 255] —
+        the reference builds one letterbox transform per tower, each with its
+        own fill (base_vision.py:170-179; dinosiglip_vit.py:99-110)."""
+        from PIL import ImageOps
 
         w, h = pil.size
         if w == h:
             return pil
-        # pad with the (first backbone's) channel means, scaled to [0, 255]
-        fill = tuple(int(m * 255) for m in self.means[0])
+        fill = tuple(int(m * 255) for m in mean)
         side = max(w, h)
         pad_w, pad_h = (side - w) // 2, (side - h) // 2
         return ImageOps.expand(pil, border=(pad_w, pad_h, side - w - pad_w, side - h - pad_h), fill=fill)
 
-    def apply_transform(self, image) -> np.ndarray:
-        """PIL image or uint8 HWC array -> [2, H, W, 3] float32 stacked
-        normalized pixel values."""
+    def _geometry(self, pil):
+        """Resize geometry shared by all towers (fill-independent)."""
         from PIL import Image
 
-        pil = image if isinstance(image, Image.Image) else Image.fromarray(np.asarray(image))
-        pil = pil.convert("RGB")
-        if self.image_resize_strategy == "letterbox":
-            pil = self._letterbox(pil)
         if self.image_resize_strategy == "resize-crop":
             # Resize(shorter side -> S) + CenterCrop(S), the reference's
             # default timm transform (base_vision.py:144-168). Exact
@@ -78,12 +75,23 @@ class PrismaticImageProcessor:
                 nw, nh = int(s * w / h), s
             pil = pil.resize((nw, nh), Image.BICUBIC)
             left, top = int(round((nw - s) / 2.0)), int(round((nh - s) / 2.0))
-            pil = pil.crop((left, top, left + s, top + s))
-        else:
-            pil = pil.resize((self.image_size, self.image_size), Image.BICUBIC)
-        arr = np.asarray(pil, np.float32) / 255.0
+            return pil.crop((left, top, left + s, top + s))
+        return pil.resize((self.image_size, self.image_size), Image.BICUBIC)
+
+    def apply_transform(self, image) -> np.ndarray:
+        """PIL image or uint8 HWC array -> [n_towers, H, W, 3] float32 stacked
+        normalized pixel values."""
+        from PIL import Image
+
+        pil = image if isinstance(image, Image.Image) else Image.fromarray(np.asarray(image))
+        pil = pil.convert("RGB")
+        letterbox = self.image_resize_strategy == "letterbox"
         stacked = []
+        shared = None if letterbox else np.asarray(self._geometry(pil), np.float32) / 255.0
         for mean, std in zip(self.means, self.stds):
+            arr = shared
+            if arr is None:  # letterbox: per-tower fill color
+                arr = np.asarray(self._geometry(self._letterbox(pil, mean)), np.float32) / 255.0
             stacked.append((arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32))
         return np.stack(stacked, axis=0)
 

@@ -127,6 +127,21 @@ def test_make_image_processor_per_backbone():
     assert proc(img).shape == (2, 224, 224, 3)
 
 
+def test_letterbox_fill_is_per_tower():
+    """The reference letterboxes once per tower, each with its own mean fill
+    (dinosiglip_vit.py:99-110): padded regions normalize to ~0 for BOTH
+    towers even though their means differ."""
+    from roboticattack_tpu.models.processing import PrismaticImageProcessor
+
+    proc = PrismaticImageProcessor(image_resize_strategy="letterbox")
+    img = np.full((100, 300, 3), 200, np.uint8)  # wide -> pad top/bottom
+    out = proc(img)
+    # top-left pixel sits in the padded band for both planes
+    pad_dino, pad_siglip = out[0, 0, 0], out[1, 0, 0]
+    assert np.abs(pad_dino).max() < 0.02, pad_dino  # dino fill / dino norm ~ 0
+    assert np.abs(pad_siglip).max() < 0.02, pad_siglip  # siglip fill / siglip norm ~ 0
+
+
 def test_resize_crop_matches_torchvision_geometry():
     """resize-crop = Resize(shorter->S, long side truncates) + CenterCrop(S,
     rounded origin) — torchvision F.resize/F.center_crop semantics the
