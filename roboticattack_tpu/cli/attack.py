@@ -68,9 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="local HF OpenVLA checkpoint dir (safetensors) to convert & load")
     p.add_argument("--data_parallel", type=str2bool, default=False,
                    help="shard batches over all local devices (replaces torchrun DDP)")
-    p.add_argument("--file_layer", default="tf", choices=["tf", "native"],
-                   help="'native' reads RLDS TFRecords through the C++ reader "
-                        "(no TensorFlow on the hot path); needs --stats_json")
+    p.add_argument("--file_layer", default="tf", choices=["tf", "tfrecord", "native"],
+                   help="'tf' = TFDS builder; 'tfrecord' = plain tf.data over "
+                        "the TFDS on-disk shards (no tensorflow_datasets "
+                        "needed); 'native' = the C++ reader (no TensorFlow on "
+                        "the hot path; needs --stats_json)")
     p.add_argument("--stats_json", default=None, type=str,
                    help="dataset_statistics.json (reference schema: either "
                         "{dataset: stats} or a bare stats block) to use for "

@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -300,6 +301,108 @@ def load_tfds_trajectories(name: str, data_dir: Optional[str], split: str,
     return mapped
 
 
+def _parse_split(split: str) -> Tuple[str, Optional[float], Optional[float]]:
+    """'train' / 'train[:95%]' / 'train[95%:]' -> (base, lo_frac, hi_frac)."""
+    m = re.fullmatch(r"(\w+)(?:\[(\d*)%?:(\d*)%?\])?", split)
+    if m is None:
+        raise ValueError(f"unsupported split spec '{split}'")
+    base, lo, hi = m.group(1), m.group(2), m.group(3)
+    if lo is None and hi is None:
+        return base, None, None
+    return base, (int(lo) / 100 if lo else 0.0), (int(hi) / 100 if hi else 1.0)
+
+
+def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
+                               return_builder_info: bool = False):
+    """TFDS-free RLDS loader: plain tf.data over the TFDS on-disk layout
+    (TFRecord shards + dataset_info.json) — the episode proto schema the
+    native C++ layer parses (data/native_pipeline.py docstring). Removes the
+    `tensorflow_datasets` import from the real-data path; only TensorFlow
+    itself is needed.
+
+    Split percent boundaries ('train[:95%]' / 'train[95%:]',
+    dataset.py:234-237) are exact when dataset_info.json carries the split's
+    shardLengths (TFDS always writes them); without the file we fall back to
+    a deterministic episode-index modulus (i % 100 < pct), which keeps
+    train/val disjoint but interleaves rather than suffixes the val slice."""
+    tf = _tf()
+    from .native_pipeline import discover_tfrecords
+
+    base_split, lo, hi = _parse_split(split)
+    paths = discover_tfrecords(name, data_dir or ".", split=base_split)
+
+    # --- bounds + builder info from dataset_info.json --------------------------
+    info_path = os.path.join(os.path.dirname(paths[0]), "dataset_info.json")
+    builder_info, total = f"name={name}", None
+    if os.path.exists(info_path):
+        with open(info_path) as f:
+            builder_info = f.read()
+        try:
+            splits = json.loads(builder_info).get("splits", [])
+            lengths = next(
+                (s.get("shardLengths", []) for s in splits if s.get("name") == base_split),
+                [],
+            )
+            total = sum(int(n) for n in lengths) or None
+        except (ValueError, AttributeError):
+            total = None
+
+    # --- schema introspection on the first record -------------------------------
+    first = next(iter(tf.data.TFRecordDataset(paths[0]).take(1))).numpy()
+    feature_map = tf.train.Example.FromString(first).features.feature
+    image_key = DATASET_IMAGE_KEYS.get(name, "image")
+    img_feature = f"steps/observation/{image_key}"
+    if img_feature not in feature_map:
+        raise KeyError(f"{img_feature} not in episode features: {sorted(feature_map)}")
+    lang_feature = (
+        "steps/language_instruction"
+        if "steps/language_instruction" in feature_map
+        else "steps/observation/natural_language_instruction"
+    )
+    has_state = "steps/observation/state" in feature_map
+
+    spec = {
+        img_feature: tf.io.FixedLenSequenceFeature([], tf.string, allow_missing=True),
+        "steps/action": tf.io.FixedLenSequenceFeature([], tf.float32, allow_missing=True),
+        lang_feature: tf.io.FixedLenSequenceFeature([], tf.string, allow_missing=True),
+    }
+    if has_state:
+        spec["steps/observation/state"] = tf.io.FixedLenSequenceFeature(
+            [], tf.float32, allow_missing=True
+        )
+
+    def restructure(record):
+        ex = tf.io.parse_single_example(record, spec)
+        images = ex[img_feature]
+        t = tf.shape(images)[0]
+        out = {
+            "image": images,
+            "action": tf.reshape(ex["steps/action"], [t, -1]),
+            "observation": {},
+            "language": ex[lang_feature],
+        }
+        if has_state:
+            out["observation"]["state"] = tf.reshape(ex["steps/observation/state"], [t, -1])
+        return out
+
+    ds = tf.data.TFRecordDataset(paths)  # sorted shards = TFDS storage order
+    if lo is not None:
+        if total is not None:  # exact TFDS percent-split boundaries
+            start, stop = round(lo * total), round(hi * total)
+            ds = ds.skip(start).take(max(stop - start, 0))
+        else:  # no dataset_info.json: deterministic index-modulus split
+            lo_i, hi_i = round(lo * 100), round(hi * 100)
+            ds = (
+                ds.enumerate()
+                .filter(lambda i, _: (i % 100 >= lo_i) & (i % 100 < hi_i))
+                .map(lambda _, rec: rec)
+            )
+    mapped = ds.map(restructure, num_parallel_calls=tf.data.AUTOTUNE)
+    if return_builder_info:
+        return mapped, builder_info
+    return mapped
+
+
 def make_frame_dataset(
     name: str,
     data_dir: Optional[str] = None,
@@ -321,11 +424,17 @@ def make_frame_dataset(
     Statistics are computed over the UNsharded stream so every host
     normalizes identically.
 
-    file_layer='native' swaps the tf.data file layer for the C++ reader
-    (native/rlds_reader.cpp via data/native_pipeline.py): TFRecord framing,
-    proto parsing, and JPEG decode run native with NumPy standardization —
-    no TensorFlow on the hot path. Requires `stats` (or a tf-computed cache)
-    and currently covers the attack datasets (bridge_orig + LIBERO suites)."""
+    file_layer:
+      'tf'       — TFDS builder read (requires tensorflow_datasets);
+      'tfrecord' — plain tf.data over the TFDS on-disk layout
+                   (load_tfrecord_trajectories; no tensorflow_datasets
+                   dependency, exact percent splits via dataset_info.json);
+      'native'   — the C++ reader (native/rlds_reader.cpp via
+                   data/native_pipeline.py): TFRecord framing, proto parsing,
+                   and JPEG decode run native with NumPy standardization — no
+                   TensorFlow on the hot path. Requires `stats` (or a
+                   tf-computed cache) and currently covers the attack
+                   datasets (bridge_orig + LIBERO suites)."""
     if file_layer == "native":
         if stats is None:
             raise ValueError(
@@ -345,7 +454,9 @@ def make_frame_dataset(
     split = "train[:95%]" if train else "train[95%:]"  # dataset.py:234-237
     builder_info = f"name={name}"
     if traj_dataset is None:
-        traj_dataset, builder_info = load_tfds_trajectories(
+        loader = load_tfrecord_trajectories if file_layer == "tfrecord" \
+            else load_tfds_trajectories
+        traj_dataset, builder_info = loader(
             name, data_dir, split, return_builder_info=True
         )
     transform = STANDARDIZATION_TRANSFORMS.get(name)
