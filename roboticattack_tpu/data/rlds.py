@@ -302,12 +302,18 @@ def load_tfds_trajectories(name: str, data_dir: Optional[str], split: str,
 
 
 def _parse_split(split: str) -> Tuple[str, Optional[float], Optional[float]]:
-    """'train' / 'train[:95%]' / 'train[95%:]' -> (base, lo_frac, hi_frac)."""
-    m = re.fullmatch(r"(\w+)(?:\[(\d*)%?:(\d*)%?\])?", split)
+    """'train' / 'train[:95%]' / 'train[95%:]' -> (base, lo_frac, hi_frac).
+
+    Only PERCENT slices are supported; absolute-index specs like
+    'train[:1000]' are rejected (not silently reinterpreted as percentages)."""
+    m = re.fullmatch(r"(\w+)(?:\[(?:(\d+)%)?:(?:(\d+)%)?\])?", split)
     if m is None:
-        raise ValueError(f"unsupported split spec '{split}'")
+        raise ValueError(
+            f"unsupported split spec '{split}' (only 'name' and percent "
+            f"slices 'name[lo%:hi%]' are supported here)"
+        )
     base, lo, hi = m.group(1), m.group(2), m.group(3)
-    if lo is None and hi is None:
+    if "[" not in split:
         return base, None, None
     return base, (int(lo) / 100 if lo else 0.0), (int(hi) / 100 if hi else 1.0)
 
@@ -333,7 +339,7 @@ def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
 
     # --- bounds + builder info from dataset_info.json --------------------------
     info_path = os.path.join(os.path.dirname(paths[0]), "dataset_info.json")
-    builder_info, total = f"name={name}", None
+    builder_info, total, shard_lengths = f"name={name}", None, None
     if os.path.exists(info_path):
         with open(info_path) as f:
             builder_info = f.read()
@@ -344,6 +350,8 @@ def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
                 [],
             )
             total = sum(int(n) for n in lengths) or None
+            if len(lengths) == len(paths):  # per-shard counts align with files
+                shard_lengths = [int(n) for n in lengths]
         except (ValueError, AttributeError):
             total = None
 
@@ -354,11 +362,16 @@ def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
     img_feature = f"steps/observation/{image_key}"
     if img_feature not in feature_map:
         raise KeyError(f"{img_feature} not in episode features: {sorted(feature_map)}")
-    lang_feature = (
-        "steps/language_instruction"
-        if "steps/language_instruction" in feature_map
-        else "steps/observation/natural_language_instruction"
+    lang_candidates = (
+        "steps/language_instruction",
+        "steps/observation/natural_language_instruction",
     )
+    lang_feature = next((k for k in lang_candidates if k in feature_map), None)
+    if lang_feature is None:
+        raise KeyError(
+            f"no language key {lang_candidates} in episode features: "
+            f"{sorted(feature_map)}"
+        )
     has_state = "steps/observation/state" in feature_map
 
     spec = {
@@ -385,18 +398,37 @@ def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
             out["observation"]["state"] = tf.reshape(ex["steps/observation/state"], [t, -1])
         return out
 
-    ds = tf.data.TFRecordDataset(paths)  # sorted shards = TFDS storage order
-    if lo is not None:
-        if total is not None:  # exact TFDS percent-split boundaries
-            start, stop = round(lo * total), round(hi * total)
-            ds = ds.skip(start).take(max(stop - start, 0))
-        else:  # no dataset_info.json: deterministic index-modulus split
-            lo_i, hi_i = round(lo * 100), round(hi * 100)
-            ds = (
-                ds.enumerate()
-                .filter(lambda i, _: (i % 100 >= lo_i) & (i % 100 < hi_i))
-                .map(lambda _, rec: rec)
-            )
+    split_paths, skip_start = paths, None
+    if lo is not None and total is not None:
+        # exact TFDS percent-split boundaries
+        start, stop = round(lo * total), round(hi * total)
+        take = max(stop - start, 0)
+        if shard_lengths is not None:
+            # open only the shards overlapping [start, stop): a repeating val
+            # iterator ('train[95%:]') must not re-read and discard 95% of
+            # the dataset's bytes every epoch
+            split_paths, cum = [], 0
+            for path, n in zip(paths, shard_lengths):
+                if cum + n > start and cum < stop:
+                    if not split_paths:
+                        skip_start = start - cum
+                    split_paths.append(path)
+                cum += n
+            skip_start = skip_start or 0
+        else:
+            skip_start = start
+        if not split_paths:
+            split_paths = paths[:1]  # empty split: keep a valid (empty) pipeline
+    ds = tf.data.TFRecordDataset(split_paths)  # sorted shards = TFDS storage order
+    if skip_start is not None:
+        ds = ds.skip(skip_start).take(take)
+    elif lo is not None:  # no dataset_info.json: deterministic index-modulus split
+        lo_i, hi_i = round(lo * 100), round(hi * 100)
+        ds = (
+            ds.enumerate()
+            .filter(lambda i, _: (i % 100 >= lo_i) & (i % 100 < hi_i))
+            .map(lambda _, rec: rec)
+        )
     mapped = ds.map(restructure, num_parallel_calls=tf.data.AUTOTUNE)
     if return_builder_info:
         return mapped, builder_info

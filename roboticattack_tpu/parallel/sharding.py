@@ -46,6 +46,39 @@ def llama_param_specs(model_axis: str = "model") -> Dict:
     }
 
 
+def phi_param_specs(model_axis: str = "model") -> Dict:
+    """Megatron-style TP for the Phi-2 block (models/phi.py layout): q/k/v and
+    fc1 column-split with their biases, o/fc2 row-split (psum after), norms +
+    post-psum biases replicated."""
+    m = model_axis
+    return {
+        "ln_scale": P(), "ln_bias": P(),
+        "q_w": P(None, None, m), "q_b": P(None, m),
+        "k_w": P(None, None, m), "k_b": P(None, m),
+        "v_w": P(None, None, m), "v_b": P(None, m),
+        "o_w": P(None, m, None), "o_b": P(),
+        "fc1_w": P(None, None, m), "fc1_b": P(None, m),
+        "fc2_w": P(None, m, None), "fc2_b": P(),
+    }
+
+
+def _decoder_layer_specs(layer_keys: set, model_axis: str) -> Dict:
+    """Spec dict for a stacked decoder-layer pytree, strict about unknown
+    keys: a renamed Llama param must fail loudly here, not silently lose its
+    TP sharding (replicating a 7B weight on a 16 GB chip = far-away OOM)."""
+    llama = llama_param_specs(model_axis)["layers"]
+    if layer_keys <= set(llama):
+        return {k: llama[k] for k in layer_keys}
+    phi = phi_param_specs(model_axis)
+    if layer_keys <= set(phi):
+        return {k: phi[k] for k in layer_keys}
+    unknown = layer_keys - set(llama) - set(phi)
+    raise KeyError(
+        f"decoder layer keys {sorted(unknown)} have no TP PartitionSpec; "
+        f"add them to llama_param_specs/phi_param_specs"
+    )
+
+
 def vit_param_specs() -> Dict:
     """Replicated (ViTs are ~1.5 GB bf16 combined)."""
     return None  # sentinel: replicate whole subtree
@@ -62,13 +95,7 @@ def vla_param_specs(params: Dict, model_axis: str = "model",
         "projector": replicate_like(params["projector"]),
         "llm": {
             "embed": P(model_axis, None),
-            # unknown layer keys (the Phi-2 decoder's biases/fc weights)
-            # replicate; GSPMD still propagates consistent activation
-            # shardings around them
-            "layers": {
-                k: llama_param_specs(model_axis)["layers"].get(k, P())
-                for k in params["llm"]["layers"]
-            },
+            "layers": _decoder_layer_specs(set(params["llm"]["layers"]), model_axis),
             "norm": jax.tree.map(lambda _: P(), params["llm"]["norm"]),
             "lm_head": jax.tree.map(
                 lambda _: P(None, model_axis) if _.ndim == 2 else P(model_axis),

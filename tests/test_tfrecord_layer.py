@@ -22,7 +22,7 @@ from roboticattack_tpu.data.rlds import (
     normalize_traj_actions,
 )
 
-from test_native_pipeline import T, _stats, _write_episode_tfrecord
+from test_native_pipeline import T, _write_episode_tfrecord
 
 
 def _write_layout(tmp_path, n_episodes=4, with_info=True, name="bridge_orig",
@@ -60,7 +60,7 @@ def test_tfrecord_trajectories_roundtrip(tmp_path):
     trajs = list(ds.as_numpy_iterator())
     assert len(trajs) == 3
     t0 = trajs[0]
-    assert t0["image"].shape == (T,) and t0["image"].dtype == object or True
+    assert t0["image"].shape == (T,)
     assert t0["action"].shape == (T, 7)
     assert t0["observation"]["state"].shape == (T, 8)
     assert t0["language"][0] == b"lift the block"
