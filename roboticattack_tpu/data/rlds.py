@@ -128,6 +128,21 @@ DATASET_IMAGE_KEYS: Dict[str, str] = {
 }
 
 
+def dataset_image_key(name: str) -> str:
+    """Primary-camera observation key for a dataset: the attack datasets'
+    table above, then the OXE registry's per-dataset `image_obs_keys.primary`
+    (configs.py:54-673) — so every registered OXE dataset reads through the
+    tf/tfrecord/native file layers without extra plumbing."""
+    if name in DATASET_IMAGE_KEYS:
+        return DATASET_IMAGE_KEYS[name]
+    from .oxe_registry import OXE_DATASET_CONFIGS  # lazy: oxe imports rlds
+
+    cfg = OXE_DATASET_CONFIGS.get(name)
+    if cfg is not None and cfg.image_obs_keys.get("primary"):
+        return cfg.image_obs_keys["primary"]
+    return "image"
+
+
 # --- statistics ------------------------------------------------------------------
 
 LOCAL_STATS_CACHE = os.path.expanduser(os.path.join("~", ".cache", "roboticattack_tpu"))
@@ -282,7 +297,7 @@ def load_tfds_trajectories(name: str, data_dir: Optional[str], split: str,
     tf = _tf()
     builder = tfds.builder(name, data_dir=data_dir)
     ds = builder.as_dataset(split=split, decoders={"steps": tfds.decode.SkipDecoding()})
-    image_key = DATASET_IMAGE_KEYS.get(name, "image")
+    image_key = dataset_image_key(name)
 
     def restructure(episode):
         steps = episode["steps"]
@@ -358,7 +373,7 @@ def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
     # --- schema introspection on the first record -------------------------------
     first = next(iter(tf.data.TFRecordDataset(paths[0]).take(1))).numpy()
     feature_map = tf.train.Example.FromString(first).features.feature
-    image_key = DATASET_IMAGE_KEYS.get(name, "image")
+    image_key = dataset_image_key(name)
     img_feature = f"steps/observation/{image_key}"
     if img_feature not in feature_map:
         raise KeyError(f"{img_feature} not in episode features: {sorted(feature_map)}")
@@ -479,7 +494,7 @@ def make_frame_dataset(
         if num_shards > 1:
             paths = paths[shard_index::num_shards] or paths[shard_index:shard_index + 1]
         frames = NativeFrameDataset(
-            paths, name, stats, image_key=DATASET_IMAGE_KEYS.get(name, "image"),
+            paths, name, stats, image_key=dataset_image_key(name),
             image_size=image_size, shuffle_buffer=shuffle_buffer, seed=seed, train=train,
         )
         return frames, stats

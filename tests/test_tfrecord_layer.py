@@ -95,6 +95,22 @@ def test_tfrecord_modulus_fallback_split(tmp_path):
     assert not (sigs_t & sigs_v)
 
 
+def test_oxe_image_key_resolution(tmp_path):
+    """Any registered OXE dataset reads from disk through its registry
+    primary-camera key (configs.py table), not just the 5 attack datasets."""
+    import roboticattack_tpu  # noqa: F401  (registers OXE configs on import)
+    from roboticattack_tpu.data.rlds import dataset_image_key
+
+    assert dataset_image_key("bridge_orig") == "image_0"
+    assert dataset_image_key("taco_play") == "rgb_static"
+    assert dataset_image_key("unregistered") == "image"
+
+    _write_layout(tmp_path, n_episodes=2, name="taco_play", image_key="rgb_static")
+    trajs = list(load_tfrecord_trajectories(
+        "taco_play", str(tmp_path), "train").as_numpy_iterator())
+    assert len(trajs) == 2 and trajs[0]["image"].shape == (T,)
+
+
 def test_tfrecord_layer_matches_injected_pipeline(tmp_path):
     """make_frame_dataset(file_layer='tfrecord') produces the same
     standardized + normalized trajectories as the in-memory tf pipeline fed
