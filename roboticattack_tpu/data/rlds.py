@@ -500,6 +500,7 @@ def make_frame_dataset(
         return frames, stats
     split = "train[:95%]" if train else "train[95%:]"  # dataset.py:234-237
     builder_info = f"name={name}"
+    loader = None
     if traj_dataset is None:
         loader = load_tfrecord_trajectories if file_layer == "tfrecord" \
             else load_tfds_trajectories
@@ -514,13 +515,21 @@ def make_frame_dataset(
 
         # hash over builder info + transform SOURCE (dataset.py:213-220):
         # editing a standardization transform invalidates cached statistics.
-        # NOTE: stats aggregate the loaded split; the reference aggregates
-        # split="all" — pass `stats=` (e.g. a reference-exported JSON) when
-        # exact normalization parity with a reference run is required.
         transform_src = inspect.getsource(transform) if transform is not None else ""
+        if loader is not None:
+            # the reference aggregates statistics over split="all"
+            # (dataset.py:209-222) so train and val normalize identically
+            # from ONE cache entry; 'train' == "all" for the attack datasets
+            # (their builders carry no other split)
+            stats_split = "train"
+            stats_traj = loader(name, data_dir, stats_split)
+            if transform is not None:
+                stats_traj = stats_traj.map(transform)
+        else:  # injected trajectory dataset (tests/synthetic): use as-is
+            stats_split, stats_traj = split, traj_dataset
         stats = compute_dataset_statistics(
-            traj_dataset, save_path=data_dir,
-            hash_dependencies=(builder_info, split, transform_src),
+            stats_traj, save_path=data_dir,
+            hash_dependencies=(builder_info, stats_split, transform_src),
         )
     if num_shards > 1:
         traj_dataset = traj_dataset.shard(num_shards, shard_index)

@@ -138,6 +138,24 @@ def test_tfrecord_layer_matches_injected_pipeline(tmp_path):
     assert np.isclose(all_rows, f["action"], atol=1e-6).all(axis=1).any()
 
 
+def test_statistics_aggregate_full_split(tmp_path):
+    """Statistics come from the FULL split (the reference's split='all',
+    dataset.py:209-222), not the loaded 95%/5% slice: a train-split and a
+    val-split make_frame_dataset produce identical stats from one cache
+    entry, so both normalize identically."""
+    _write_layout(tmp_path, n_episodes=20)
+    _, stats_train = make_frame_dataset(
+        "bridge_orig", data_dir=str(tmp_path), train=True, image_size=56,
+        shuffle_buffer=1, file_layer="tfrecord",
+    )
+    _, stats_val = make_frame_dataset(
+        "bridge_orig", data_dir=str(tmp_path), train=False, image_size=56,
+        shuffle_buffer=1, file_layer="tfrecord",
+    )
+    assert stats_train == stats_val
+    assert stats_train["num_trajectories"] == 20  # all episodes, not 19
+
+
 def test_attack_cli_tfrecord_file_layer(tmp_path):
     """Full integration: the attack CLI on --file_layer tfrecord computes
     statistics from the shards (no --stats_json needed, unlike 'native') and
