@@ -25,6 +25,12 @@ the kernel on its local (B/dp, H/tp) block with ZERO collectives (the TP
 equivalent of flash-attn 2.5.5 running per-GPU under Megatron-style head
 splits). Sequence/head_dim factors are declared replicated; the bias follows
 the batch sharding. Single-device jit lowers to the plain kernel.
+
+Caveat: because the head axis is declared shardable, GSPMD propagation (e.g.
+under a ZeRO-3/FSDP layout) may shard heads over the 'data' axis; that is a
+valid layout whenever num_heads divides the axis (true for the 7B's 32 heads
+on 2^k-device meshes) but fails to partition on toy configs with fewer heads
+than devices — use attn_impl='chunked' there (__graft_entry__'s FSDP leg).
 """
 
 from __future__ import annotations

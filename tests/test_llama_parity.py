@@ -74,6 +74,47 @@ def test_llama_matches_hf():
     assert abs(loss - hf_loss) < 2e-4, (loss, hf_loss)
 
 
+def test_gqa_matches_hf():
+    """Grouped-query attention (the Mistral-v0.1 zoo configs: 8 kv heads for
+    32 query heads) parity vs HF, through both the plain and the chunked
+    attention paths."""
+    import dataclasses
+
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    cfg = dataclasses.replace(TINY_LLAMA, num_kv_heads=2, attn_impl="xla")
+    hf_cfg = HFLlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        num_key_value_heads=2, max_position_embeddings=cfg.max_seq_len,
+        rms_norm_eps=cfg.rms_eps, rope_theta=cfg.rope_theta,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    state = {
+        "language_model." + k: v.detach().numpy() for k, v in model.state_dict().items()
+    }
+    params = convert_llama(state, cfg)
+    params = {k: jnp.asarray(v) if not isinstance(v, dict)
+              else {kk: jnp.asarray(vv) for kk, vv in v.items()}
+              for k, v in params.items()}
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(5, 31000, size=(2, 128))
+    mask = np.ones((2, 128), dtype=np.int32)
+    with torch.no_grad():
+        hf_logits = model(input_ids=torch.from_numpy(ids)).logits.numpy()
+
+    emb = embed_tokens(params, jnp.asarray(ids))
+    for impl in ("xla", "chunked"):  # chunked needs sq > chunk: 128 > 64
+        c = dataclasses.replace(cfg, attn_impl=impl)
+        ours = np.asarray(llama_apply(params, c, emb, attention_mask=jnp.asarray(mask)))
+        np.testing.assert_allclose(ours, hf_logits, rtol=2e-4, atol=2e-4, err_msg=impl)
+
+
 def test_cross_entropy_ignores_all_invalid():
     logits = jnp.zeros((1, 4, 8))
     labels = jnp.full((1, 4), IGNORE_INDEX)
