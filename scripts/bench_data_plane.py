@@ -1,6 +1,7 @@
 """Host data-plane throughput: frames/s of each file layer on synthetic
-RLDS TFRecord shards (224px JPEG frames, bridge_orig schema + transform +
-normalization + resize — everything up to the accelerator feed).
+RLDS TFRecord shards (256px JPEG frames like real bridge_orig, so BOTH layers
+pay the lanczos resize to 224; bridge schema + transform + normalization —
+everything up to the accelerator feed).
 
 Usage: python scripts/bench_data_plane.py [--episodes 64] [--steps 40]
 Prints one line per available layer. The attack consumes ~10 frames/s/chip
@@ -10,7 +11,6 @@ for multi-chip DP feeding from one host.
 """
 
 import argparse
-import io
 import os
 import sys
 import tempfile
@@ -22,46 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def write_shards(root: str, episodes: int, steps: int, image_size: int) -> None:
-    import tensorflow as tf
-    from PIL import Image
+    from roboticattack_tpu.data.synthetic_shards import write_rlds_layout
 
-    d = os.path.join(root, "bridge_orig", "1.0.0")
-    os.makedirs(d, exist_ok=True)
-    rng = np.random.default_rng(0)
-
-    def jpeg() -> bytes:
-        arr = rng.integers(0, 255, (image_size, image_size, 3), dtype=np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, format="JPEG")
-        return buf.getvalue()
-
-    path = os.path.join(d, "bridge_orig-train.tfrecord-00000-of-00001")
-    with tf.io.TFRecordWriter(path) as w:
-        for _ in range(episodes):
-            actions = rng.standard_normal((steps, 7)).astype(np.float32)
-            actions[:, -1] = rng.uniform(0, 1, steps)
-            feats = {
-                "steps/observation/image_0": tf.train.Feature(
-                    bytes_list=tf.train.BytesList(value=[jpeg() for _ in range(steps)])
-                ),
-                "steps/observation/state": tf.train.Feature(
-                    float_list=tf.train.FloatList(
-                        value=rng.standard_normal(steps * 8).astype(np.float32))
-                ),
-                "steps/action": tf.train.Feature(
-                    float_list=tf.train.FloatList(value=actions.reshape(-1))
-                ),
-                "steps/language_instruction": tf.train.Feature(
-                    bytes_list=tf.train.BytesList(value=[b"put the spoon on the towel"] * steps)
-                ),
-            }
-            w.write(tf.train.Example(
-                features=tf.train.Features(feature=feats)).SerializeToString())
-    import json
-
-    with open(os.path.join(d, "dataset_info.json"), "w") as f:
-        json.dump({"name": "bridge_orig",
-                   "splits": [{"name": "train", "shardLengths": [str(episodes)]}]}, f)
+    write_rlds_layout(
+        root, name="bridge_orig", n_episodes=episodes, steps=steps,
+        image_key="image_0", image_size=image_size,
+        language=b"put the spoon on the towel",
+    )
 
 
 def bench_layer(layer: str, root: str, stats, n_frames: int) -> float:
@@ -102,7 +69,7 @@ def main() -> None:
         root = tmp.name
         print(f"writing {args.episodes} episodes x {args.steps} steps ...",
               file=sys.stderr)
-        write_shards(root, args.episodes, args.steps, 224)
+        write_shards(root, args.episodes, args.steps, 256)
 
     stats = compute_dataset_statistics(
         load_tfrecord_trajectories("bridge_orig", root, "train").map(bridge_orig_transform)

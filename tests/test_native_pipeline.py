@@ -3,7 +3,6 @@
 tf.data pipeline's standardization + normalization. Plus the stats-cache
 SHA keying and pad_to skip-rate counters."""
 
-import io
 import json
 import os
 
@@ -36,39 +35,17 @@ RNG = np.random.default_rng(0)
 
 
 def _jpeg(rng, size=32) -> bytes:
-    from PIL import Image
+    from roboticattack_tpu.data.synthetic_shards import jpeg_bytes
 
-    arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="JPEG")
-    return buf.getvalue()
+    return jpeg_bytes(rng, size)
 
 
 def _write_episode_tfrecord(path, n_episodes=3, action_dim=7, rng=None,
                             image_key="image"):
-    rng = rng or np.random.default_rng(1)
-    with tf.io.TFRecordWriter(str(path)) as w:
-        for _ in range(n_episodes):
-            actions = rng.standard_normal((T, action_dim)).astype(np.float32)
-            actions[:, -1] = rng.uniform(-1, 1, T)
-            feats = {
-                f"steps/observation/{image_key}": tf.train.Feature(
-                    bytes_list=tf.train.BytesList(value=[_jpeg(rng) for _ in range(T)])
-                ),
-                "steps/observation/state": tf.train.Feature(
-                    float_list=tf.train.FloatList(
-                        value=rng.standard_normal(T * 8).astype(np.float32)
-                    )
-                ),
-                "steps/action": tf.train.Feature(
-                    float_list=tf.train.FloatList(value=actions.reshape(-1))
-                ),
-                "steps/language_instruction": tf.train.Feature(
-                    bytes_list=tf.train.BytesList(value=[b"lift the block"] * T)
-                ),
-            }
-            w.write(tf.train.Example(
-                features=tf.train.Features(feature=feats)).SerializeToString())
+    from roboticattack_tpu.data.synthetic_shards import write_episode_tfrecord
+
+    write_episode_tfrecord(path, n_episodes=n_episodes, steps=T,
+                           action_dim=action_dim, rng=rng, image_key=image_key)
 
 
 def _stats():

@@ -22,26 +22,17 @@ from roboticattack_tpu.data.rlds import (
     normalize_traj_actions,
 )
 
-from test_native_pipeline import T, _write_episode_tfrecord
+from test_native_pipeline import T
 
 
 def _write_layout(tmp_path, n_episodes=4, with_info=True, name="bridge_orig",
                   image_key="image_0", n_shards=1):
-    d = tmp_path / name / "1.0.0"
-    d.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(0)
-    per = n_episodes // n_shards
-    for s in range(n_shards):
-        _write_episode_tfrecord(
-            d / f"{name}-train.tfrecord-{s:05d}-of-{n_shards:05d}",
-            n_episodes=per, rng=rng, image_key=image_key,
-        )
-    if with_info:
-        (d / "dataset_info.json").write_text(json.dumps({
-            "name": name,
-            "splits": [{"name": "train", "shardLengths": [str(per)] * n_shards}],
-        }))
-    return d
+    from roboticattack_tpu.data.synthetic_shards import write_rlds_layout
+
+    return write_rlds_layout(
+        tmp_path, name=name, n_episodes=n_episodes, steps=T,
+        image_key=image_key, n_shards=n_shards, with_info=with_info,
+    )
 
 
 def test_parse_split():
