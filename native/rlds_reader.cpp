@@ -14,6 +14,7 @@
 //                     Feature{1: BytesList, 2: FloatList, 3: Int64List}
 // (hand-rolled varint/wire parsing — protobuf runtime not required)
 
+#include <cmath>
 #include <cstddef>
 #include <cstdint>
 #include <cstdio>
@@ -397,6 +398,118 @@ int rlds_jpeg_decode(const uint8_t* jpg, int64_t len, uint8_t* out, int* out_h,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // extern "C"
+
+// --- Lanczos-3 separable resampler ------------------------------------------------
+// The kernel family of tf.image.resize(method='lanczos3', antialias=True) and
+// PIL's Image.LANCZOS (obs_transforms.py:45-58): sinc(x)*sinc(x/3) windows,
+// support scaled by the downsampling factor (antialias). Float32 math,
+// horizontal then vertical pass, round-clamp to uint8.
+
+static double lanczos3_kernel(double x) {
+  if (x <= -3.0 || x >= 3.0) return 0.0;
+  if (x == 0.0) return 1.0;
+  double pix = M_PI * x;
+  return 3.0 * sin(pix) * sin(pix / 3.0) / (pix * pix);
+}
+
+struct ResampleTaps {
+  int ksize;                  // taps per output coordinate
+  std::vector<int> start;     // first input index per output coordinate
+  std::vector<float> weight;  // [out_size * ksize], zero-padded at borders
+};
+
+static void lanczos3_taps(int in_size, int out_size, ResampleTaps* taps) {
+  double scale = static_cast<double>(in_size) / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = 3.0 * filterscale;
+  int ksize = static_cast<int>(ceil(support)) * 2 + 1;
+  taps->ksize = ksize;
+  taps->start.assign(out_size, 0);
+  taps->weight.assign(static_cast<size_t>(out_size) * ksize, 0.0f);
+  for (int i = 0; i < out_size; i++) {
+    double center = (i + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    taps->start[i] = xmin;
+    double total = 0.0;
+    std::vector<double> w(xmax - xmin);
+    for (int x = xmin; x < xmax; x++) {
+      w[x - xmin] = lanczos3_kernel((x + 0.5 - center) / filterscale);
+      total += w[x - xmin];
+    }
+    for (int x = 0; x < xmax - xmin; x++) {
+      taps->weight[static_cast<size_t>(i) * ksize + x] =
+          static_cast<float>(total != 0.0 ? w[x] / total : 0.0);
+    }
+  }
+}
+
+// in: [h, w, 3] uint8 -> out: [size, size, 3] uint8
+static void lanczos3_resize_rgb(const uint8_t* in, int h, int w, int size,
+                                uint8_t* out) {
+  ResampleTaps hx, vx;
+  lanczos3_taps(w, size, &hx);
+  lanczos3_taps(h, size, &vx);
+  // horizontal pass: [h, size, 3] float
+  std::vector<float> mid(static_cast<size_t>(h) * size * 3);
+  for (int y = 0; y < h; y++) {
+    const uint8_t* row = in + static_cast<size_t>(y) * w * 3;
+    float* mrow = mid.data() + static_cast<size_t>(y) * size * 3;
+    for (int i = 0; i < size; i++) {
+      const float* wgt = hx.weight.data() + static_cast<size_t>(i) * hx.ksize;
+      int x0 = hx.start[i];
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int k = 0; k < hx.ksize; k++) {
+        float g = wgt[k];
+        if (g == 0.f) continue;
+        const uint8_t* px = row + static_cast<size_t>(x0 + k) * 3;
+        acc[0] += g * px[0];
+        acc[1] += g * px[1];
+        acc[2] += g * px[2];
+      }
+      mrow[i * 3 + 0] = acc[0];
+      mrow[i * 3 + 1] = acc[1];
+      mrow[i * 3 + 2] = acc[2];
+    }
+  }
+  // vertical pass + round/clamp
+  for (int j = 0; j < size; j++) {
+    const float* wgt = vx.weight.data() + static_cast<size_t>(j) * vx.ksize;
+    int y0 = vx.start[j];
+    uint8_t* orow = out + static_cast<size_t>(j) * size * 3;
+    for (int i = 0; i < size * 3; i++) {
+      float acc = 0.f;
+      for (int k = 0; k < vx.ksize; k++) {
+        float g = wgt[k];
+        if (g == 0.f) continue;
+        acc += g * mid[(static_cast<size_t>(y0 + k) * size * 3) + i];
+      }
+      int v = static_cast<int>(acc + 0.5f);
+      orow[i] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
+}
+
+extern "C" {
+
+// Decode a JPEG and Lanczos-3 resize to [size, size, 3] RGB in one native
+// call (out must hold size*size*3 bytes). Returns -1 on decode failure.
+int rlds_jpeg_decode_resized(const uint8_t* jpg, int64_t len, int size,
+                             uint8_t* out) {
+  int h = 0, w = 0, c = 0;
+  if (rlds_jpeg_decode(jpg, len, nullptr, &h, &w, &c) != 0) return -1;
+  if (h == size && w == size) {
+    return rlds_jpeg_decode(jpg, len, out, &h, &w, &c);
+  }
+  std::vector<uint8_t> full(static_cast<size_t>(h) * w * 3);
+  if (rlds_jpeg_decode(jpg, len, full.data(), &h, &w, &c) != 0) return -1;
+  lanczos3_resize_rgb(full.data(), h, w, size, out);
   return 0;
 }
 

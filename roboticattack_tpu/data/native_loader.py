@@ -61,6 +61,11 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.rlds_jpeg_decode_resized.restype = ctypes.c_int
+    lib.rlds_jpeg_decode_resized.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return lib
 
@@ -147,6 +152,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     rc = lib.rlds_jpeg_decode(
         src, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+    )
+    if rc != 0:
+        raise ValueError("JPEG decode failed")
+    return out
+
+
+def decode_jpeg_resized(data: bytes, size: int) -> np.ndarray:
+    """Decode + Lanczos-3 resize to [size, size, 3] in one native call (the
+    C++ separable resampler in rlds_reader.cpp — same kernel family as the tf
+    path's lanczos3, parity-tested within quantization tolerance)."""
+    lib = load_library()
+    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.rlds_jpeg_decode_resized(
+        src, len(data), size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     )
     if rc != 0:
         raise ValueError("JPEG decode failed")

@@ -107,16 +107,9 @@ def np_normalize_actions(action: np.ndarray, stats: Dict) -> np.ndarray:
     return np.where(zeros, 0.0, out).astype(np.float32)
 
 
-def _resize_lanczos(image: np.ndarray, size: int) -> np.ndarray:
-    """Host resize to [size, size] with a Lanczos kernel (PIL). The tf path
-    uses lanczos3 (obs_transforms.py:45-58); PIL's LANCZOS is the same kernel
-    family with minor boundary differences — documented approximation for the
-    native layer."""
-    if image.shape[0] == size and image.shape[1] == size:
-        return image
-    from PIL import Image
-
-    return np.asarray(Image.fromarray(image).resize((size, size), Image.LANCZOS))
+# (image resizing happens in C++: native_loader.decode_jpeg_resized fuses the
+# libjpeg decode with a separable Lanczos-3 resample — the tf path's kernel
+# family, obs_transforms.py:45-58 — in one native call)
 
 
 # --- episode reading -----------------------------------------------------------------
@@ -190,7 +183,7 @@ class NativeFrameDataset:
         self.prefetch_depth = prefetch_depth
 
     def _frames(self) -> Iterator[Dict]:
-        from .native_loader import NativeRLDSReader, decode_jpeg
+        from .native_loader import NativeRLDSReader, decode_jpeg_resized
 
         transform = NP_STANDARDIZATION_TRANSFORMS.get(self.name)
         epoch = 0
@@ -207,7 +200,7 @@ class NativeFrameDataset:
                     traj = transform(traj)
                 action = np_normalize_actions(traj["action"], self.stats)
                 for i in range(action.shape[0]):
-                    image = _resize_lanczos(decode_jpeg(traj["image"][i]), self.image_size)
+                    image = decode_jpeg_resized(traj["image"][i], self.image_size)
                     yield {
                         "image": image,
                         "action": action[i],

@@ -106,3 +106,53 @@ def test_corrupt_jpeg_raises_not_exits():
     data = buf.getvalue()[: len(buf.getvalue()) // 2]
     with pytest.raises(ValueError):
         decode_jpeg(data)
+
+
+def test_native_lanczos_resize_parity():
+    """The C++ decode+resize (rlds_jpeg_decode_resized) matches the tf path's
+    lanczos3 antialias resize (obs_transforms.py:45-58) and PIL LANCZOS within
+    uint8 quantization tolerance on smooth and random content, both down- and
+    up-scaling."""
+    import io
+
+    from PIL import Image
+
+    from roboticattack_tpu.data.native_loader import decode_jpeg, decode_jpeg_resized
+
+    rng = np.random.default_rng(0)
+    # smooth gradient + random texture, 256 -> 224 (bridge) and 96 -> 224 (up)
+    yy, xx = np.mgrid[0:256, 0:256]
+    smooth = np.stack([yy, xx, (yy + xx) // 2], axis=-1).astype(np.uint8)
+    noisy = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+    small = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+
+    for arr, size in ((smooth, 224), (noisy, 224), (small, 224), (noisy, 96)):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        data = buf.getvalue()
+
+        got = decode_jpeg_resized(data, size)
+        assert got.shape == (size, size, 3) and got.dtype == np.uint8
+
+        decoded = decode_jpeg(data)  # same libjpeg pixels as the native path
+        import tensorflow as tf
+
+        want_tf = tf.cast(tf.clip_by_value(tf.round(tf.image.resize(
+            tf.constant(decoded), [size, size], method="lanczos3", antialias=True
+        )), 0, 255), tf.uint8).numpy()
+        diff = np.abs(got.astype(np.int16) - want_tf.astype(np.int16))
+        assert np.mean(diff) < 1.0 and np.percentile(diff, 99) <= 2, (
+            diff.mean(), diff.max())
+
+        want_pil = np.asarray(
+            Image.fromarray(decoded).resize((size, size), Image.LANCZOS)
+        )
+        diff_pil = np.abs(got.astype(np.int16) - want_pil.astype(np.int16))
+        assert np.mean(diff_pil) < 1.5, diff_pil.mean()
+
+    # same-size input short-circuits to a plain decode
+    buf = io.BytesIO()
+    Image.fromarray(noisy[:224, :224]).save(buf, format="JPEG")
+    np.testing.assert_array_equal(
+        decode_jpeg_resized(buf.getvalue(), 224), decode_jpeg(buf.getvalue())
+    )
