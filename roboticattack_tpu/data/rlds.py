@@ -648,10 +648,13 @@ def make_interleaved_frame_dataset(
     seed: int = 42,
     traj_datasets: Optional[Dict[str, object]] = None,
     shuffle_buffer: int = SHUFFLE_BUFFER,
+    file_layer: str = "tf",
 ):
     """Weighted multi-dataset frame stream (make_interleaved_dataset,
     rlds/dataset.py:457-588): per-dataset pipelines sampled by normalized
-    weight via tf.data.Dataset.sample_from_datasets."""
+    weight via tf.data.Dataset.sample_from_datasets. `file_layer` as in
+    make_frame_dataset ('tf' = TFDS builder, 'tfrecord' = plain tf.data over
+    the on-disk shards)."""
     tf = _tf()
     names = list(mixture)
     weights = np.asarray([mixture[n] for n in names], np.float64)
@@ -662,6 +665,7 @@ def make_interleaved_frame_dataset(
             name, data_dir, train=train, image_size=image_size, seed=seed,
             traj_dataset=(traj_datasets or {}).get(name),
             shuffle_buffer=max(shuffle_buffer // max(len(names), 1), 1),
+            file_layer=file_layer,
         )
         frames = frames.map(lambda f, n=name: dict(f, dataset_name=tf.constant(n)))
         streams.append(frames)

@@ -147,6 +147,30 @@ def test_statistics_aggregate_full_split(tmp_path):
     assert stats_train["num_trajectories"] == 20  # all episodes, not 19
 
 
+def test_interleaved_mixture_from_disk(tmp_path):
+    """A weighted 2-dataset mixture reads straight from on-disk shards via
+    the tfrecord layer (make_interleaved_dataset semantics,
+    rlds/dataset.py:457-588), tagging frames with their dataset of origin."""
+    from roboticattack_tpu.data.rlds import make_interleaved_frame_dataset
+
+    _write_layout(tmp_path, n_episodes=20, name="bridge_orig", image_key="image_0")
+    _write_layout(tmp_path, n_episodes=20, name="libero_goal_no_noops",
+                  image_key="image")
+    mixed, stats = make_interleaved_frame_dataset(
+        {"bridge_orig": 3.0, "libero_goal_no_noops": 1.0},
+        data_dir=str(tmp_path), image_size=56, shuffle_buffer=4,
+        file_layer="tfrecord",
+    )
+    assert set(stats) == {"bridge_orig", "libero_goal_no_noops"}
+    seen = {b"bridge_orig": 0, b"libero_goal_no_noops": 0}
+    it = mixed.as_numpy_iterator()
+    for _ in range(80):
+        f = next(it)
+        assert f["image"].shape == (56, 56, 3)
+        seen[f["dataset_name"]] += 1
+    assert seen[b"bridge_orig"] > seen[b"libero_goal_no_noops"] > 0  # ~3:1
+
+
 def test_attack_cli_tfrecord_file_layer(tmp_path):
     """Full integration: the attack CLI on --file_layer tfrecord computes
     statistics from the shards (no --stats_json needed, unlike 'native') and
