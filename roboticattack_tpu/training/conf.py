@@ -106,3 +106,45 @@ _variant("siglip-224px-sandwich+mx-tdroid_carrot_in_bowl",
          data_mix="tdroid_carrot_in_bowl", freeze_llm_backbone=True,
          unfreeze_last_llm_layer=True)
 _variant("siglip-224px+mx-droid_wipe", data_mix="droid_wipe")
+
+
+# === VLM-pretrain dataset registry (conf/datasets.py:20-133) ===
+
+@dataclass(frozen=True)
+class DatasetConfig(ChoiceRegistry):
+    """LLaVA pretrain dataset variant: per-stage (annotations, images)
+    component paths relative to `dataset_root_dir`. Paths and IDs are the
+    reference's constants; the align stage shares one source across variants,
+    the finetune stage selects the instruct mix."""
+    dataset_id: str = "llava-v15"
+    align_stage_components: tuple = (
+        "download/llava-laion-cc-sbu-558k/chat.json",
+        "download/llava-laion-cc-sbu-558k/",
+    )
+    finetune_stage_components: tuple = (
+        "download/llava-v1.5-instruct/llava_v1_5_mix665k.json",
+        "download/llava-v1.5-instruct/",
+    )
+    dataset_root_dir: str = "datasets/prismatic-vlms"
+
+
+def _dataset_variant(dataset_id: str, finetune_json: str) -> None:
+    base = DatasetConfig(
+        dataset_id=dataset_id,
+        finetune_stage_components=(
+            f"download/llava-v1.5-instruct/{finetune_json}",
+            "download/llava-v1.5-instruct/",
+        ),
+    )
+    cls = type(f"DS_{dataset_id}".replace("-", "_"), (DatasetConfig,), {})
+    cls.__init__ = lambda self, **kw: DatasetConfig.__init__(  # type: ignore[method-assign]
+        self, **{**base.__dict__, **kw}
+    )
+    DatasetConfig.register_subclass(dataset_id, cls)
+
+
+_dataset_variant("llava-v15", "llava_v1_5_mix665k.json")
+_dataset_variant("llava-multimodal", "llava_v1_5_stripped625k.json")
+_dataset_variant("llava-lvis4v", "llava_v1_5_lvis4v_mix888k.json")
+_dataset_variant("llava-lrv", "llava_v1_5_lrv_mix1008k.json")
+_dataset_variant("llava-lvis4v-lrv", "llava_v1_5_lvis4v_lrv_mix1231k.json")

@@ -101,6 +101,24 @@ def test_download_extract_end_to_end(tmp_path, monkeypatch):
     assert len(fetched) == 2
 
 
+def test_dataset_config_registry():
+    """conf/datasets.py:20-133 equivalents: the 5 LLaVA dataset variants with
+    the reference's component paths, registered as config-file choices."""
+    from roboticattack_tpu.training.conf import DatasetConfig
+
+    assert sorted(DatasetConfig.registered_choices()) == [
+        "llava-lrv", "llava-lvis4v", "llava-lvis4v-lrv",
+        "llava-multimodal", "llava-v15",
+    ]
+    v15 = DatasetConfig.get_choice_class("llava-v15")()
+    assert v15.align_stage_components[0].endswith("chat.json")
+    assert v15.finetune_stage_components[0].endswith("llava_v1_5_mix665k.json")
+    lvis = DatasetConfig.get_choice_class("llava-lvis4v")()
+    assert "lvis4v_mix888k" in lvis.finetune_stage_components[0]
+    # components point where download_extract puts them
+    assert v15.align_stage_components[0].startswith("download/llava-laion-cc-sbu-558k")
+
+
 def test_convert_to_jpg(tmp_path):
     from PIL import Image
 
