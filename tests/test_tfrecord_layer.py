@@ -26,12 +26,13 @@ from test_native_pipeline import T
 
 
 def _write_layout(tmp_path, n_episodes=4, with_info=True, name="bridge_orig",
-                  image_key="image_0", n_shards=1):
+                  image_key="image_0", n_shards=1, image_size=32):
     from roboticattack_tpu.data.synthetic_shards import write_rlds_layout
 
     return write_rlds_layout(
         tmp_path, name=name, n_episodes=n_episodes, steps=T,
         image_key=image_key, n_shards=n_shards, with_info=with_info,
+        image_size=image_size,
     )
 
 
@@ -127,6 +128,41 @@ def test_tfrecord_layer_matches_injected_pipeline(tmp_path):
     # the first frame's action row must be one of the normalized actions
     all_rows = np.concatenate([t["action"] for t in normed], axis=0)
     assert np.isclose(all_rows, f["action"], atol=1e-6).all(axis=1).any()
+
+
+def test_native_and_tfrecord_layers_agree(tmp_path):
+    """Cross-validation of the two independent parsers: the C++ reader
+    (native_pipeline) and the plain-tf.data tfrecord layer produce the SAME
+    frames from the same shards — identical normalized action multiset and
+    languages, images equal within the lanczos-implementation tolerance
+    (C++ resampler vs tf.image lanczos3)."""
+    from roboticattack_tpu.data.rlds import dataset_image_key
+
+    _write_layout(tmp_path, n_episodes=3, image_size=64)
+
+    stats = compute_dataset_statistics(
+        load_tfrecord_trajectories("bridge_orig", str(tmp_path), "train")
+        .map(bridge_orig_transform)
+    )
+    frames = {}
+    for layer in ("tfrecord", "native"):
+        # train=True: the 3-episode val split is empty (round(.95*3)=3); both
+        # layers stream all episodes in storage order at shuffle_buffer=1
+        ds, _ = make_frame_dataset(
+            "bridge_orig", data_dir=str(tmp_path), train=True, image_size=56,
+            stats=stats, shuffle_buffer=1, file_layer=layer,
+        )
+        it = ds.as_numpy_iterator()
+        # 3 episodes x (T - 2 dropped by the bridge transform) frames
+        out = [next(it) for _ in range(3 * (T - 2))]
+        frames[layer] = sorted(out, key=lambda f: f["action"].tobytes())
+    assert dataset_image_key("bridge_orig") == "image_0"
+    for a, b in zip(frames["tfrecord"], frames["native"]):
+        np.testing.assert_array_equal(a["action"], b["action"])
+        assert a["language"] == b["language"]
+        diff = np.abs(a["image"].astype(np.int16) - b["image"].astype(np.int16))
+        assert np.mean(diff) < 1.5 and np.percentile(diff, 99) <= 4, (
+            diff.mean(), diff.max())
 
 
 def test_statistics_aggregate_full_split(tmp_path):
