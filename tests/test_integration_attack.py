@@ -27,9 +27,13 @@ from roboticattack_tpu.utils import WordStubTokenizer, build_tma_target_tokens, 
 
 BRIGHT = 0.8
 IMG = 56
+# brightness-dependent xyz DIRECTION for the UPA test: a mid-space vector so
+# the soft bin-index geometry UPA operates in (nonnegative coordinates,
+# losses.py:286-302) has a well-conditioned angle
+XYZ_BRIGHT = np.array([0.8, -0.8, 0.4])
 
 
-def _brightness_frames(batch, rng, bright=None):
+def _brightness_frames(batch, rng, bright=None, directional=False):
     tok = WordStubTokenizer()
     rows = []
     for _ in range(batch):
@@ -39,16 +43,20 @@ def _brightness_frames(batch, rng, bright=None):
         # CE~0.6 / 31% flips on this task)
         base = 0.65 if is_bright else 0.35
         img = np.clip(base + rng.normal(0, 0.03, (IMG, IMG, 3)), 0, 1)
-        action = np.full(7, BRIGHT if is_bright else -BRIGHT)
+        if directional:
+            xyz = XYZ_BRIGHT if is_bright else -XYZ_BRIGHT
+            action = np.concatenate([xyz, np.full(4, 0.5 if is_bright else -0.5)])
+        else:
+            action = np.full(7, BRIGHT if is_bright else -BRIGHT)
         ids, labels = build_vla_example("press the lever", action, tok)
         rows.append(dict(image=(img * 255).astype(np.uint8), input_ids=ids, labels=labels))
     return collate(rows, pad_to=32)
 
 
-def _batches(batch, seed, bright=None):
+def _batches(batch, seed, bright=None, directional=False):
     rng = np.random.default_rng(seed)
     while True:
-        yield _brightness_frames(batch, rng, bright)
+        yield _brightness_frames(batch, rng, bright, directional=directional)
 
 
 @pytest.mark.slow
@@ -98,3 +106,72 @@ def test_train_then_attack_flips_policy():
     assert attacked_success >= 0.25 and attacked_success > baseline_success, (
         baseline_success, attacked_success,
     )
+
+
+@pytest.mark.slow
+def test_upa_direction_metrics_and_descent():
+    """UPA mechanism validation on a brightness->xyz-direction policy.
+
+    Two properties that must hold end-to-end (and a documented negative
+    result): (a) the direction metrics DETECT a turned policy — a dark image
+    on bright ground truth drops the cos-sim angle and blows up the xyz
+    distance through the whole logits->soft-xyz chain (losses.py:286-302);
+    (b) the jitted UPA attack step performs correct first-order descent —
+    its loss strictly decreases from a random patch on a soft policy.
+
+    Measured negative result (kept out of the assertions): first-order patch
+    optimization can NOT flip this toy policy's direction — once the model
+    saturates, the softmax-expectation gradient vanishes (120 full-image
+    attack steps move the angle by <0.02), and a half-trained model has no
+    crisp direction to reverse. The reference's UPA operates on a calibrated
+    7B where the expectation stays differentiable; formula-level parity is
+    covered by the torch-replica tests in test_losses.py."""
+    params = init_vla_params(jax.random.key(10), VLA_TINY)
+    trainer = VLATrainer(
+        params, VLA_TINY,
+        TrainConfig(strategy="ddp", learning_rate=2e-3, max_steps=160, max_grad_norm=1.0),
+    )
+    # snapshot a SOFT policy early (unsaturated logits -> live gradients),
+    # then train to saturation for the metric-detection check
+    trainer.run_training(_batches(8, seed=11, directional=True), num_steps=40)
+    soft = jax.device_get(trainer.params)
+    final_loss = trainer.run_training(_batches(8, seed=11, directional=True), num_steps=120)
+    assert final_loss < 0.5, f"tiny model failed to learn the task: loss={final_loss}"
+    trained = jax.device_get(trainer.params)
+
+    maskidx = [0, 1, 2, 3, 4, 5, 6]
+    spec = AttackSpec(objective="upa", geometry=False, inner_loop=1,
+                      grad_clip_l1=1e-3)
+    val = make_val_step(spec, VLA_TINY, None, maskidx)
+    bright_val = _brightness_frames(
+        16, np.random.default_rng(12), bright=True, directional=True
+    )
+
+    # (a) metric chain: clean ~parallel (cos+1 ~ 2), full dark image turns it
+    m0 = jax.device_get(
+        val(trained, jnp.zeros((14, 14, 3)), bright_val, jax.random.key(13))
+    )
+    clean_angle = float(np.asarray(m0["ex_angle"]).mean())
+    clean_dist = float(np.asarray(m0["ex_xyz_dist"]).mean())
+    assert clean_angle > 1.95, clean_angle
+    m_dark = jax.device_get(
+        val(trained, jnp.full((IMG, IMG, 3), 0.35), bright_val, jax.random.key(14))
+    )
+    dark_angle = float(np.asarray(m_dark["ex_angle"]).mean())
+    dark_dist = float(np.asarray(m_dark["ex_xyz_dist"]).mean())
+    assert dark_angle < clean_angle - 0.25, (clean_angle, dark_angle)
+    assert dark_dist > clean_dist * 10, (clean_dist, dark_dist)
+
+    # (b) first-order descent on the soft policy, full-image patch
+    step = make_attack_step(spec, VLA_TINY, None, maskidx)
+    state = init_attack_state(jax.random.key(15), (IMG, IMG))
+    batches = _batches(8, seed=16, bright=True, directional=True)
+    losses = []
+    for i in range(30):
+        lr = cosine_schedule_with_warmup(i, 1e-1, 3, 30)
+        state, metrics = step(
+            soft, state, next(batches), jnp.float32(lr), jnp.bool_(True),
+            jax.random.key(17 + i),
+        )
+        losses.append(float(np.asarray(metrics["loss"])[-1]))
+    assert min(losses[-5:]) < losses[0] - 0.01, (losses[0], losses[-5:])
