@@ -34,7 +34,7 @@ import numpy as np
 from ..utils.prompting import TextTokenizer, WordStubTokenizer, build_vla_example
 from .collator import collate
 
-ACTION_NORM_MASK = [True] * 6 + [False]
+ACTION_NORM_MASK = [True] * 6 + [False]  # standard 7-dim EEF mask (materialize.py:40)
 SHUFFLE_BUFFER = 100_000  # openvla_dataloader.py:101
 
 
@@ -118,6 +118,13 @@ STANDARDIZATION_TRANSFORMS: Dict[str, Callable] = {
     "libero_10_no_noops": libero_transform,
 }
 
+# Datasets whose transform operates on the RESTRUCTURED {image, action,
+# observation.state, language} layout (the attack datasets above; the OXE
+# registry re-registers the same functions for them). Every other OXE
+# transform expects the RAW TFDS schema and goes through
+# load_tfrecord_oxe_trajectories on the tfrecord layer.
+RESTRUCTURED_SCHEMA_DATASETS = frozenset(STANDARDIZATION_TRANSFORMS)
+
 # dataset name -> (tfds image key, language key)
 DATASET_IMAGE_KEYS: Dict[str, str] = {
     "bridge_orig": "image_0",
@@ -131,8 +138,9 @@ DATASET_IMAGE_KEYS: Dict[str, str] = {
 def dataset_image_key(name: str) -> str:
     """Primary-camera observation key for a dataset: the attack datasets'
     table above, then the OXE registry's per-dataset `image_obs_keys.primary`
-    (configs.py:54-673) — so every registered OXE dataset reads through the
-    tf/tfrecord/native file layers without extra plumbing."""
+    (configs.py:54-673). Raw-schema OXE datasets are fully supported on the
+    `tfrecord` file layer (load_tfrecord_oxe_trajectories); the `tf`/`native`
+    layers cover the restructured-schema attack datasets."""
     if name in DATASET_IMAGE_KEYS:
         return DATASET_IMAGE_KEYS[name]
     from .oxe_registry import OXE_DATASET_CONFIGS  # lazy: oxe imports rlds
@@ -200,7 +208,14 @@ def compute_dataset_statistics(traj_dataset, save_path: Optional[str] = None,
         num_trajectories += 1
     cat = np.concatenate(actions, axis=0)
     stats = {
-        "action": dict(_moment_block(cat), mask=ACTION_NORM_MASK[: cat.shape[1]]),
+        # normalize every dim but the absolute gripper (last) — [True]*6 +
+        # [False] at the standard 7-dim width, [True]*9+[False] for EEF_R6's
+        # 10 dims (oxe/materialize.py:37-42)
+        "action": dict(
+            _moment_block(cat),
+            mask=[True] * (cat.shape[1] - 1) + [False] if cat.shape[1] > 1
+            else [False],
+        ),
         "proprio": _moment_block(np.concatenate(proprios, axis=0)),
         "num_transitions": num_transitions,
         "num_trajectories": num_trajectories,
@@ -330,16 +345,18 @@ def _parse_split(split: str) -> Tuple[str, Optional[float], Optional[float]]:
     base, lo, hi = m.group(1), m.group(2), m.group(3)
     if "[" not in split:
         return base, None, None
-    return base, (int(lo) / 100 if lo else 0.0), (int(hi) / 100 if hi else 1.0)
+    lo_f = int(lo) / 100 if lo else 0.0
+    hi_f = int(hi) / 100 if hi else 1.0
+    if not (0.0 <= lo_f <= 1.0 and 0.0 <= hi_f <= 1.0):
+        raise ValueError(f"percent slice out of range in '{split}'")
+    return base, lo_f, hi_f
 
 
-def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
-                               return_builder_info: bool = False):
-    """TFDS-free RLDS loader: plain tf.data over the TFDS on-disk layout
-    (TFRecord shards + dataset_info.json) — the episode proto schema the
-    native C++ layer parses (data/native_pipeline.py docstring). Removes the
-    `tensorflow_datasets` import from the real-data path; only TensorFlow
-    itself is needed.
+def _tfrecord_records(name: str, data_dir: Optional[str], split: str):
+    """Shared TFDS-on-disk record machinery: shard discovery, exact percent
+    splits, and schema introspection. Returns
+    (records tf.data.Dataset of serialized Examples, builder_info str,
+    feature_map of the first record).
 
     Split percent boundaries ('train[:95%]' / 'train[95%:]',
     dataset.py:234-237) are exact when dataset_info.json carries the split's
@@ -370,9 +387,55 @@ def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
         except (ValueError, AttributeError):
             total = None
 
-    # --- schema introspection on the first record -------------------------------
     first = next(iter(tf.data.TFRecordDataset(paths[0]).take(1))).numpy()
     feature_map = tf.train.Example.FromString(first).features.feature
+
+    split_paths, skip_start, take = paths, None, 0
+    if lo is not None and total is not None:
+        # exact TFDS percent-split boundaries
+        start, stop = round(lo * total), round(hi * total)
+        take = max(stop - start, 0)
+        if shard_lengths is not None:
+            # open only the shards overlapping [start, stop): a repeating val
+            # iterator ('train[95%:]') must not re-read and discard 95% of
+            # the dataset's bytes every epoch
+            split_paths, cum = [], 0
+            for path, n in zip(paths, shard_lengths):
+                if cum + n > start and cum < stop:
+                    if not split_paths:
+                        skip_start = start - cum
+                    split_paths.append(path)
+                cum += n
+            skip_start = skip_start or 0
+        else:
+            skip_start = start
+        if not split_paths:
+            split_paths, take = paths[:1], 0  # empty split: valid empty pipeline
+    ds = tf.data.TFRecordDataset(split_paths)  # sorted shards = TFDS storage order
+    if skip_start is not None:
+        ds = ds.skip(skip_start).take(take)
+    elif lo is not None:  # no dataset_info.json: deterministic index-modulus split
+        lo_i, hi_i = round(lo * 100), round(hi * 100)
+        ds = (
+            ds.enumerate()
+            .filter(lambda i, _: (i % 100 >= lo_i) & (i % 100 < hi_i))
+            .map(lambda _, rec: rec)
+        )
+    return ds, builder_info, feature_map
+
+
+def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
+                               return_builder_info: bool = False):
+    """TFDS-free RLDS loader: plain tf.data over the TFDS on-disk layout
+    (TFRecord shards + dataset_info.json) — the episode proto schema the
+    native C++ layer parses (data/native_pipeline.py docstring). Removes the
+    `tensorflow_datasets` import from the real-data path; only TensorFlow
+    itself is needed. Yields RESTRUCTURED trajectories
+    {image, action, observation.state?, language} — the schema the built-in
+    attack-dataset transforms consume; raw-schema OXE datasets go through
+    `load_tfrecord_oxe_trajectories` instead."""
+    tf = _tf()
+    ds, builder_info, feature_map = _tfrecord_records(name, data_dir, split)
     image_key = dataset_image_key(name)
     img_feature = f"steps/observation/{image_key}"
     if img_feature not in feature_map:
@@ -413,38 +476,98 @@ def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
             out["observation"]["state"] = tf.reshape(ex["steps/observation/state"], [t, -1])
         return out
 
-    split_paths, skip_start = paths, None
-    if lo is not None and total is not None:
-        # exact TFDS percent-split boundaries
-        start, stop = round(lo * total), round(hi * total)
-        take = max(stop - start, 0)
-        if shard_lengths is not None:
-            # open only the shards overlapping [start, stop): a repeating val
-            # iterator ('train[95%:]') must not re-read and discard 95% of
-            # the dataset's bytes every epoch
-            split_paths, cum = [], 0
-            for path, n in zip(paths, shard_lengths):
-                if cum + n > start and cum < stop:
-                    if not split_paths:
-                        skip_start = start - cum
-                    split_paths.append(path)
-                cum += n
-            skip_start = skip_start or 0
-        else:
-            skip_start = start
-        if not split_paths:
-            split_paths = paths[:1]  # empty split: keep a valid (empty) pipeline
-    ds = tf.data.TFRecordDataset(split_paths)  # sorted shards = TFDS storage order
-    if skip_start is not None:
-        ds = ds.skip(skip_start).take(take)
-    elif lo is not None:  # no dataset_info.json: deterministic index-modulus split
-        lo_i, hi_i = round(lo * 100), round(hi * 100)
-        ds = (
-            ds.enumerate()
-            .filter(lambda i, _: (i % 100 >= lo_i) & (i % 100 < hi_i))
-            .map(lambda _, rec: rec)
-        )
     mapped = ds.map(restructure, num_parallel_calls=tf.data.AUTOTUNE)
+    if return_builder_info:
+        return mapped, builder_info
+    return mapped
+
+
+def load_tfrecord_oxe_trajectories(name: str, data_dir: Optional[str], split: str,
+                                   return_builder_info: bool = False):
+    """Raw-schema OXE loader for the tfrecord layer: parses EVERY `steps/*`
+    feature of the episode proto into the nested trajectory dict the OXE
+    standardization transforms were written against (nested `action` dicts,
+    arbitrary observation subkeys — the schema the reference's standardize_fn
+    sees BEFORE restructuring, dataset.py:131-200), applies the registered
+    transform, then restructures to the {image, action, observation,
+    language} layout the frame pipeline consumes.
+
+    Wire-format caveat: tf.Example flattens per-step tensors, so a [T] scalar
+    and a flattened [T, 1] column are indistinguishable; float/int features
+    whose length is a multiple of T decode as [T, k] with k > 1 and as [T]
+    when the length equals T — the shapes the transform combinators accept
+    (their gripper post-processors handle 1-D and 2-D)."""
+    tf = _tf()
+    ds, builder_info, feature_map = _tfrecord_records(name, data_dir, split)
+    from .oxe_transforms import OXE_TRANSFORMS
+
+    transform = OXE_TRANSFORMS[name]
+    image_key = dataset_image_key(name)
+    img_feature = f"steps/observation/{image_key}"
+    if img_feature not in feature_map:
+        raise KeyError(f"{img_feature} not in episode features: {sorted(feature_map)}")
+
+    # static column width per feature from the first record (wire format
+    # flattens per-step tensors; the width k is schema-constant): k == 1
+    # decodes as a rank-1 [T] tensor (the combinators' _as_col handles both),
+    # k > 1 as [T, k] — static ranks so the transforms' Python-side
+    # `x.shape.ndims` dispatch works
+    first_t = len(feature_map[img_feature].bytes_list.value)
+    kinds, widths = {}, {}
+    for key, feat in feature_map.items():
+        if not key.startswith("steps/"):
+            continue
+        if feat.HasField("bytes_list"):
+            kinds[key] = tf.string
+            continue
+        if feat.HasField("float_list"):
+            kinds[key], n = tf.float32, len(feat.float_list.value)
+        else:
+            kinds[key], n = tf.int64, len(feat.int64_list.value)
+        if first_t > 0 and n % first_t == 0:
+            widths[key] = max(1, n // first_t)
+        else:
+            widths[key] = 1
+    spec = {
+        k: tf.io.FixedLenSequenceFeature([], dtype, allow_missing=True)
+        for k, dtype in kinds.items()
+    }
+
+    def parse(record):
+        ex = tf.io.parse_single_example(record, spec)
+        traj = {}
+        for key, dtype in kinds.items():
+            val = ex[key]
+            k = widths.get(key, 1)
+            if dtype != tf.string and k > 1:
+                val = tf.reshape(val, [-1, k])
+            # nest under the path after 'steps/'
+            parts = key.split("/")[1:]
+            node = traj
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = val
+        return traj
+
+    def restructure(traj):
+        obs = traj.get("observation", {})
+        language = traj.get(
+            "language_instruction", obs.get("natural_language_instruction")
+        )
+        out = {
+            "image": obs[image_key],
+            "action": traj["action"],
+            "observation": {},
+            "language": language,
+        }
+        if "state" in obs:
+            out["observation"]["state"] = obs["state"]
+        return out
+
+    mapped = ds.map(
+        lambda rec: restructure(transform(parse(rec))),
+        num_parallel_calls=tf.data.AUTOTUNE,
+    )
     if return_builder_info:
         return mapped, builder_info
     return mapped
@@ -500,15 +623,32 @@ def make_frame_dataset(
         return frames, stats
     split = "train[:95%]" if train else "train[95%:]"  # dataset.py:234-237
     builder_info = f"name={name}"
-    loader = None
+    loader, transform = None, STANDARDIZATION_TRANSFORMS.get(name)
+    raw_oxe = (
+        file_layer == "tfrecord"
+        and name not in RESTRUCTURED_SCHEMA_DATASETS
+        and transform is not None
+    )
     if traj_dataset is None:
-        loader = load_tfrecord_trajectories if file_layer == "tfrecord" \
-            else load_tfds_trajectories
+        if raw_oxe:
+            # raw-schema OXE dataset: the transform is applied INSIDE the
+            # loader, on the nested raw trajectory the reference's
+            # standardize_fn sees (dataset.py:131-200)
+            loader = load_tfrecord_oxe_trajectories
+        elif file_layer == "tfrecord":
+            loader = load_tfrecord_trajectories
+        else:
+            if name not in RESTRUCTURED_SCHEMA_DATASETS and transform is not None:
+                raise NotImplementedError(
+                    f"'{name}' has a raw-schema OXE transform; load it with "
+                    "file_layer='tfrecord' (the TFDS layer here restructures "
+                    "before the transform runs)"
+                )
+            loader = load_tfds_trajectories
         traj_dataset, builder_info = loader(
             name, data_dir, split, return_builder_info=True
         )
-    transform = STANDARDIZATION_TRANSFORMS.get(name)
-    if transform is not None:
+    if transform is not None and not raw_oxe:
         traj_dataset = traj_dataset.map(transform)
     if stats is None:
         import inspect
@@ -523,7 +663,7 @@ def make_frame_dataset(
             # (their builders carry no other split)
             stats_split = "train"
             stats_traj = loader(name, data_dir, stats_split)
-            if transform is not None:
+            if transform is not None and not raw_oxe:  # raw path pre-applies it
                 stats_traj = stats_traj.map(transform)
         else:  # injected trajectory dataset (tests/synthetic): use as-is
             stats_split, stats_traj = split, traj_dataset

@@ -73,8 +73,16 @@ def _phi_block(
     k = _apply_partial_rope(k, cos, sin, cfg.rotary_dim)
     if cfg.attn_impl == "chunked" and cfg.attn_chunk is not None:
         attn = mha_chunked(q, k, v, bias=bias, chunk=cfg.attn_chunk)
-    else:
+    elif cfg.attn_impl in ("xla", "chunked"):
         attn = mha(q, k, v, bias=bias)
+    else:
+        # no silent fallback: 'flash' (the Llama kernel, head_dim 128 tiles)
+        # is not wired for Phi's head_dim 80 — full S x S attention would be
+        # a silently different memory/perf profile than the flag promises
+        raise ValueError(
+            f"PhiConfig.attn_impl='{cfg.attn_impl}' is not supported "
+            "(use 'chunked' or 'xla')"
+        )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     attn = attn @ p["o_w"] + p["o_b"]
 
@@ -146,11 +154,10 @@ def init_phi_params(rng: jax.Array, cfg: PhiConfig, dtype=jnp.float32) -> Dict:
 def convert_phi(state: Mapping[str, np.ndarray], cfg: PhiConfig,
                 prefix: str = "language_model.") -> Dict:
     """HF `PhiForCausalLM` state dict -> our stacked pytree."""
+    from .convert import _t
+
     def get(name):
         return np.asarray(state[prefix + name])
-
-    def _t(x):
-        return np.ascontiguousarray(np.asarray(x).T)
 
     layers: Dict[str, list] = {}
 

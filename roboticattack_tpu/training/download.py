@@ -126,6 +126,16 @@ def _urllib_fetch(url: str, dest_path: Path, chunk_size_bytes: int = 1 << 20) ->
             f.write(chunk)
 
 
+def _atomic_fetch(fetch: Callable[[str, Path], None], url: str, dest_path: Path) -> None:
+    """Download to a temp name and rename on success, so an interrupted fetch
+    never leaves a truncated file that skip-if-exists would treat as complete
+    (a known reference defect — download.py:131-133 writes in place — fixed
+    here per the fix-and-document convention)."""
+    tmp_path = dest_path.with_name(dest_path.name + ".part")
+    fetch(url, tmp_path)
+    os.replace(tmp_path, dest_path)
+
+
 def download_with_progress(
     url: str,
     download_dir: Path,
@@ -138,7 +148,7 @@ def download_with_progress(
         _log(f"{dest_path.name} exists, skipping")
         return dest_path
     _log(f"downloading {dest_path.name} from {url}")
-    (fetch or _urllib_fetch)(url, dest_path)
+    _atomic_fetch(fetch or _urllib_fetch, url, dest_path)
     return dest_path
 
 

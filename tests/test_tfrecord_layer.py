@@ -103,6 +103,86 @@ def test_oxe_image_key_resolution(tmp_path):
     assert len(trajs) == 2 and trajs[0]["image"].shape == (T,)
 
 
+def _write_raw_oxe_layout(tmp_path, name, features, n_episodes=3, with_info=True):
+    """Write RAW-schema episodes: `features` maps 'steps/...' keys to
+    per-episode value builders (T rows flattened, tf.Example wire format)."""
+    import roboticattack_tpu  # noqa: F401
+
+    d = tmp_path / name / "1.0.0"
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{name}-train.tfrecord-00000-of-00001"
+    rng = np.random.default_rng(3)
+    with tf.io.TFRecordWriter(str(path)) as w:
+        for _ in range(n_episodes):
+            feats = {}
+            for key, build in features.items():
+                val = build(rng)
+                if isinstance(val, list) and isinstance(val[0], bytes):
+                    feats[key] = tf.train.Feature(
+                        bytes_list=tf.train.BytesList(value=val))
+                else:
+                    feats[key] = tf.train.Feature(
+                        float_list=tf.train.FloatList(
+                            value=np.asarray(val, np.float32).reshape(-1)))
+            w.write(tf.train.Example(
+                features=tf.train.Features(feature=feats)).SerializeToString())
+    if with_info:
+        (d / "dataset_info.json").write_text(json.dumps({
+            "name": name,
+            "splits": [{"name": "train", "shardLengths": [str(n_episodes)]}],
+        }))
+
+
+def test_raw_oxe_dataset_through_frame_pipeline(tmp_path):
+    """A raw-schema OXE dataset (taco_play: nested action dict
+    rel_actions_world, observation.robot_obs) runs end-to-end through
+    make_frame_dataset on the tfrecord layer — the registered transform is
+    applied to the RAW nested trajectory (the schema the reference's
+    standardize_fn sees, dataset.py:131-200) before restructuring."""
+    from roboticattack_tpu.data.synthetic_shards import jpeg_bytes
+
+    _write_raw_oxe_layout(tmp_path, "taco_play", {
+        "steps/observation/rgb_static": lambda r: [jpeg_bytes(r, 32) for _ in range(T)],
+        "steps/observation/robot_obs": lambda r: r.standard_normal((T, 15)),
+        "steps/observation/natural_language_instruction":
+            lambda r: [b"wipe the table"] * T,
+        "steps/action/rel_actions_world": lambda r: r.standard_normal((T, 7)),
+    })
+    frames, stats = make_frame_dataset(
+        "taco_play", data_dir=str(tmp_path), train=True, image_size=56,
+        shuffle_buffer=1, file_layer="tfrecord",
+    )
+    f = next(frames.as_numpy_iterator())
+    assert f["image"].shape == (56, 56, 3)
+    assert f["action"].shape == (7,) and np.isfinite(f["action"]).all()
+    assert f["language"] == b"wipe the table"
+    assert np.abs(f["action"][:6]).max() <= 1.0  # BOUNDS_Q99 clip
+    assert stats["action"]["mask"] == [True] * 6 + [False]
+
+
+def test_raw_oxe_dict_action_dataset(tmp_path):
+    """A dict-action family dataset (fractal/rt1-style world_vector +
+    rotation_delta + rel2abs gripper) through the raw tfrecord path; the
+    [T]-flattened gripper column exercises the rank-1 wire decode."""
+    from roboticattack_tpu.data.synthetic_shards import jpeg_bytes
+
+    _write_raw_oxe_layout(tmp_path, "fractal20220817_data", {
+        "steps/observation/image": lambda r: [jpeg_bytes(r, 32) for _ in range(T)],
+        "steps/observation/natural_language_instruction":
+            lambda r: [b"pick rxbar"] * T,
+        "steps/action/world_vector": lambda r: r.standard_normal((T, 3)),
+        "steps/action/rotation_delta": lambda r: r.standard_normal((T, 3)),
+        "steps/action/gripper_closedness_action":
+            lambda r: r.uniform(-1, 1, T),  # [T] on the wire
+    })
+    frames, _ = make_frame_dataset(
+        "fractal20220817_data", data_dir=str(tmp_path), train=True,
+        image_size=56, shuffle_buffer=1, file_layer="tfrecord",
+    )
+    f = next(frames.as_numpy_iterator())
+    assert f["action"].shape == (7,) and np.isfinite(f["action"]).all()
+
+
 def test_tfrecord_layer_matches_injected_pipeline(tmp_path):
     """make_frame_dataset(file_layer='tfrecord') produces the same
     standardized + normalized trajectories as the in-memory tf pipeline fed
