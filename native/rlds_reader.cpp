@@ -169,17 +169,61 @@ bool find_feature(Slice example, const char* key, FeatureValue* out) {
 }
 
 // ---------------------------------------------------------------- tfrecord --
+// CRC32C (Castagnoli) + the TFRecord mask — validating the length CRC before
+// allocating means a corrupt/bit-flipped header is a clean per-file stop, not
+// a multi-petabyte std::bad_alloc that terminates the process.
+static uint32_t crc32c_table_[256];
+static bool crc32c_init_done_ = false;
+
+static void crc32c_init() {
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t crc = i;
+    for (int k = 0; k < 8; k++) crc = (crc & 1) ? (crc >> 1) ^ 0x82F63B78u : crc >> 1;
+    crc32c_table_[i] = crc;
+  }
+  crc32c_init_done_ = true;
+}
+
+static uint32_t crc32c(const uint8_t* data, size_t n) {
+  if (!crc32c_init_done_) crc32c_init();
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; i++) crc = crc32c_table_[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
+
+static uint32_t tfrecord_masked_crc(const uint8_t* data, size_t n) {
+  uint32_t c = crc32c(data, n);
+  return ((c >> 15) | (c << 17)) + 0xa282ead8u;
+}
+
+// practical ceiling: one RLDS episode is tens of MB at most; anything bigger
+// in the length field is corruption even if its CRC were somehow valid
+static const uint64_t kMaxRecordBytes = 1ull << 31;  // 2 GB
+
 struct RecordReader {
   FILE* f = nullptr;
   bool next(std::vector<uint8_t>* out) {
-    uint64_t len;
     uint8_t header[12];
-    if (fread(header, 1, 12, f) != 12) return false;  // len + masked crc
+    if (fread(header, 1, 12, f) != 12) return false;  // len + masked crc(len)
+    uint64_t len;
+    uint32_t len_crc;
     memcpy(&len, header, 8);
+    memcpy(&len_crc, header + 8, 4);
+    if (len_crc != tfrecord_masked_crc(header, 8) || len > kMaxRecordBytes) {
+      fprintf(stderr, "[rlds_reader] corrupt record header (len=%llu), "
+              "stopping this file\n", (unsigned long long)len);
+      return false;  // prefetcher advances to the next shard
+    }
     out->resize(len);
     if (len && fread(out->data(), 1, len, f) != len) return false;
     uint8_t crc[4];
-    if (fread(crc, 1, 4, f) != 4) return false;  // payload crc (unverified)
+    uint32_t payload_crc;
+    if (fread(crc, 1, 4, f) != 4) return false;
+    memcpy(&payload_crc, crc, 4);
+    if (payload_crc != tfrecord_masked_crc(out->data(), len)) {
+      fprintf(stderr, "[rlds_reader] payload CRC mismatch, stopping this file\n");
+      return false;  // framing may be shifted; do not resync blindly
+    }
     return true;
   }
 };

@@ -156,3 +156,48 @@ def test_native_lanczos_resize_parity():
     np.testing.assert_array_equal(
         decode_jpeg_resized(buf.getvalue(), 224), decode_jpeg(buf.getvalue())
     )
+
+
+def test_corrupt_tfrecord_framing_is_nonfatal():
+    """TFRecord framing corruption must be a clean per-shard stop, never a
+    process abort: the reader validates the masked CRC32C of the length
+    header BEFORE allocating (a flipped length byte used to raise a
+    multi-petabyte std::bad_alloc and terminate()), verifies the payload CRC,
+    and continues with the next shard."""
+    import tempfile
+
+    from roboticattack_tpu.data.native_loader import NativeRLDSReader
+    from roboticattack_tpu.data.synthetic_shards import write_episode_tfrecord
+
+    d = tempfile.mkdtemp()
+    good = os.path.join(d, "good.tfrecord")
+    write_episode_tfrecord(good, n_episodes=3, steps=4)
+    data = bytearray(open(good, "rb").read())
+
+    # valid file: our CRC32C implementation validates TF's own checksums
+    assert sum(1 for _ in NativeRLDSReader([good], prefetch_depth=4)) == 3
+
+    cases = {}
+    bad_len = bytearray(data)
+    bad_len[6] = 0x7F  # ~36 PB declared length
+    cases["badlen"] = bytes(bad_len)
+    zero = bytearray(data)
+    zero[0:8] = b"\x00" * 8  # zeroed header fails the length CRC
+    cases["zerolen"] = bytes(zero)
+    payload = bytearray(data)
+    payload[len(data) // 3] ^= 0xFF  # payload bit flip caught by payload CRC
+    cases["payload"] = bytes(payload)
+
+    for name, blob in cases.items():
+        path = os.path.join(d, f"{name}.tfrecord")
+        with open(path, "wb") as f:
+            f.write(blob)
+        assert sum(1 for _ in NativeRLDSReader([path], prefetch_depth=4)) == 0, name
+        # a corrupt shard must not poison the stream: the next shard reads
+        assert sum(1 for _ in NativeRLDSReader([path, good], prefetch_depth=4)) == 3
+
+    # truncation mid-record: complete records still come through
+    trunc = os.path.join(d, "trunc.tfrecord")
+    with open(trunc, "wb") as f:
+        f.write(bytes(data[: len(data) // 2 + 7]))
+    assert sum(1 for _ in NativeRLDSReader([trunc], prefetch_depth=4)) == 1
