@@ -212,9 +212,7 @@ def compute_dataset_statistics(traj_dataset, save_path: Optional[str] = None,
         # [False] at the standard 7-dim width, [True]*9+[False] for EEF_R6's
         # 10 dims (oxe/materialize.py:37-42)
         "action": dict(
-            _moment_block(cat),
-            mask=[True] * (cat.shape[1] - 1) + [False] if cat.shape[1] > 1
-            else [False],
+            _moment_block(cat), mask=[True] * (cat.shape[1] - 1) + [False]
         ),
         "proprio": _moment_block(np.concatenate(proprios, axis=0)),
         "num_transitions": num_transitions,
@@ -424,6 +422,16 @@ def _tfrecord_records(name: str, data_dir: Optional[str], split: str):
     return ds, builder_info, feature_map
 
 
+def _image_feature(name: str, feature_map) -> Tuple[str, str]:
+    """(image_key, 'steps/observation/<key>') with a clear error when the
+    episode schema lacks the dataset's primary camera."""
+    image_key = dataset_image_key(name)
+    img_feature = f"steps/observation/{image_key}"
+    if img_feature not in feature_map:
+        raise KeyError(f"{img_feature} not in episode features: {sorted(feature_map)}")
+    return image_key, img_feature
+
+
 def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
                                return_builder_info: bool = False):
     """TFDS-free RLDS loader: plain tf.data over the TFDS on-disk layout
@@ -436,10 +444,7 @@ def load_tfrecord_trajectories(name: str, data_dir: Optional[str], split: str,
     `load_tfrecord_oxe_trajectories` instead."""
     tf = _tf()
     ds, builder_info, feature_map = _tfrecord_records(name, data_dir, split)
-    image_key = dataset_image_key(name)
-    img_feature = f"steps/observation/{image_key}"
-    if img_feature not in feature_map:
-        raise KeyError(f"{img_feature} not in episode features: {sorted(feature_map)}")
+    image_key, img_feature = _image_feature(name, feature_map)
     lang_candidates = (
         "steps/language_instruction",
         "steps/observation/natural_language_instruction",
@@ -502,10 +507,7 @@ def load_tfrecord_oxe_trajectories(name: str, data_dir: Optional[str], split: st
     from .oxe_transforms import OXE_TRANSFORMS
 
     transform = OXE_TRANSFORMS[name]
-    image_key = dataset_image_key(name)
-    img_feature = f"steps/observation/{image_key}"
-    if img_feature not in feature_map:
-        raise KeyError(f"{img_feature} not in episode features: {sorted(feature_map)}")
+    image_key, img_feature = _image_feature(name, feature_map)
 
     # static column width per feature from the first record (wire format
     # flattens per-step tensors; the width k is schema-constant): k == 1

@@ -71,17 +71,20 @@ class VLARunConfig(ChoiceRegistry):
         )
 
 
-def _variant(vla_id: str, **over) -> None:
-    base = VLARunConfig(vla_id=vla_id, **over)
-
-    # each variant is its own (trivially constructed) subclass so the
-    # registry round-trips through config files like the reference's
-    # per-experiment dataclasses
-    cls = type(f"Exp_{vla_id}".replace("+", "_").replace("-", "_"), (VLARunConfig,), {})
-    cls.__init__ = lambda self, **kw: VLARunConfig.__init__(  # type: ignore[method-assign]
+def _register_variant(root_cls: type, name: str, base) -> None:
+    """Register `base`'s field values as a (trivially constructed) subclass
+    of `root_cls` so the registry round-trips through config files like the
+    reference's per-experiment dataclasses."""
+    cls_name = f"{root_cls.__name__}_{name}".replace("+", "_").replace("-", "_")
+    cls = type(cls_name, (root_cls,), {})
+    cls.__init__ = lambda self, **kw: root_cls.__init__(  # type: ignore[method-assign]
         self, **{**base.__dict__, **kw}
     )
-    VLARunConfig.register_subclass(vla_id, cls)
+    root_cls.register_subclass(name, cls)
+
+
+def _variant(vla_id: str, **over) -> None:
+    _register_variant(VLARunConfig, vla_id, VLARunConfig(vla_id=vla_id, **over))
 
 
 # === reference experiment registry (conf/vla.py:64-235) ===
@@ -129,18 +132,13 @@ class DatasetConfig(ChoiceRegistry):
 
 
 def _dataset_variant(dataset_id: str, finetune_json: str) -> None:
-    base = DatasetConfig(
+    _register_variant(DatasetConfig, dataset_id, DatasetConfig(
         dataset_id=dataset_id,
         finetune_stage_components=(
             f"download/llava-v1.5-instruct/{finetune_json}",
             "download/llava-v1.5-instruct/",
         ),
-    )
-    cls = type(f"DS_{dataset_id}".replace("-", "_"), (DatasetConfig,), {})
-    cls.__init__ = lambda self, **kw: DatasetConfig.__init__(  # type: ignore[method-assign]
-        self, **{**base.__dict__, **kw}
-    )
-    DatasetConfig.register_subclass(dataset_id, cls)
+    ))
 
 
 _dataset_variant("llava-v15", "llava_v1_5_mix665k.json")
