@@ -183,35 +183,47 @@ class NativeFrameDataset:
         self.prefetch_depth = prefetch_depth
 
     def _frames(self) -> Iterator[Dict]:
+        from concurrent.futures import ThreadPoolExecutor
+
         from .native_loader import NativeRLDSReader, decode_jpeg_resized
 
         transform = NP_STANDARDIZATION_TRANSFORMS.get(self.name)
+        # the C++ decode+resize releases the GIL for the whole ctypes call,
+        # so an episode's frames decode in parallel on multi-core hosts;
+        # order preserved by map(). On 1-2 core hosts (this dev box has
+        # nproc=1) a pool only adds overhead (measured 0.88x), so decode
+        # serially there.
+        cores = os.cpu_count() or 1
+        workers = min(8, cores // 2) if cores > 2 else 0
         epoch = 0
-        while True:
-            reader = NativeRLDSReader(self.paths, prefetch_depth=self.prefetch_depth)
-            got_any = False
-            for ex in reader:
-                traj = _episode_to_traj(ex, self.image_key)
-                ex.close()
-                if traj is None:
-                    continue
-                got_any = True
-                if transform is not None:
-                    traj = transform(traj)
-                action = np_normalize_actions(traj["action"], self.stats)
-                for i in range(action.shape[0]):
-                    image = decode_jpeg_resized(traj["image"][i], self.image_size)
-                    yield {
-                        "image": image,
-                        "action": action[i],
-                        "language": traj["language"][i],
-                    }
-            reader.close()
-            if not got_any:
-                raise RuntimeError(f"no decodable RLDS episodes in {self.paths}")
-            if not self.train:
-                return
-            epoch += 1
+        with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+            while True:
+                reader = NativeRLDSReader(self.paths, prefetch_depth=self.prefetch_depth)
+                got_any = False
+                for ex in reader:
+                    traj = _episode_to_traj(ex, self.image_key)
+                    ex.close()
+                    if traj is None:
+                        continue
+                    got_any = True
+                    if transform is not None:
+                        traj = transform(traj)
+                    action = np_normalize_actions(traj["action"], self.stats)
+                    decode = lambda b: decode_jpeg_resized(b, self.image_size)
+                    frames_in = traj["image"][: action.shape[0]]
+                    images = pool.map(decode, frames_in) if workers else map(decode, frames_in)
+                    for i, image in enumerate(images):
+                        yield {
+                            "image": image,
+                            "action": action[i],
+                            "language": traj["language"][i],
+                        }
+                reader.close()
+                if not got_any:
+                    raise RuntimeError(f"no decodable RLDS episodes in {self.paths}")
+                if not self.train:
+                    return
+                epoch += 1
 
     def as_numpy_iterator(self) -> Iterator[Dict]:
         rng = random.Random(self.seed)
