@@ -24,6 +24,7 @@
 #include <jpeglib.h>  // must follow <cstdio>/<cstddef> (uses FILE/size_t)
 #include <pthread.h>
 #include <deque>
+#include <array>
 #include <string>
 #include <vector>
 
@@ -172,22 +173,28 @@ bool find_feature(Slice example, const char* key, FeatureValue* out) {
 // CRC32C (Castagnoli) + the TFRecord mask — validating the length CRC before
 // allocating means a corrupt/bit-flipped header is a clean per-file stop, not
 // a multi-petabyte std::bad_alloc that terminates the process.
-static uint32_t crc32c_table_[256];
-static bool crc32c_init_done_ = false;
-
-static void crc32c_init() {
-  for (uint32_t i = 0; i < 256; i++) {
-    uint32_t crc = i;
-    for (int k = 0; k < 8; k++) crc = (crc & 1) ? (crc >> 1) ^ 0x82F63B78u : crc >> 1;
-    crc32c_table_[i] = crc;
-  }
-  crc32c_init_done_ = true;
+// table init is a C++11 magic static: each NativeRLDSReader runs its own
+// prefetcher thread, and two readers opened concurrently must not race the
+// table fill (an unsynchronized done-flag could publish before the writes on
+// a weakly-ordered host, turning into spurious CRC mismatches that silently
+// drop the rest of a shard)
+static const uint32_t* crc32c_table() {
+  static const std::array<uint32_t, 256> table = [] {
+    std::array<uint32_t, 256> t{};
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t crc = i;
+      for (int k = 0; k < 8; k++) crc = (crc & 1) ? (crc >> 1) ^ 0x82F63B78u : crc >> 1;
+      t[i] = crc;
+    }
+    return t;
+  }();
+  return table.data();
 }
 
 static uint32_t crc32c(const uint8_t* data, size_t n) {
-  if (!crc32c_init_done_) crc32c_init();
+  const uint32_t* table = crc32c_table();
   uint32_t crc = 0xFFFFFFFFu;
-  for (size_t i = 0; i < n; i++) crc = crc32c_table_[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  for (size_t i = 0; i < n; i++) crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
   return crc ^ 0xFFFFFFFFu;
 }
 

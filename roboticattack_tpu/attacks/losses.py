@@ -37,6 +37,19 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def cosine_similarity(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """F.cosine_similarity semantics over the last axis: EACH vector's norm is
+    clamped to eps separately (torch clamps per-norm, not the product — the
+    reference calls it at UPA.py:382). On degenerate near-zero vectors
+    max(prod, eps) gives a different value; both the UPA train loss and the
+    per-example val metric must use this one helper so they agree
+    (property-tested vs torch on zero/tiny vectors in tests/test_losses.py)."""
+    dot = jnp.sum(x * y, axis=-1)
+    nx = jnp.maximum(jnp.linalg.norm(x, axis=-1), eps)
+    ny = jnp.maximum(jnp.linalg.norm(y, axis=-1), eps)
+    return dot / (nx * ny)
+
+
 def shifted_action_logits(logits: jnp.ndarray, cfg: VLAConfig, text_len: int) -> jnp.ndarray:
     """[B, S-1, V]: position j predicts labels[:, 1 + j] (TMA.py:151)."""
     return action_logit_slice(logits, cfg, text_len)
@@ -206,14 +219,7 @@ def upa_loss(
         N_ACTION_BINS - 1.0
     )
 
-    dot = jnp.sum(xyz_pred * xyz_gt, axis=-1)
-    # F.cosine_similarity clamps EACH norm to eps separately (the reference
-    # calls it at UPA.py:382); max(prod, eps) would differ on degenerate
-    # near-zero vectors — property-tested vs torch in tests/test_losses.py
-    nx = jnp.maximum(jnp.linalg.norm(xyz_pred, axis=-1), 1e-8)
-    ny = jnp.maximum(jnp.linalg.norm(xyz_gt, axis=-1), 1e-8)
-    cos_sim = dot / (nx * ny)
-    angle_loss = jnp.mean(cos_sim + 1.0)
+    angle_loss = jnp.mean(cosine_similarity(xyz_pred, xyz_gt) + 1.0)
     distance_loss = 1.0 / (jnp.mean(jnp.linalg.norm(xyz_pred - xyz_gt, axis=-1)) + 1e-3)
     loss = alpha * angle_loss + beta * distance_loss
     return UPAResult(loss=loss, angle_loss=angle_loss, distance_loss=distance_loss, ce_loss=ce_loss)
@@ -294,11 +300,7 @@ def per_example_metrics(
         xyz_gt = (
             jnp.take_along_axis(gt, order, axis=-1) - (ACTION_TOKEN_BEGIN_IDX + 1)
         ).astype(jnp.float32) / (N_ACTION_BINS - 1.0)
-        dot = jnp.sum(xyz_pred * xyz_gt, axis=-1)
-        denom = jnp.maximum(
-            jnp.linalg.norm(xyz_pred, axis=-1) * jnp.linalg.norm(xyz_gt, axis=-1), 1e-8
-        )
-        out["angle"] = dot / denom + 1.0
+        out["angle"] = cosine_similarity(xyz_pred, xyz_gt) + 1.0
         out["xyz_dist"] = jnp.linalg.norm(xyz_pred - xyz_gt, axis=-1)
     return out
 

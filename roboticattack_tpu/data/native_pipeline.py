@@ -144,13 +144,37 @@ def _episode_to_traj(ex, image_key: str) -> Optional[Dict]:
     return traj
 
 
+def _version_sort_key(path: str):
+    """Numeric-aware TFDS version ordering: '1.10.0' > '1.2.0' (lexicographic
+    would invert them); non-numeric dirs sort below numeric ones."""
+    parts = os.path.basename(path).split(".")
+    try:
+        return (1, tuple(int(p) for p in parts))
+    except ValueError:
+        return (0, tuple((0,) for _ in parts))
+
+
 def discover_tfrecords(name: str, data_dir: str, split: str = "train") -> List[str]:
-    """TFDS on-disk layout: <data_dir>/<name>/<version>/<name>-<split>.tfrecord-XXXXX-of-YYYYY."""
-    pattern = os.path.join(data_dir, name, "*", f"*-{split}.tfrecord-*")
-    paths = sorted(glob.glob(pattern))
-    if not paths:
-        raise FileNotFoundError(f"no TFRecords matching {pattern}")
-    return paths
+    """TFDS on-disk layout: <data_dir>/<name>/<version>/<name>-<split>.tfrecord-XXXXX-of-YYYYY.
+
+    With several version dirs on disk, shards come from exactly ONE —
+    the highest version that has shards for this split — so the shard list
+    always aligns with that directory's dataset_info.json (a cross-version
+    mix would silently misalign shardLengths and split boundaries)."""
+    version_dirs = sorted(
+        (d for d in glob.glob(os.path.join(data_dir, name, "*")) if os.path.isdir(d)),
+        key=_version_sort_key,
+        reverse=True,
+    )
+    for vdir in version_dirs:
+        paths = sorted(glob.glob(os.path.join(vdir, f"*-{split}.tfrecord-*")))
+        if paths:
+            return paths
+    raise FileNotFoundError(
+        f"no TFRecords for split '{split}' under "
+        f"{os.path.join(data_dir, name)} (version dirs: "
+        f"{[os.path.basename(d) for d in version_dirs] or 'none'})"
+    )
 
 
 class NativeFrameDataset:

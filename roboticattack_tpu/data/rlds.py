@@ -385,7 +385,21 @@ def _tfrecord_records(name: str, data_dir: Optional[str], split: str):
         except (ValueError, AttributeError):
             total = None
 
-    first = next(iter(tf.data.TFRecordDataset(paths[0]).take(1))).numpy()
+    # schema introspection: TFDS may legitimately write empty leading shards
+    # (shardLengths allows 0), so walk shards until a record exists instead of
+    # surfacing an opaque StopIteration from the first shard
+    first = None
+    for p in paths:
+        for rec in tf.data.TFRecordDataset(p).take(1):
+            first = rec.numpy()
+            break
+        if first is not None:
+            break
+    if first is None:
+        raise ValueError(
+            f"split '{split}' of '{name}' contains no records across "
+            f"{len(paths)} shard(s) (first: {paths[0]})"
+        )
     feature_map = tf.train.Example.FromString(first).features.feature
 
     split_paths, skip_start, take = paths, None, 0
@@ -509,27 +523,48 @@ def load_tfrecord_oxe_trajectories(name: str, data_dir: Optional[str], split: st
     transform = OXE_TRANSFORMS[name]
     image_key, img_feature = _image_feature(name, feature_map)
 
-    # static column width per feature from the first record (wire format
-    # flattens per-step tensors; the width k is schema-constant): k == 1
-    # decodes as a rank-1 [T] tensor (the combinators' _as_col handles both),
-    # k > 1 as [T, k] — static ranks so the transforms' Python-side
-    # `x.shape.ndims` dispatch works
-    first_t = len(feature_map[img_feature].bytes_list.value)
+    # static column width per feature (wire format flattens per-step tensors;
+    # the width k is schema-constant): k == 1 decodes as a rank-1 [T] tensor
+    # (the combinators' _as_col handles both), k > 1 as [T, k] — static ranks
+    # so the transforms' Python-side `x.shape.ndims` dispatch works.
+    # Widths are introspected over SEVERAL leading records and checked for
+    # consistency (a dataset whose per-episode widths vary must raise, not
+    # silently mis-reshape every trajectory after the first); a per-record
+    # length assert in parse() then covers the unscanned tail of the split.
     kinds, widths = {}, {}
-    for key, feat in feature_map.items():
-        if not key.startswith("steps/"):
-            continue
-        if feat.HasField("bytes_list"):
-            kinds[key] = tf.string
-            continue
-        if feat.HasField("float_list"):
-            kinds[key], n = tf.float32, len(feat.float_list.value)
-        else:
-            kinds[key], n = tf.int64, len(feat.int64_list.value)
-        if first_t > 0 and n % first_t == 0:
-            widths[key] = max(1, n // first_t)
-        else:
-            widths[key] = 1
+    scanned = 0
+    maps = [feature_map] + [
+        tf.train.Example.FromString(rec.numpy()).features.feature for rec in ds.take(7)
+    ]
+    for fm in maps:
+        t = len(fm[img_feature].bytes_list.value)
+        for key, feat in fm.items():
+            if not key.startswith("steps/"):
+                continue
+            if feat.HasField("bytes_list"):
+                kinds[key] = tf.string
+                continue
+            if feat.HasField("float_list"):
+                kinds[key], n = tf.float32, len(feat.float_list.value)
+            else:
+                kinds[key], n = tf.int64, len(feat.int64_list.value)
+            if t == 0 or n == 0:
+                continue
+            if n % t != 0:
+                raise ValueError(
+                    f"{name}: feature '{key}' has length {n}, not a multiple of "
+                    f"the episode's T={t} (record {scanned}) — ragged or "
+                    f"non-per-step feature; cannot infer a static column width"
+                )
+            k = n // t
+            if key in widths and widths[key] != k:
+                raise ValueError(
+                    f"{name}: feature '{key}' width is inconsistent across "
+                    f"records ({widths[key]} vs {k} at record {scanned}) — "
+                    f"refusing to decode with a single static shape"
+                )
+            widths.setdefault(key, k)
+        scanned += 1
     spec = {
         k: tf.io.FixedLenSequenceFeature([], dtype, allow_missing=True)
         for k, dtype in kinds.items()
@@ -537,12 +572,28 @@ def load_tfrecord_oxe_trajectories(name: str, data_dir: Optional[str], split: st
 
     def parse(record):
         ex = tf.io.parse_single_example(record, spec)
+        t = tf.shape(ex[img_feature])[0]
         traj = {}
         for key, dtype in kinds.items():
             val = ex[key]
-            k = widths.get(key, 1)
-            if dtype != tf.string and k > 1:
-                val = tf.reshape(val, [-1, k])
+            if dtype != tf.string:
+                k = widths.get(key, 1)
+                # guard the records the introspection scan never saw: a
+                # length mismatch is a loud per-dataset error, not a silent
+                # wrong-shape trajectory
+                val = tf.ensure_shape(val, [None])
+                check = tf.debugging.assert_equal(
+                    tf.shape(val)[0],
+                    t * k,
+                    message=(
+                        f"{name}: feature '{key}' length != T*{k} — ragged "
+                        f"record beyond the width-introspection window"
+                    ),
+                )
+                with tf.control_dependencies([check]):
+                    val = tf.identity(val)
+                if k > 1:
+                    val = tf.reshape(val, [-1, k])
             # nest under the path after 'steps/'
             parts = key.split("/")[1:]
             node = traj
@@ -556,6 +607,17 @@ def load_tfrecord_oxe_trajectories(name: str, data_dir: Optional[str], split: st
         language = traj.get(
             "language_instruction", obs.get("natural_language_instruction")
         )
+        if language is None:
+            # raised at ds.map trace time (= loader build), mirroring
+            # load_tfrecord_trajectories' explicit check — a None here would
+            # otherwise surface much later as an opaque tf error in the frame
+            # pipeline
+            raise KeyError(
+                f"{name}: transformed trajectory has no language key "
+                f"('language_instruction' or 'observation/"
+                f"natural_language_instruction'); transformed keys: "
+                f"{sorted(traj)} / obs: {sorted(obs)}"
+            )
         out = {
             "image": obs[image_key],
             "action": traj["action"],

@@ -48,6 +48,54 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(patch_shard, patch_single, rtol=1e-5, atol=1e-6)
 
 
+def test_dp_step_hlo_gradient_traffic_is_one_patch_allreduce():
+    """Pin the GSPMD data-parallel step's collective footprint in compiled
+    HLO: the ONLY tensor-sized cross-device traffic is one all-reduce of the
+    patch gradient (the reference DDP's bucket allreduce is likewise the only
+    gradient traffic, UADA_ddp.py:166); every other all-reduce operand is a
+    scalar metric/count, and there are no gathers at all. A subtly wrong
+    reduction (e.g. a gathered batch or per-device re-broadcast) would show
+    up here even if its numbers drifted within test_exact_ddp_cli's 5% band."""
+    import re
+
+    params = init_vla_params(jax.random.key(0), VLA_TINY)
+    frames = dummy_frame_iterator(WordStubTokenizer(), image_size=56, seed=1)
+    batch = next(batch_iterator(frames, batch_size=8, pad_to=48))
+    maskidx = [0, 1, 2, 3, 4, 5, 6]
+    target = build_tma_target_tokens(np.zeros(7), maskidx)
+    step = make_attack_step(
+        AttackSpec(objective="tma", geometry=True, inner_loop=1), VLA_TINY, target, maskidx
+    )
+    state = init_attack_state(jax.random.key(2), (10, 10))
+    mesh = make_mesh(data=8)
+    p, s, b = replicate(params, mesh), replicate(state, mesh), shard_batch(batch, mesh)
+
+    hlo = (
+        jax.jit(step)
+        .lower(p, s, b, jnp.float32(1e-2), jnp.bool_(True), jax.random.key(10))
+        .compile()
+        .as_text()
+    )
+    for banned in ("all-gather", "reduce-scatter", "collective-permute", "all-to-all"):
+        assert banned not in hlo, f"unexpected {banned} in DP step HLO"
+
+    patch_dims = ",".join(str(d) for d in np.asarray(state.patch).shape)
+    tensor_shapes = []
+    for line in hlo.splitlines():
+        if " all-reduce(" not in line:
+            continue  # operand refs / get-tuple-elements, not op definitions
+        result_shapes = line.split(" all-reduce(")[0]
+        tensor_shapes += [
+            dims
+            for dims in re.findall(r"(?:f|s|u|bf|pred)\d*\[([\d,]*)\]", result_shapes)
+            if dims  # scalars reduce to '' — metric sums/counts are fine
+        ]
+    assert tensor_shapes == [patch_dims], (
+        f"DP gradient traffic must be exactly one patch-shaped all-reduce "
+        f"[{patch_dims}]; found tensor-sized reduces: {tensor_shapes}"
+    )
+
+
 def test_uada_sharded_metrics_match():
     params = init_vla_params(jax.random.key(3), VLA_TINY)
     frames = dummy_frame_iterator(WordStubTokenizer(), image_size=56, seed=2)

@@ -206,6 +206,44 @@ def test_upa_randomized_torch_sweep():
         assert abs(float(got.distance_loss) - want_dist) < 2e-4, seed
 
 
+def test_upa_per_example_angle_matches_torch_on_degenerate_rows():
+    """The per-example val 'angle' metric must share the train loss's per-norm
+    clamp semantics (F.cosine_similarity): on zero / near-zero gt xyz rows the
+    two sites previously diverged (product-clamped denominator). Sweep
+    ordinary, zero-gt, and tiny-gt rows vs torch's per-row cosine."""
+    from roboticattack_tpu.attacks.losses import per_example_metrics
+
+    for seed, tok in ((11, None), (12, ACTION_TOKEN_MIN), (13, ACTION_TOKEN_MIN + 1)):
+        labels = _label_batch(batch=3, seed=seed)
+        if tok is not None:
+            labels = _force_xyz_tokens(labels, tok)
+        logits = _random_logits(labels, seed=seed + 100)
+
+        t_logits = torch.from_numpy(logits)
+        t_labels = torch.from_numpy(labels.astype(np.int64))
+        temp_label = t_labels[:, 1:]
+        action_mask = temp_label != -100
+        action_logits = t_logits[:, :, 31744:32000][:, P:-1]
+        reweighted = (F.softmax(action_logits, dim=-1) * torch.arange(1, 257).float()).sum(-1)
+        xyz_rw = torch.cat(
+            [row[action_mask[i]].unsqueeze(0) for i, row in enumerate(reweighted)], dim=0
+        )[:, :3]
+        xyz_lab = (
+            torch.cat(
+                [row[action_mask[i]].unsqueeze(0) for i, row in enumerate(temp_label)], dim=0
+            )
+            - 31743
+        )[:, :3].float()
+        want = (F.cosine_similarity((xyz_rw - 1) / 255, (xyz_lab - 1) / 255, dim=1) + 1).numpy()
+
+        got = per_example_metrics(_text(logits), jnp.asarray(labels), CFG, "upa")["angle"]
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+        # and the two sites agree with each other: mean of per-example angles
+        # == the train angle_loss on the same batch
+        train = upa_loss(_text(logits), jnp.asarray(labels), jnp.float32(1.0), CFG)
+        assert abs(float(train.angle_loss) - float(np.mean(np.asarray(got)))) < 1e-5
+
+
 def test_uada_fully_masked_rows_stay_finite():
     """maskidx=[] turns every action label IGNORE. The reference's boolean
     `.view(-1, 7)` machinery would crash on this input; the static-shape

@@ -183,6 +183,116 @@ def test_raw_oxe_dict_action_dataset(tmp_path):
     assert f["action"].shape == (7,) and np.isfinite(f["action"]).all()
 
 
+def test_empty_first_shard_is_skipped(tmp_path):
+    """TFDS may write empty leading shards (shardLengths allows 0); schema
+    introspection must walk past them instead of dying on StopIteration."""
+    import os
+
+    d = _write_layout(tmp_path, n_episodes=4)
+    old = os.path.join(d, "bridge_orig-train.tfrecord-00000-of-00001")
+    os.rename(old, os.path.join(d, "bridge_orig-train.tfrecord-00001-of-00002"))
+    open(os.path.join(d, "bridge_orig-train.tfrecord-00000-of-00002"), "wb").close()
+    (tmp_path / "bridge_orig" / "1.0.0" / "dataset_info.json").write_text(json.dumps({
+        "name": "bridge_orig",
+        "splits": [{"name": "train", "shardLengths": ["0", "4"]}],
+    }))
+    trajs = list(load_tfrecord_trajectories(
+        "bridge_orig", str(tmp_path), "train").as_numpy_iterator())
+    assert len(trajs) == 4
+
+
+def test_split_with_no_records_raises(tmp_path):
+    """An all-empty split raises a descriptive ValueError, not StopIteration."""
+    import os
+
+    d = tmp_path / "bridge_orig" / "1.0.0"
+    d.mkdir(parents=True)
+    open(os.path.join(d, "bridge_orig-train.tfrecord-00000-of-00001"), "wb").close()
+    with pytest.raises(ValueError, match="no records"):
+        load_tfrecord_trajectories("bridge_orig", str(tmp_path), "train")
+
+
+def test_multi_version_dirs_pick_highest_numeric(tmp_path):
+    """Two TFDS version dirs on disk: shards must come from exactly ONE dir —
+    the numerically highest version ('1.10.0' > '1.2.0'; lexicographic order
+    would invert them and mix shardLengths across versions)."""
+    import os
+    import shutil
+
+    d = _write_layout(tmp_path, n_episodes=3)
+    shutil.move(d, os.path.join(os.path.dirname(d), "1.2.0"))
+    d = _write_layout(tmp_path, n_episodes=5)
+    shutil.move(d, os.path.join(os.path.dirname(d), "1.10.0"))
+
+    from roboticattack_tpu.data.native_pipeline import discover_tfrecords
+
+    paths = discover_tfrecords("bridge_orig", str(tmp_path))
+    assert len({os.path.dirname(p) for p in paths}) == 1
+    assert "1.10.0" in paths[0]
+    trajs = list(load_tfrecord_trajectories(
+        "bridge_orig", str(tmp_path), "train").as_numpy_iterator())
+    assert len(trajs) == 5
+
+
+def test_raw_oxe_ragged_width_raises(tmp_path):
+    """A raw-schema dataset whose per-episode feature widths differ across
+    records must raise loudly at loader build instead of silently
+    mis-reshaping every record after the first (widths are schema constants
+    inferred from the leading records)."""
+    from roboticattack_tpu.data.rlds import load_tfrecord_oxe_trajectories
+    from roboticattack_tpu.data.synthetic_shards import jpeg_bytes
+
+    widths = iter([15, 14, 15])
+    _write_raw_oxe_layout(tmp_path, "taco_play", {
+        "steps/observation/rgb_static": lambda r: [jpeg_bytes(r, 32) for _ in range(T)],
+        "steps/observation/robot_obs": lambda r: r.standard_normal((T, next(widths))),
+        "steps/observation/natural_language_instruction":
+            lambda r: [b"wipe the table"] * T,
+        "steps/action/rel_actions_world": lambda r: r.standard_normal((T, 7)),
+    })
+    with pytest.raises(ValueError, match="inconsistent across"):
+        load_tfrecord_oxe_trajectories("taco_play", str(tmp_path), "train")
+
+
+def test_raw_oxe_ragged_record_beyond_scan_window_raises(tmp_path):
+    """A feature empty in the scanned records but whose later records are
+    inconsistent with the inferred width fails the per-record length assert at
+    iteration (informative tf error), never a silent wrong-shape trajectory."""
+    from roboticattack_tpu.data.rlds import load_tfrecord_oxe_trajectories
+    from roboticattack_tpu.data.synthetic_shards import jpeg_bytes
+
+    # record 0: robot_obs empty (width unknown); records 1-2: width 15 -> the
+    # scan infers 15; record 0's empty tensor then violates length == T*15
+    counts = iter([0, 15, 15])
+    _write_raw_oxe_layout(tmp_path, "taco_play", {
+        "steps/observation/rgb_static": lambda r: [jpeg_bytes(r, 32) for _ in range(T)],
+        "steps/observation/robot_obs":
+            lambda r: r.standard_normal((T, next(counts))).reshape(-1),
+        "steps/observation/natural_language_instruction":
+            lambda r: [b"wipe the table"] * T,
+        "steps/action/rel_actions_world": lambda r: r.standard_normal((T, 7)),
+    })
+    ds = load_tfrecord_oxe_trajectories("taco_play", str(tmp_path), "train")
+    with pytest.raises(tf.errors.InvalidArgumentError, match="robot_obs"):
+        list(ds.as_numpy_iterator())
+
+
+def test_raw_oxe_missing_language_raises_at_build(tmp_path):
+    """No language key anywhere (raw features or transform output): the
+    loader raises a KeyError naming the candidates at build time, not an
+    opaque tf error deep in the frame pipeline."""
+    from roboticattack_tpu.data.rlds import load_tfrecord_oxe_trajectories
+    from roboticattack_tpu.data.synthetic_shards import jpeg_bytes
+
+    _write_raw_oxe_layout(tmp_path, "bridge_orig", {
+        "steps/observation/image_0": lambda r: [jpeg_bytes(r, 32) for _ in range(T)],
+        "steps/observation/state": lambda r: r.standard_normal((T, 7)),
+        "steps/action": lambda r: r.standard_normal((T, 7)),
+    })
+    with pytest.raises(KeyError, match="language"):
+        load_tfrecord_oxe_trajectories("bridge_orig", str(tmp_path), "train")
+
+
 def test_tfrecord_layer_matches_injected_pipeline(tmp_path):
     """make_frame_dataset(file_layer='tfrecord') produces the same
     standardized + normalized trajectories as the in-memory tf pipeline fed
