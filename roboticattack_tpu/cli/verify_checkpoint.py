@@ -1,0 +1,188 @@
+"""One-command real-checkpoint acceptance: manifest -> parity -> attack smoke.
+
+    python -m roboticattack_tpu.cli.verify_checkpoint --model openvla-7b
+    python -m roboticattack_tpu.cli.verify_checkpoint --checkpoint /path/to/dir
+
+Wraps models/verify.py around `models.registry.load` (the reference's
+`prismatic.load` equivalent, load.py:52-90): resolves the checkpoint (local
+dir or HF-Hub download), then
+
+1. MANIFEST  — tensor names/shapes/dtypes vs the config-derived golden
+   manifest, from safetensors headers only (seconds; fails loudly before any
+   long work),
+2. PARITY   — per-module + full-stack activation parity of our converted
+   pytree vs torch reference modules built independently from the raw
+   checkpoint (fp32, CPU; RAM note: the 7B wants ~2x13 GB of host RAM for
+   the LLM leg — use --modules to run legs one at a time if constrained),
+3. SMOKE    — a short TMA attack on synthetic frames: loss must descend and
+   a patch artifact is written.
+
+Exit code 0 iff every requested step passes; a JSON report and the smoke
+patch land in --output. Offline-tested on tiny synthetic checkpoints in
+tests/test_verify_checkpoint.py; on a machine with egress this is the
+one-shot acceptance gate for the released openvla/openvla-7b weights
+(+ the 4 LIBERO finetunes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--model", default="openvla-7b",
+                   help="registry model ID (see models.registry.available_model_names)")
+    p.add_argument("--checkpoint", default=None,
+                   help="local checkpoint dir (skips the HF-Hub download)")
+    p.add_argument("--steps", default="manifest,parity,smoke",
+                   help="comma-separated subset of manifest,parity,smoke")
+    p.add_argument("--modules", default="dino,siglip,projector,llm,full",
+                   help="parity modules (comma-separated)")
+    p.add_argument("--parity-batch", type=int, default=2)
+    p.add_argument("--parity-seq", type=int, default=24)
+    p.add_argument("--parity-rel-tol", type=float, default=2e-2)
+    p.add_argument("--smoke-iters", type=int, default=20)
+    p.add_argument("--smoke-bs", type=int, default=2)
+    p.add_argument("--smoke-lr", type=float, default=5e-2)
+    p.add_argument("--output", default=None,
+                   help="report/artifact dir (default: verify_<model>/)")
+    p.add_argument("--cache_dir", default=None)
+    p.add_argument("--hf_token", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                   help="'cpu' (default) forces the CPU backend: activation "
+                        "parity REQUIRES it — TPU fp32 matmuls silently run "
+                        "at bf16 precision and would fail the tolerances by "
+                        "design. Use 'default' (accelerator) only for a "
+                        "standalone '--steps smoke' run at production dtype.")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.device == "cpu":
+        # after-import config update (os.environ is too late once the session
+        # env pins a TPU plugin; the backend initializes lazily so this works
+        # as long as no computation ran yet)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    steps = [s.strip() for s in args.steps.split(",") if s.strip()]
+    modules = tuple(m.strip() for m in args.modules.split(",") if m.strip())
+    out_dir = args.output or f"verify_{args.model.replace('/', '_')}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    from ..models.config import REGISTRY as CONFIG_REGISTRY
+    from ..models.config import get_config
+    from ..models.registry import GLOBAL_REGISTRY, build_config, hub_files, _default_download
+    from ..models.verify import manifest_report, parity_report, tma_smoke
+
+    # --- resolve checkpoint dir + config -------------------------------------
+    if args.checkpoint is not None:
+        ckpt_dir = args.checkpoint
+        from ..models.registry import _config_for_dir
+
+        if args.model in CONFIG_REGISTRY:  # named configs incl. vla-tiny
+            cfg = get_config(args.model)
+        elif args.model in GLOBAL_REGISTRY:
+            cfg = build_config(args.model)
+        else:
+            cfg = _config_for_dir(ckpt_dir)
+    else:
+        repo, patterns = hub_files(args.model)
+        print(f"fetching {repo} ...", flush=True)
+        ckpt_dir = _default_download(repo, patterns, args.cache_dir, args.hf_token)
+        cfg = build_config(args.model)
+    print(f"checkpoint: {ckpt_dir}\nconfig: {cfg.name}")
+
+    report = {"model": args.model, "checkpoint": ckpt_dir, "steps": {}}
+    ok = True
+
+    # --- 1. manifest ---------------------------------------------------------
+    if "manifest" in steps:
+        t0 = time.time()
+        m = manifest_report(ckpt_dir, cfg)
+        report["steps"]["manifest"] = m.to_json()
+        status = "PASS" if m.ok else "FAIL"
+        print(f"[manifest] {status} in {time.time()-t0:.1f}s — {m.n_tensors} tensors, "
+              f"{m.total_bytes/1e9:.2f} GB, dtypes {m.dtypes}")
+        for miss in m.missing[:20]:
+            print(f"  MISSING: {miss}")
+        for bad in m.shape_mismatches[:20]:
+            print(f"  SHAPE:   {bad}")
+        if len(m.missing) > 20 or len(m.shape_mismatches) > 20:
+            print(f"  ... and {len(m.missing) + len(m.shape_mismatches) - 20} more")
+        ok &= m.ok
+        if not m.ok:
+            # the expensive legs would only fail more confusingly
+            steps = [s for s in steps if s == "manifest"]
+            print("[manifest] failing fast: skipping parity/smoke")
+
+    state = params = None
+    if "parity" in steps or "smoke" in steps:
+        from ..models.convert import convert_state_dict, read_state_dict
+
+        t0 = time.time()
+        state = read_state_dict(ckpt_dir)
+        params = convert_state_dict(state, cfg)
+        print(f"loaded + converted state dict in {time.time()-t0:.1f}s "
+              f"({sum(v.nbytes for v in state.values())/1e9:.2f} GB)")
+
+    # --- 2. parity -----------------------------------------------------------
+    if "parity" in steps:
+        t0 = time.time()
+        pr = parity_report(
+            state, cfg, params=params, modules=modules,
+            batch=args.parity_batch, seq=args.parity_seq, seed=args.seed,
+            rel_tol=args.parity_rel_tol,
+        )
+        report["steps"]["parity"] = pr
+        for name, d in pr.items():
+            status = "PASS" if d["ok"] else "FAIL"
+            print(f"[parity:{name}] {status} max_rel={d['max_rel']:.2e} "
+                  f"max_abs={d['max_abs']:.2e} ref_scale={d['ref_scale']:.2e}")
+            ok &= d["ok"]
+        print(f"[parity] done in {time.time()-t0:.1f}s")
+
+    # --- 3. smoke ------------------------------------------------------------
+    if "smoke" in steps:
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        dev_params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype=jnp.dtype(cfg.dtype)), params
+        )
+        sm = tma_smoke(
+            dev_params, cfg, iters=args.smoke_iters, batch_size=args.smoke_bs,
+            lr=args.smoke_lr, seed=args.seed,
+        )
+        status = "PASS" if sm["decreased"] else "FAIL"
+        print(f"[smoke] {status} in {time.time()-t0:.1f}s — loss "
+              f"{sm['losses'][0]:.4f} -> {sm['losses'][-1]:.4f} over "
+              f"{len(sm['losses'])} TMA iters")
+        from ..attacks.artifacts import save_checkpoint
+
+        save_checkpoint(out_dir, "smoke", sm["patch"])
+        report["steps"]["smoke"] = {
+            "losses": sm["losses"], "decreased": sm["decreased"],
+            "patch_artifact": os.path.join(out_dir, "smoke", "patch.pt"),
+        }
+        ok &= sm["decreased"]
+
+    report["ok"] = ok
+    with open(os.path.join(out_dir, "verify_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"{'ACCEPTED' if ok else 'REJECTED'} — report at "
+          f"{os.path.join(out_dir, 'verify_report.json')}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

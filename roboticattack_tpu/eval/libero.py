@@ -112,9 +112,17 @@ def eval_libero(cfg: LiberoEvalConfig, policy: VLAPolicy):
         cfg.task_suite_name
     ]
     os.makedirs(cfg.output_dir, exist_ok=True)
+    # byte-compatible with the reference's run_id scheme
+    # (run_libero_eval_args_geo_batch.py:130-135 + the queue's run_id_note
+    # `x_y_angle_shx_shy`, eval_queue_single_four_spec.py:36-39) so reference
+    # tooling's skip-if-done resume sees our runs and vice versa
+    # :g renders whole floats the way the queue's int dict does ("0", not
+    # "0.0") — the reference queue passes run_id_note as a pre-built string of
+    # ints, and resume interop needs the exact filename
+    run_id_note = "_".join(format(v, "g") for v in
+                           (cfg.x, cfg.y, cfg.angle, cfg.shx, cfg.shy))
     log_path = os.path.join(
-        cfg.output_dir,
-        f"EVAL-{cfg.task_suite_name}--x{cfg.x}y{cfg.y}a{cfg.angle}.txt",
+        cfg.output_dir, f"EVAL-{cfg.task_suite_name}--{run_id_note}.txt"
     )
     log = open(log_path, "a")
 
@@ -164,12 +172,13 @@ def eval_libero(cfg: LiberoEvalConfig, policy: VLAPolicy):
               f"{task_successes}/{cfg.num_trials_per_task}")
         env.close()
 
-    rate = total_successes / max(total_episodes, 1)
+    # BYTE-exact reference summary line (run_libero_eval_args_geo_batch.py:297-298,
+    # including the trailing space before the newline) — downstream scrapers of
+    # the reference's <suite>.txt files parse ours unchanged
     summary = (
-        f"{cfg.task_suite_name} success_rate={rate:.4f} "
-        f"({total_successes}/{total_episodes}) "
-        f"patch={cfg.patchroot} pos=({cfg.x},{cfg.y}) "
-        f"angle={cfg.angle} shx={cfg.shx} shy={cfg.shy}\n"
+        f"success_rate/total:{float(total_successes) / float(max(total_episodes, 1))}, "
+        f"num_episodes/total:{total_episodes} "
+        f"position_info:{cfg.angle}_{cfg.shx}_{cfg.shy}_{cfg.x}_{cfg.y} \n"
     )
     with open(os.path.join(cfg.output_dir, f"{cfg.task_suite_name}.txt"), "a") as f:
         f.write(summary)

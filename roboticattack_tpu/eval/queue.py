@@ -24,8 +24,15 @@ SUITE_PLACEMENTS: Dict[str, Tuple[int, int]] = {
 }
 
 
-def marker_path(output_dir: str, suite: str, pos: Tuple[int, int]) -> str:
-    return os.path.join(output_dir, f"EVAL-{suite}--{pos[0]}-{pos[1]}.txt")
+def marker_path(output_dir: str, suite: str, pos: Tuple[int, int],
+                angle: int = 0, shx: int = 0, shy: int = 0) -> str:
+    """The reference's run-id marker: `EVAL-<suite>--<x>_<y>_<angle>_<shx>_<shy>.txt`
+    (eval_queue_single_four_spec.py:36-39). eval_libero writes this file
+    itself (reference: run_libero_eval_args_geo_batch.py:130-135), so
+    reference-tool resumes see our runs and vice versa."""
+    return os.path.join(
+        output_dir, f"EVAL-{suite}--{pos[0]}_{pos[1]}_{angle}_{shx}_{shy}.txt"
+    )
 
 
 def organize_experiments(
@@ -61,9 +68,11 @@ def run_task(task: Dict, output_dir: str, checkpoint: Optional[str],
     cmd += extra_args or []
     print("launch:", " ".join(cmd))
     rc = subprocess.call(cmd)
-    if rc == 0:
-        with open(task["marker"], "w") as f:
-            f.write("done\n")
+    # the eval writes the EVAL-<suite>--<run_id_note>.txt marker itself (its
+    # episode log); the reference would skip even a crashed run on resume —
+    # we instead remove the partial log so only SUCCESSFUL runs are skipped
+    if rc != 0 and os.path.exists(task["marker"]):
+        os.remove(task["marker"])
     return rc
 
 

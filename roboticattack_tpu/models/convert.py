@@ -175,8 +175,20 @@ def convert_state_dict(state: Mapping[str, np.ndarray], cfg: VLAConfig) -> Dict:
     }
 
 
-def load_checkpoint_dir(path: str, cfg: VLAConfig) -> Dict:
-    """Load a local HF OpenVLA checkpoint directory (safetensors shards).
+def checkpoint_shard_files(path: str) -> list:
+    """Safetensors shard filenames of a local HF checkpoint dir, from the
+    index when present (the released OpenVLA checkpoints ship
+    model.safetensors.index.json) else by directory listing."""
+    index_path = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            return sorted(set(json.load(f)["weight_map"].values()))
+    return sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+
+
+def read_state_dict(path: str) -> Dict:
+    """Read a local HF checkpoint dir's safetensors shards into a raw
+    {hf_name: np.ndarray} state dict (no conversion).
 
     Loads through torch (framework="pt"): the released checkpoints are bf16,
     which numpy (and hence safetensors' "np" framework) cannot represent.
@@ -192,19 +204,16 @@ def load_checkpoint_dir(path: str, cfg: VLAConfig) -> Dict:
         return t.numpy()
 
     state: Dict[str, np.ndarray] = {}
-    index_path = os.path.join(path, "model.safetensors.index.json")
-    if os.path.exists(index_path):
-        with open(index_path) as f:
-            shard_files = sorted(set(json.load(f)["weight_map"].values()))
-    else:
-        shard_files = sorted(
-            f for f in os.listdir(path) if f.endswith(".safetensors")
-        )
-    for shard in shard_files:
+    for shard in checkpoint_shard_files(path):
         with safe_open(os.path.join(path, shard), framework="pt") as sf:
             for key in sf.keys():
                 state[key] = to_numpy(sf.get_tensor(key))
-    return convert_state_dict(state, cfg)
+    return state
+
+
+def load_checkpoint_dir(path: str, cfg: VLAConfig) -> Dict:
+    """Load a local HF OpenVLA checkpoint directory (safetensors shards)."""
+    return convert_state_dict(read_state_dict(path), cfg)
 
 
 def load_norm_stats(path: str) -> Dict:

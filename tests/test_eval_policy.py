@@ -83,9 +83,10 @@ def test_queue_marker_resume(tmp_path):
     patches = {s: f"/fake/{s}/patch.pt" for s in SUITE_PLACEMENTS}
     tasks = organize_experiments(patches, out)
     assert len(tasks) == 4
-    # write a marker -> that suite is skipped
+    # write a marker (the reference's run-id filename,
+    # eval_queue_single_four_spec.py:36-39) -> that suite is skipped
     x, y = SUITE_PLACEMENTS["libero_goal"]
-    with open(os.path.join(out, f"EVAL-libero_goal--{x}-{y}.txt"), "w") as f:
+    with open(os.path.join(out, f"EVAL-libero_goal--{x}_{y}_0_0_0.txt"), "w") as f:
         f.write("done")
     tasks2 = organize_experiments(patches, out)
     assert len(tasks2) == 3
