@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.prefetch import host_prefetch
 from ..models.config import VLAConfig
 from ..parallel.mesh import process_zero, replicate, shard_batch
 from ..utils.constants import ACTION_DIM
@@ -262,13 +263,14 @@ class OpenVLAAttacker:
             a.filter_grip_train_to_1 and len(a.maskidx) == 1 and a.maskidx[0] == 6
         )
 
-        # NOTE on data/prefetch.py: wrapping train_batches in device_prefetch
-        # overlaps host batch assembly with device compute and works on
-        # plain backends, but MEASURED on the axon-relayed TPU it deadlocks
-        # after the first step (concurrent device_put from the daemon thread
-        # vs the main thread's execution through the relay). The attack loop
-        # therefore keeps the synchronous feed; the host cost is ~0.1 s per
-        # 1.7 s outer step.
+        # NOTE on data/prefetch.py: device_prefetch (device_put on a daemon
+        # thread) deadlocks through the axon TPU relay after the first step
+        # (concurrent device_put vs the main thread's execution RPCs —
+        # measured round 2). host_prefetch sidesteps it: the daemon thread
+        # assembles numpy batches only (tf.data + tokenize + pad, the actual
+        # ~0.1 s of host work), and the main thread keeps doing its own cheap
+        # device transfer — relay-safe because all jax calls stay here.
+        train_batches = host_prefetch(train_batches, depth=2)
         for i in range(start_iter, a.num_iter):
             batch = next(train_batches)
             if grip_filter:

@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed text pad length (multimodal seq = 256 + pad_to). "
                         "32 -> seq 288 is the largest that fits the bs=8 7B attack "
                         "step in 16 GB HBM; raise only with more HBM or smaller bs")
+    p.add_argument("--platform", default="default", choices=["default", "cpu"],
+                   help="'cpu' forces the CPU backend from inside the process "
+                        "(reliable even when the environment pins a TPU plugin "
+                        "and ignores shell-level JAX_PLATFORMS overrides)")
     return p
 
 
@@ -167,6 +171,9 @@ def make_data(args, cfg, tokenizer=None, out_dir=None):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from ..attacks.attacker import AttackConfig, OpenVLAAttacker
     from ..models import get_config, init_vla_params

@@ -130,3 +130,25 @@ def test_val_step_metrics():
     assert np.isfinite(float(metrics["ce"]))
     assert metrics["clean_gripper_correct"].shape == (batch.images.shape[0],)
     assert metrics["_patched_images"].shape == batch.images.shape
+
+
+def test_host_prefetch_preserves_order_and_surfaces_errors():
+    """host_prefetch assembles batches on a daemon thread but must hand them
+    over unchanged and in order, finish cleanly, and re-raise producer
+    exceptions at the consumer (the relay-safe feed used by the attack loop;
+    all jax calls stay on the consumer thread by construction)."""
+    from roboticattack_tpu.data.prefetch import host_prefetch
+
+    assert list(host_prefetch(iter(range(7)), depth=2)) == list(range(7))
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer died")
+
+    it = host_prefetch(boom(), depth=1)
+    assert next(it) == 1 and next(it) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="producer died"):
+        next(it)

@@ -107,6 +107,37 @@ def test_train_then_attack_flips_policy():
         baseline_success, attacked_success,
     )
 
+    # --- 4. the SAME patch hijacks the policy through the EVAL-side path:
+    # fixed-position uint8 ToPILImage-quantized paste (simulation_random_patch
+    # parity, appply_random_transform.py:43-78) + the KV-cache greedy-decode
+    # policy (predict_action). Proves train-time attack efficacy survives the
+    # simulator-side quantization + decode pipeline — the closed-loop
+    # hand-off the reference never unit-tests.
+    from roboticattack_tpu.eval.libero import LiberoEvalConfig, apply_patch_to_frame
+    from roboticattack_tpu.eval.policy import VLAPolicy
+
+    stats = {"synthetic": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7,
+                                      "mask": [True] * 6 + [False]}}}
+    policy = VLAPolicy(
+        jax.tree.map(jnp.asarray, trained), VLA_TINY, WordStubTokenizer(),
+        stats, "synthetic", False,
+    )
+    eval_cfg = LiberoEvalConfig(x=10, y=10, resize_size=IMG)
+    patch_np = np.asarray(state.patch)
+    rng = np.random.default_rng(21)
+    clean_xyz, patched_xyz = [], []
+    for _ in range(6):
+        frame = (np.clip(0.35 + rng.normal(0, 0.03, (IMG, IMG, 3)), 0, 1) * 255
+                 ).astype(np.uint8)
+        clean_xyz.append(policy.get_action(frame, "press the lever")[:6].mean())
+        patched = apply_patch_to_frame(frame, patch_np, eval_cfg)
+        patched_xyz.append(policy.get_action(patched, "press the lever")[:6].mean())
+    clean_mean, patched_mean = float(np.mean(clean_xyz)), float(np.mean(patched_xyz))
+    # clean dark frames decode to the dark action (~ -0.8); patched frames
+    # are dragged toward the bright target
+    assert clean_mean < -0.3, clean_mean
+    assert patched_mean > clean_mean + 0.5, (clean_mean, patched_mean)
+
 
 @pytest.mark.slow
 def test_upa_direction_metrics_and_descent():
