@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shx", default=0.0, type=float)
     p.add_argument("--shy", default=0.0, type=float)
     p.add_argument("--num_trials_per_task", default=50, type=int)
+    p.add_argument("--batch_trials", default=1, type=int,
+                   help=">1 runs that many trials as lockstep simultaneous "
+                        "envs sharing one batched TPU policy call per step "
+                        "(~N envs for one env's decode wall-clock; costs N "
+                        "live simulator instances of host RAM)")
     p.add_argument("--center_crop", type=str2bool, default=False)
     p.add_argument("--seed", default=7, type=int)
     p.add_argument("--output", default="./experiments/logs", type=str)
@@ -81,7 +86,7 @@ def main(argv=None):
         x=args.x, y=args.y, angle=args.angle, shx=args.shx, shy=args.shy,
         center_crop=args.center_crop, seed=args.seed,
         output_dir=args.output, save_videos=args.save_videos,
-        unnorm_key=args.unnorm_key,
+        unnorm_key=args.unnorm_key, batch_trials=args.batch_trials,
     )
     successes, episodes = eval_libero(cfg, policy)
     print(f"success rate: {successes}/{episodes}")

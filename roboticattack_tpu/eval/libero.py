@@ -67,6 +67,12 @@ class LiberoEvalConfig:
     output_dir: str = "./experiments/logs"
     save_videos: bool = False
     unnorm_key: Optional[str] = None
+    # >1 = lockstep-batched rollouts: run this many trials of a task as
+    # simultaneous environments sharing ONE batched policy call per step.
+    # TPU-first eval scaling the reference's bs=1 `generate` path can't do:
+    # 7B decode is weight-streaming-bound, so N envs cost ~one env's
+    # wall-clock. Costs N live simulator instances of host RAM.
+    batch_trials: int = 1
 
 
 def get_libero_env(task, resolution: int = 256):
@@ -131,6 +137,16 @@ def eval_libero(cfg: LiberoEvalConfig, policy: VLAPolicy):
     for task_id in range(suite.n_tasks):
         task = suite.get_task(task_id)
         initial_states = suite.get_task_init_states(task_id)
+        if cfg.batch_trials > 1:
+            task_successes, eps = _run_task_batched(
+                cfg, policy, task, initial_states, max_steps, patch, log,
+                task_id, total_successes, total_episodes,
+            )
+            total_successes += task_successes
+            total_episodes += eps
+            print(f"[{cfg.task_suite_name}] task {task_id}: "
+                  f"{task_successes}/{cfg.num_trials_per_task} (batched x{cfg.batch_trials})")
+            continue
         env, task_description = get_libero_env(task)
         task_successes = 0
         for episode_idx in range(cfg.num_trials_per_task):
@@ -185,6 +201,83 @@ def eval_libero(cfg: LiberoEvalConfig, policy: VLAPolicy):
     log.close()
     print(summary)
     return total_successes, total_episodes
+
+
+def _run_task_batched(cfg: LiberoEvalConfig, policy: VLAPolicy, task,
+                      initial_states, max_steps: int, patch, log,
+                      task_id: int, running_successes: int, running_episodes: int):
+    """Lockstep-batched trials of one task: groups of `cfg.batch_trials`
+    simultaneous environments share ONE batched policy call per control step.
+
+    Protocol-equivalent to the sequential loop (settle steps, patch paste,
+    gripper chain, per-episode log lines, success accounting); only the
+    execution schedule differs. The last partial group is PADDED to the full
+    lockstep width with repeated frames (discarded) so the decode keeps one
+    compiled shape. Returns (task_successes, episodes)."""
+    n, bs = cfg.num_trials_per_task, cfg.batch_trials
+    task_successes = 0
+    # one env pool per task, reused (reset) across lockstep groups — real
+    # robosuite env construction is expensive; this is bs instances of it
+    pool = [get_libero_env(task) for _ in range(min(bs, n))]
+    task_description = pool[0][1]
+    for start in range(0, n, bs):
+        idxs = list(range(start, min(start + bs, n)))
+        envs, obs = [], []
+        for j, i in enumerate(idxs):
+            env = pool[j][0]
+            env.reset()
+            obs.append(env.set_init_state(initial_states[i % len(initial_states)]))
+            envs.append(env)
+        k = len(envs)
+        succeeded = [False] * k
+        finished = [False] * k
+        frames_hist = [[] for _ in range(k)]
+        for _ in range(NUM_SETTLE_STEPS):
+            for j, env in enumerate(envs):
+                obs[j], _, _, _ = env.step(DUMMY_ACTION)
+
+        t = 0
+        while t < max_steps and not all(finished):
+            frames = []
+            for j in range(k):
+                frame = libero_frame(obs[j]["agentview_image"], cfg.resize_size)
+                frame = apply_patch_to_frame(frame, patch, cfg)
+                frames.append(frame)
+                if cfg.save_videos and not finished[j]:
+                    frames_hist[j].append(frame)
+            stack = np.stack(frames)
+            if k < bs:  # keep the compiled decode shape
+                stack = np.concatenate([stack, np.repeat(stack[-1:], bs - k, axis=0)])
+            actions = policy.get_action_batch(stack, task_description)[:k]
+            for j, env in enumerate(envs):
+                if finished[j]:
+                    continue
+                try:
+                    action = normalize_gripper_action(actions[j], binarize=True)
+                    action = invert_gripper_action(action)
+                    obs[j], _, done, _ = env.step(action.tolist())
+                    if done:
+                        succeeded[j] = finished[j] = True
+                except Exception as e:  # reference swallows per-step errors (:246-249)
+                    print(f"episode error: {e}")
+                    finished[j] = True
+            t += 1
+
+        for j, i in enumerate(idxs):
+            task_successes += int(succeeded[j])
+            running_successes += int(succeeded[j])
+            running_episodes += 1
+            if cfg.save_videos and frames_hist[j]:
+                _write_video(frames_hist[j], cfg.output_dir, task_description, i,
+                             succeeded[j])
+            log.write(
+                f"task={task_id} ep={i} success={succeeded[j]} "
+                f"running={running_successes}/{running_episodes}\n"
+            )
+            log.flush()
+    for env, _ in pool:
+        env.close()
+    return task_successes, n
 
 
 def _write_video(frames, out_dir, task_description, episode_idx, success):

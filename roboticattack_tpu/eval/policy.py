@@ -93,6 +93,38 @@ class VLAPolicy:
         normalized = np.asarray(res.actions, np.float64)[0]
         return unnormalize_actions(normalized, self.norm_stats, self.unnorm_key)
 
+    def get_action_batch(self, images_u8: np.ndarray, task_label: str) -> np.ndarray:
+        """Batched inference for lockstep multi-environment rollouts:
+        images_u8 [N, H, W, 3] uint8 (one frame per live env, already patched)
+        -> [N, 7] unnormalized actions from ONE decode call.
+
+        The decode is the same jitted KV-cache program as `get_action` at
+        batch N (greedy_decode_actions is batch-native) — on TPU the 7B's
+        decode cost is weight-streaming-bound, so N environments cost ~the
+        same wall-clock as one (the serving win the reference's bs=1
+        `generate` path can't express, modeling_prismatic.py:325-341). One
+        compile per distinct N: keep the lockstep width fixed (pad the last
+        partial group) to avoid recompiles."""
+        frames = []
+        for img in images_u8:
+            if self.center_crop:
+                img = center_crop_resize_tf(img, crop_scale=0.9)
+            if img.shape[:2] != (self.cfg.dino.image_size,) * 2:
+                img = resize_bicubic_pil(img, self.cfg.dino.image_size)
+            frames.append(img)
+        pixels = dual_normalize(jnp.asarray(np.stack(frames), jnp.float32) / 255.0)
+        pixels = pixels.astype(jnp.dtype(self.cfg.dtype))
+
+        ids, mask = self._tokenize(task_label)
+        n = pixels.shape[0]
+        ids = jnp.broadcast_to(jnp.asarray(ids), (n, ids.shape[1]))
+        mask = jnp.broadcast_to(jnp.asarray(mask), (n, mask.shape[1]))
+        res = self._decode(self.params, ids, mask, pixels)
+        normalized = np.asarray(res.actions, np.float64)
+        return np.stack([
+            unnormalize_actions(a, self.norm_stats, self.unnorm_key) for a in normalized
+        ])
+
 
 def load_policy(
     checkpoint: Optional[str],

@@ -312,3 +312,52 @@ def test_golden_replay_failure_episode_runs_to_max_steps(monkeypatch, tmp_path):
     assert len(actions) == MAX_STEPS_PATCHED["libero_spatial"] + NUM_SETTLE_STEPS
     summary = (tmp_path / "goldenf" / "libero_spatial" / "libero_spatial.txt").read_text()
     assert summary.startswith("success_rate/total:0.0, num_episodes/total:1 ")
+
+
+def test_batched_lockstep_matches_sequential_accounting(monkeypatch, tmp_path):
+    """batch_trials>1 runs trials as lockstep simultaneous envs with ONE
+    batched policy call per step; success accounting, per-episode log lines,
+    and the summary line must match the sequential path on the same recorded
+    episodes (incl. a partial last group, which pads frames to the lockstep
+    width instead of recompiling)."""
+    _install_fake_libero(monkeypatch, {"libero_spatial": _OneTaskSuite})
+    patch = np.random.default_rng(6).uniform(0, 1, (20, 20, 3)).astype(np.float32)
+    patch_path = str(tmp_path / "patch.pt")
+    save_patch_pt(patch, patch_path)
+    policy = load_policy(None, model_name="vla-tiny")
+    ReplayEnv.frames = _golden_frames("libero_spatial")
+    ReplayEnv.never_done = False
+
+    def run(batch_trials, tag):
+        x, y = PLACEMENTS["libero_spatial"]
+        cfg = LiberoEvalConfig(
+            task_suite_name="libero_spatial", num_trials_per_task=3,
+            patchroot=patch_path, x=x, y=y, batch_trials=batch_trials,
+            output_dir=str(tmp_path / f"bt{tag}"),
+        )
+        ReplayEnv.action_log = []
+        return eval_libero(cfg, policy), (tmp_path / f"bt{tag}")
+
+    (seq, seq_dir) = run(1, "seq")
+    (bat, bat_dir) = run(2, "bat")  # 3 trials at width 2 -> one padded group
+    assert bat == seq == (3, 3)
+    # identical byte-exact summary lines
+    assert (bat_dir / "libero_spatial.txt").read_text() == \
+        (seq_dir / "libero_spatial.txt").read_text()
+    # per-episode lines cover the same episodes with the same successes
+    seq_log = (seq_dir / "EVAL-libero_spatial--120_160_0_0_0.txt").read_text()
+    bat_log = (bat_dir / "EVAL-libero_spatial--120_160_0_0_0.txt").read_text()
+    assert seq_log.count("success=True") == bat_log.count("success=True") == 3
+
+
+def test_get_action_batch_matches_single(monkeypatch):
+    """The batched policy call returns exactly the per-frame single-call
+    actions (same decode program at batch N)."""
+    policy = load_policy(None, model_name="vla-tiny")
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 255, (3, 256, 256, 3), dtype=np.uint8)
+    batch = policy.get_action_batch(frames, "press the big red button")
+    singles = np.stack([
+        policy.get_action(f, "press the big red button") for f in frames
+    ])
+    np.testing.assert_allclose(batch, singles, rtol=0, atol=0)
