@@ -155,6 +155,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
         import jax.numpy as jnp
 
+        import numpy as np
+
+        n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+        if jax.devices()[0].platform == "cpu" and n_params > 1_000_000_000:
+            # 20 fwd+bwd of a 7B on host CPU is days, not minutes — the smoke
+            # belongs on the accelerator at production dtype
+            print(
+                f"[smoke] SKIPPED: {n_params/1e9:.1f}B params on the CPU "
+                f"backend; run `--steps smoke --device default` for the "
+                f"accelerator smoke (parity must stay on CPU)"
+            )
+            report["steps"]["smoke"] = {"skipped": "cpu backend, model too large"}
+            steps = [s for s in steps if s != "smoke"]
+
+    if "smoke" in steps:
+        import jax
+        import jax.numpy as jnp
+
         t0 = time.time()
         dev_params = jax.tree.map(
             lambda x: jnp.asarray(x, dtype=jnp.dtype(cfg.dtype)), params
