@@ -265,8 +265,15 @@ def test_golden_episode_replay_all_suites(monkeypatch, tmp_path):
 
 def test_golden_replay_is_deterministic_and_patch_reaches_policy(monkeypatch, tmp_path):
     """Replaying the same recorded episode twice reproduces the action
-    sequence bit-for-bit, and removing the patch changes it — the paste is
-    actually inside the policy's observation path."""
+    sequence bit-for-bit, and the frames the policy actually consumes carry
+    the quantized patch at the configured placement (clean frames don't).
+
+    The paste-reaches-policy check instruments the observation path rather
+    than comparing decoded actions: a RANDOM tiny policy's argmax is
+    near-tied, so action-level differences are at the mercy of CPU matmul
+    thread-scheduling noise (observed flaky under the full suite). The
+    action-level flip evidence on a TRAINED policy lives in
+    test_integration_attack.py."""
     _install_fake_libero(monkeypatch, {"libero_spatial": _OneTaskSuite})
     patch = np.random.default_rng(4).uniform(0, 1, (40, 40, 3)).astype(np.float32)
     patch_path = str(tmp_path / "patch.pt")
@@ -275,20 +282,43 @@ def test_golden_replay_is_deterministic_and_patch_reaches_policy(monkeypatch, tm
     ReplayEnv.frames = _golden_frames("libero_spatial")
     ReplayEnv.never_done = False
 
+    seen_frames = []
+    orig_get_action = policy.get_action
+
+    def recording_get_action(frame, task_label):
+        seen_frames.append(frame.copy())
+        return orig_get_action(frame, task_label)
+
+    monkeypatch.setattr(policy, "get_action", recording_get_action)
+
     _, _, run1 = _run_suite("libero_spatial", tmp_path, policy, patch_path, tag="1")
+    patched_seen = list(seen_frames)
+    seen_frames.clear()
     _, _, run2 = _run_suite("libero_spatial", tmp_path, policy, patch_path, tag="2")
     assert len(run1) == len(run2)
     for a, b in zip(run1, run2):
         np.testing.assert_array_equal(a, b)
+    # the policy saw the identical frame sequence both times
+    assert len(patched_seen) == len(seen_frames)
+    for a, b in zip(patched_seen, seen_frames):
+        np.testing.assert_array_equal(a, b)
 
-    _, _, clean = _run_suite("libero_spatial", tmp_path, policy, None, tag="3")
-    patched_cmds = np.asarray(run1[10:])
-    clean_cmds = np.asarray(clean[10:])
-    n = min(len(patched_cmds), len(clean_cmds))
-    assert np.any(patched_cmds[:n] != clean_cmds[:n]), (
-        "patched and clean rollouts produced identical actions — the patch "
-        "never reached the policy's frames"
-    )
+    seen_frames.clear()
+    _run_suite("libero_spatial", tmp_path, policy, None, tag="3")
+    clean_seen = list(seen_frames)
+
+    # patched frames differ from clean exactly (and only) at the paste site:
+    # the quantized patch occupies [y:y+40, x:x+40] at the queue placement
+    x, y = PLACEMENTS["libero_spatial"]
+    from roboticattack_tpu.ops.patch_ops import quantize_patch_u8
+
+    expected = quantize_patch_u8(patch)
+    for pf, cf in zip(patched_seen, clean_seen):
+        region = pf[y : y + 40, x : x + 40]
+        np.testing.assert_array_equal(region, expected)
+        outside = pf.copy()
+        outside[y : y + 40, x : x + 40] = cf[y : y + 40, x : x + 40]
+        np.testing.assert_array_equal(outside, cf)
 
 
 def test_golden_replay_failure_episode_runs_to_max_steps(monkeypatch, tmp_path):
