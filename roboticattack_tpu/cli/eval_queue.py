@@ -21,7 +21,15 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None, type=str)
     p.add_argument("--num_trials", default=50, type=int)
     p.add_argument("--max_concurrent", default=1, type=int)
+    # geometry must flow through run_queue (not extra args) so the eval's log
+    # filename and the queue's resume marker stay the same file
+    p.add_argument("--angle", default=0, type=int)
+    p.add_argument("--shx", default=0, type=int)
+    p.add_argument("--shy", default=0, type=int)
     args, extra = p.parse_known_args(argv)
+    for banned in ("--angle", "--shx", "--shy"):
+        if banned in extra:
+            raise SystemExit(f"pass {banned} as a first-class flag, not an extra")
 
     from ..eval.queue import SUITE_PLACEMENTS, run_queue
 
@@ -36,7 +44,7 @@ def main(argv=None):
     results = run_queue(
         patches, args.output, checkpoint=args.checkpoint,
         num_trials=args.num_trials, max_concurrent=args.max_concurrent,
-        extra_args=extra,
+        extra_args=extra, angle=args.angle, shx=args.shx, shy=args.shy,
     )
     print("queue results:", results)
 

@@ -116,8 +116,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"  MISSING: {miss}")
         for bad in m.shape_mismatches[:20]:
             print(f"  SHAPE:   {bad}")
-        if len(m.missing) > 20 or len(m.shape_mismatches) > 20:
-            print(f"  ... and {len(m.missing) + len(m.shape_mismatches) - 20} more")
+        suppressed = max(0, len(m.missing) - 20) + max(0, len(m.shape_mismatches) - 20)
+        if suppressed:
+            print(f"  ... and {suppressed} more")
         ok &= m.ok
         if not m.ok:
             # the expensive legs would only fail more confusingly

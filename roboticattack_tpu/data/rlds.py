@@ -582,13 +582,18 @@ def load_tfrecord_oxe_trajectories(name: str, data_dir: Optional[str], split: st
                 # length mismatch is a loud per-dataset error, not a silent
                 # wrong-shape trajectory
                 val = tf.ensure_shape(val, [None])
-                check = tf.debugging.assert_equal(
-                    tf.shape(val)[0],
-                    t * k,
-                    message=(
-                        f"{name}: feature '{key}' length != T*{k} — ragged "
-                        f"record beyond the width-introspection window"
-                    ),
+                # empty (length 0) stays legal — optional features absent in
+                # some records decoded as empty tensors before this guard and
+                # must keep doing so; only a NON-empty wrong length is ragged
+                n_elems = tf.shape(val)[0]
+                check = tf.debugging.Assert(
+                    tf.logical_or(tf.equal(n_elems, t * k), tf.equal(n_elems, 0)),
+                    [
+                        f"{name}: feature '{key}' length != T*{k} (and != 0) "
+                        f"— ragged record beyond the width-introspection window; "
+                        "length:",
+                        n_elems, "T:", t,
+                    ],
                 )
                 with tf.control_dependencies([check]):
                     val = tf.identity(val)

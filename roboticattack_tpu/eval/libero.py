@@ -215,6 +215,8 @@ def _run_task_batched(cfg: LiberoEvalConfig, policy: VLAPolicy, task,
     lockstep width with repeated frames (discarded) so the decode keeps one
     compiled shape. Returns (task_successes, episodes)."""
     n, bs = cfg.num_trials_per_task, cfg.batch_trials
+    if n <= 0:
+        return 0, 0
     task_successes = 0
     # one env pool per task, reused (reset) across lockstep groups — real
     # robosuite env construction is expensive; this is bs instances of it
@@ -234,21 +236,47 @@ def _run_task_batched(cfg: LiberoEvalConfig, policy: VLAPolicy, task,
         frames_hist = [[] for _ in range(k)]
         for _ in range(NUM_SETTLE_STEPS):
             for j, env in enumerate(envs):
-                obs[j], _, _, _ = env.step(DUMMY_ACTION)
+                try:
+                    obs[j], _, _, _ = env.step(DUMMY_ACTION)
+                except Exception as e:  # parity with the sequential try scope
+                    print(f"episode error: {e}")
+                    finished[j] = True
 
         t = 0
+        last_frame = [None] * k
         while t < max_steps and not all(finished):
             frames = []
             for j in range(k):
-                frame = libero_frame(obs[j]["agentview_image"], cfg.resize_size)
-                frame = apply_patch_to_frame(frame, patch, cfg)
+                # finished envs only need to keep the stack's shape — reuse
+                # their last frame instead of paying the flip/JPEG/resize cost
+                if finished[j] and last_frame[j] is not None:
+                    frames.append(last_frame[j])
+                    continue
+                try:
+                    frame = libero_frame(obs[j]["agentview_image"], cfg.resize_size)
+                    frame = apply_patch_to_frame(frame, patch, cfg)
+                except Exception as e:  # one env's render error fails ONE episode
+                    print(f"episode error: {e}")
+                    finished[j] = True
+                    frame = last_frame[j] if last_frame[j] is not None else np.zeros(
+                        (cfg.resize_size, cfg.resize_size, 3), np.uint8
+                    )
+                last_frame[j] = frame
                 frames.append(frame)
                 if cfg.save_videos and not finished[j]:
                     frames_hist[j].append(frame)
             stack = np.stack(frames)
             if k < bs:  # keep the compiled decode shape
                 stack = np.concatenate([stack, np.repeat(stack[-1:], bs - k, axis=0)])
-            actions = policy.get_action_batch(stack, task_description)[:k]
+            try:
+                actions = policy.get_action_batch(stack, task_description)[:k]
+            except Exception as e:
+                # a policy failure loses this GROUP (episodes fail), not the
+                # whole suite — mirrors the sequential path's swallow scope
+                print(f"episode error (batched policy call): {e}")
+                for j in range(k):
+                    finished[j] = True
+                break
             for j, env in enumerate(envs):
                 if finished[j]:
                     continue

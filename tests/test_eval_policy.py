@@ -79,18 +79,31 @@ def test_resize_bicubic_matches_pil():
 
 
 def test_queue_marker_resume(tmp_path):
+    from roboticattack_tpu.eval.queue import COMPLETE_SENTINEL
+
     out = str(tmp_path)
     patches = {s: f"/fake/{s}/patch.pt" for s in SUITE_PLACEMENTS}
     tasks = organize_experiments(patches, out)
     assert len(tasks) == 4
-    # write a marker (the reference's run-id filename,
-    # eval_queue_single_four_spec.py:36-39) -> that suite is skipped
     x, y = SUITE_PLACEMENTS["libero_goal"]
-    with open(os.path.join(out, f"EVAL-libero_goal--{x}_{y}_0_0_0.txt"), "w") as f:
-        f.write("done")
+    marker = os.path.join(out, f"EVAL-libero_goal--{x}_{y}_0_0_0.txt")
+    # a PARTIAL episode log (the eval creates it at start; a killed queue
+    # can't clean it up) must be retried, not skipped
+    with open(marker, "w") as f:
+        f.write("task=0 ep=0 success=True running=1/1\n")
+    assert len(organize_experiments(patches, out)) == 4
+    # only the completion sentinel (stamped by run_task after rc==0,
+    # filename per the reference scheme eval_queue_single_four_spec.py:36-39)
+    # marks it done
+    with open(marker, "a") as f:
+        f.write(COMPLETE_SENTINEL + "\n")
     tasks2 = organize_experiments(patches, out)
     assert len(tasks2) == 3
     assert all(t["suite"] != "libero_goal" for t in tasks2)
+    # geometry moves the marker: a different angle is a different run id
+    tasks3 = organize_experiments(patches, out, angle=15)
+    assert len(tasks3) == 4
+    assert all(t["angle"] == 15 for t in tasks3)
 
 
 def test_is_noop_filter():

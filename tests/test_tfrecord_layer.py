@@ -255,15 +255,37 @@ def test_raw_oxe_ragged_width_raises(tmp_path):
 
 
 def test_raw_oxe_ragged_record_beyond_scan_window_raises(tmp_path):
-    """A feature empty in the scanned records but whose later records are
-    inconsistent with the inferred width fails the per-record length assert at
-    iteration (informative tf error), never a silent wrong-shape trajectory."""
+    """A NON-empty record whose width disagrees with the inferred one, sitting
+    BEYOND the introspection scan window (first 8 records), fails the
+    per-record length assert at iteration (informative tf error) instead of
+    silently mis-reshaping. Empty records stay legal (see the test above)."""
     from roboticattack_tpu.data.rlds import load_tfrecord_oxe_trajectories
     from roboticattack_tpu.data.synthetic_shards import jpeg_bytes
 
-    # record 0: robot_obs empty (width unknown); records 1-2: width 15 -> the
-    # scan infers 15; record 0's empty tensor then violates length == T*15
-    counts = iter([0, 15, 15])
+    # records 0-7: width 15 (inside the scan window); record 8: width 14
+    counts = iter([15] * 8 + [14])
+    _write_raw_oxe_layout(tmp_path, "taco_play", {
+        "steps/observation/rgb_static": lambda r: [jpeg_bytes(r, 32) for _ in range(T)],
+        "steps/observation/robot_obs":
+            lambda r: r.standard_normal((T, next(counts))).reshape(-1),
+        "steps/observation/natural_language_instruction":
+            lambda r: [b"wipe the table"] * T,
+        "steps/action/rel_actions_world": lambda r: r.standard_normal((T, 7)),
+    }, n_episodes=9)
+    ds = load_tfrecord_oxe_trajectories("taco_play", str(tmp_path), "train")
+    with pytest.raises(tf.errors.InvalidArgumentError, match="robot_obs"):
+        list(ds.as_numpy_iterator())
+
+
+def test_raw_oxe_empty_feature_records_stay_legal(tmp_path):
+    """A feature that is EMPTY in some records (optional / absent — parsed as
+    length 0 by allow_missing) must decode as an empty tensor, not trip the
+    ragged-length guard: only a non-empty wrong length is ragged."""
+    from roboticattack_tpu.data.rlds import load_tfrecord_oxe_trajectories
+    from roboticattack_tpu.data.synthetic_shards import jpeg_bytes
+
+    # records 0-1 carry width-15 robot_obs, record 2 has it EMPTY
+    counts = iter([15, 15, 0])
     _write_raw_oxe_layout(tmp_path, "taco_play", {
         "steps/observation/rgb_static": lambda r: [jpeg_bytes(r, 32) for _ in range(T)],
         "steps/observation/robot_obs":
@@ -273,8 +295,8 @@ def test_raw_oxe_ragged_record_beyond_scan_window_raises(tmp_path):
         "steps/action/rel_actions_world": lambda r: r.standard_normal((T, 7)),
     })
     ds = load_tfrecord_oxe_trajectories("taco_play", str(tmp_path), "train")
-    with pytest.raises(tf.errors.InvalidArgumentError, match="robot_obs"):
-        list(ds.as_numpy_iterator())
+    trajs = list(ds.as_numpy_iterator())
+    assert len(trajs) == 3  # the empty-feature record decodes, not raises
 
 
 def test_raw_oxe_missing_language_raises_at_build(tmp_path):
