@@ -20,6 +20,7 @@ import numpy as np
 
 from ..models.config import VLAConfig
 from ..models.decode import (
+    decode_layout_params,
     ensure_trailing_empty_token,
     greedy_decode_actions,
     unnormalize_actions,
@@ -42,8 +43,24 @@ class VLAPolicy:
         unnorm_key: Optional[str] = None,
         center_crop: bool = False,
         prompt_pad: int = PROMPT_PAD,
+        cooked_weights: Optional[bool] = None,
     ) -> None:
-        self.params = params
+        """`cooked_weights`: params already went through decode_layout_params.
+        None (default) cooks here — HOST-side when the pytree is numpy (the
+        checkpoint-load path; an on-device transpose of the 7B would need 2x
+        HBM), on-device for small device pytrees (tests)."""
+        if cooked_weights is None:
+            leaves = jax.tree.leaves(params)
+            on_host = isinstance(leaves[0], np.ndarray)
+            big = sum(x.nbytes for x in leaves) > 4e9
+            if big and not on_host:
+                raise ValueError(
+                    "pass HOST (numpy) params for large models so the decode "
+                    "weight layout can be cooked without 2x HBM; see "
+                    "models/decode.py:decode_layout_params"
+                )
+            params = decode_layout_params(params, xp=np if on_host else jnp)
+        self.params = jax.tree.map(jnp.asarray, params)
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.norm_stats = norm_stats
@@ -51,7 +68,9 @@ class VLAPolicy:
         self.center_crop = center_crop
         self.prompt_pad = prompt_pad
         self._decode = jax.jit(
-            lambda p, ids, mask, px: greedy_decode_actions(p, cfg, ids, mask, px)
+            lambda p, ids, mask, px: greedy_decode_actions(
+                p, cfg, ids, mask, px, cooked_weights=True
+            )
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
 
@@ -143,7 +162,10 @@ def load_policy(
     tokenizer = _tokenizer_from_checkpoint(checkpoint)
     if checkpoint:
         params = load_checkpoint_dir(checkpoint, cfg)
-        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.dtype(cfg.dtype)), params)
+        # stay on HOST numpy: VLAPolicy cooks the decode weight layout there
+        # (an on-device transpose of the 7B would need 2x HBM); cast host-side
+        tgt = np.dtype(cfg.dtype)  # ml_dtypes registers 'bfloat16' with numpy
+        params = jax.tree.map(lambda x: np.asarray(x).astype(tgt, copy=False), params)
         norm_stats = load_norm_stats(checkpoint)
     else:
         params = init_vla_params(jax.random.key(seed), cfg)

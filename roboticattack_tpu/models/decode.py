@@ -28,12 +28,46 @@ from .vlm import projector_apply, vision_features
 from ..ops.attention import NEG_INF
 
 
-def _qkv(cfg, p, y):
+# weight keys that decode_layout_params() pre-transposes ([in,out]->[out,in])
+_COOKED_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+
+
+def _proj(y, w, cooked: bool):
+    """y @ W for storage layout [in, out] (cooked=False) or the pre-transposed
+    decode layout [out, in] (cooked=True)."""
+    if cooked:
+        return jnp.einsum("bsi,oi->bso", y, w)
+    return y @ w
+
+
+def decode_layout_params(params, xp=np):
+    """Pre-transpose the stacked LLM projection weights into the layout the
+    decode-time matvecs want, HOST-side (pass xp=np on numpy pytrees).
+
+    Measured on the 7B (one v5e, 15.75 GB HBM): compiling the decode with
+    storage-layout [L, in, out] stacks makes XLA materialize ~3.6 GB of
+    bf16[32,4096,4096]{1,2,0} transposed weight COPIES as HLO temps (minor
+    dim must be the contraction for the s=1 matvecs), which together with the
+    13.97 GB of arguments exceeds HBM at compile time. Feeding [L, out, in]
+    stacks (cooked=True) gives the program the layout it wants with zero
+    temps. Do this on HOST numpy — an on-device transpose would need 2x the
+    weights in HBM."""
+    llm = dict(params["llm"])
+    layers = dict(llm["layers"])
+    for k in _COOKED_KEYS:
+        layers[k] = xp.swapaxes(layers[k], 1, 2)
+    llm["layers"] = layers
+    out = dict(params)
+    out["llm"] = llm
+    return out
+
+
+def _qkv(cfg, p, y, cooked=False):
     b, s, _ = y.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = (y @ p["q_w"]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-    k = (y @ p["k_w"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
-    v = (y @ p["v_w"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    q = _proj(y, p["q_w"], cooked).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = _proj(y, p["k_w"], cooked).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    v = _proj(y, p["v_w"], cooked).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -44,10 +78,10 @@ def _attend(q, k, v, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _mlp(cfg, p, x):
+def _mlp(cfg, p, x, cooked=False):
     y = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-    gate = jax.nn.silu((y @ p["gate_w"]).astype(jnp.float32)).astype(x.dtype)
-    return x + (gate * (y @ p["up_w"])) @ p["down_w"]
+    gate = jax.nn.silu(_proj(y, p["gate_w"], cooked).astype(jnp.float32)).astype(x.dtype)
+    return x + _proj(gate * _proj(y, p["up_w"], cooked), p["down_w"], cooked)
 
 
 class DecodeResult(NamedTuple):
@@ -62,6 +96,7 @@ def greedy_decode_actions(
     attention_mask: jnp.ndarray,   # [B, S]
     pixel_values: jnp.ndarray,     # [B, 2, H, W, 3] normalized
     num_steps: int = ACTION_DIM,
+    cooked_weights: bool = False,  # params went through decode_layout_params
 ) -> DecodeResult:
     """Greedy multimodal generation of `num_steps` action tokens."""
     from .config import PhiConfig
@@ -101,11 +136,11 @@ def greedy_decode_actions(
 
     def prefill_block(x, p):
         y = rms_norm(x, p["attn_norm"], lcfg.rms_eps)
-        q, k, v = _qkv(lcfg, p, y)
+        q, k, v = _qkv(lcfg, p, y, cooked_weights)
         q, k = apply_rope(q, k, cos_all[:t0], sin_all[:t0])
         attn = _attend(q, k, v, prefix_bias)
-        x = x + attn.transpose(0, 2, 1, 3).reshape(x.shape) @ p["o_w"]
-        x = _mlp(lcfg, p, x)
+        x = x + _proj(attn.transpose(0, 2, 1, 3).reshape(x.shape), p["o_w"], cooked_weights)
+        x = _mlp(lcfg, p, x, cooked_weights)
         return x, (k, v)
 
     hidden, (k_pre, v_pre) = jax.lax.scan(
@@ -144,13 +179,13 @@ def greedy_decode_actions(
         def block(xc, layer):
             p, ck_l, cv_l = layer
             y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
-            q, k, v = _qkv(lcfg, p, y)
+            q, k, v = _qkv(lcfg, p, y, cooked_weights)
             q, k = apply_rope(q, k, cos, sin)
             ck_l = jax.lax.dynamic_update_slice(ck_l, k, (0, 0, t0 + i, 0))
             cv_l = jax.lax.dynamic_update_slice(cv_l, v, (0, 0, t0 + i, 0))
             attn = _attend(q, ck_l, cv_l, bias)
-            xc = xc + attn.transpose(0, 2, 1, 3).reshape(xc.shape) @ p["o_w"]
-            xc = _mlp(lcfg, p, xc)
+            xc = xc + _proj(attn.transpose(0, 2, 1, 3).reshape(xc.shape), p["o_w"], cooked_weights)
+            xc = _mlp(lcfg, p, xc, cooked_weights)
             return xc, (ck_l, cv_l)
 
         x, (ck, cv) = jax.lax.scan(block, x, (p_llm["layers"], ck, cv))
