@@ -134,30 +134,38 @@ def greedy_decode_actions(
         causal[None, None] & mm_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
     )
 
-    def prefill_block(x, p):
+    # cache: [L, B, Hkv, total, hd], allocated ONCE at full size and written
+    # in place inside the prefill scan. Stacking per-layer (k, v) ys and
+    # concatenating zero pads afterwards made XLA hold the cache in 2-3
+    # layouts simultaneously (~590 MB each at bs=6) — the allocation that
+    # capped single-chip decode at bs<=4.
+    nl = lcfg.num_layers
+    cache_k = jnp.zeros(
+        (nl, b, lcfg.num_kv_heads, total, lcfg.head_dim), dtype=mm_emb.dtype
+    )
+    cache_v = jnp.zeros_like(cache_k)
+
+    def prefill_block(carry, inp):
+        x, ck, cv = carry
+        p, li = inp
         y = rms_norm(x, p["attn_norm"], lcfg.rms_eps)
         q, k, v = _qkv(lcfg, p, y, cooked_weights)
         q, k = apply_rope(q, k, cos_all[:t0], sin_all[:t0])
         attn = _attend(q, k, v, prefix_bias)
         x = x + _proj(attn.transpose(0, 2, 1, 3).reshape(x.shape), p["o_w"], cooked_weights)
         x = _mlp(lcfg, p, x, cooked_weights)
-        return x, (k, v)
+        ck = jax.lax.dynamic_update_slice(ck, k[None].astype(ck.dtype), (li, 0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0))
+        return (x, ck, cv), None
 
-    hidden, (k_pre, v_pre) = jax.lax.scan(
-        lambda c, p: prefill_block(c, p), mm_emb, p_llm["layers"]
+    (hidden, cache_k, cache_v), _ = jax.lax.scan(
+        prefill_block, (mm_emb, cache_k, cache_v),
+        (p_llm["layers"], jnp.arange(nl)),
     )
     hidden = rms_norm(hidden, p_llm["norm"], lcfg.rms_eps)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # [B,1,D]
     logits = (last_hidden @ p_llm["lm_head"]).astype(jnp.float32)[:, 0]
     first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
-
-    # cache: [L, B, Hkv, total, hd]
-    nl = lcfg.num_layers
-    pad_steps = jnp.zeros(
-        (nl, b, lcfg.num_kv_heads, num_steps, lcfg.head_dim), dtype=k_pre.dtype
-    )
-    cache_k = jnp.concatenate([k_pre, pad_steps], axis=3)
-    cache_v = jnp.concatenate([v_pre, pad_steps], axis=3)
 
     # --- cached decode steps -------------------------------------------------------
     slot_ids = jnp.arange(total)
