@@ -43,24 +43,34 @@ class VLAPolicy:
         unnorm_key: Optional[str] = None,
         center_crop: bool = False,
         prompt_pad: int = PROMPT_PAD,
-        cooked_weights: Optional[bool] = None,
+        cooked_weights: bool = False,
     ) -> None:
-        """`cooked_weights`: params already went through decode_layout_params.
-        None (default) cooks here — HOST-side when the pytree is numpy (the
-        checkpoint-load path; an on-device transpose of the 7B would need 2x
-        HBM), on-device for small device pytrees (tests)."""
-        if cooked_weights is None:
+        """`cooked_weights=True`: params already went through
+        decode_layout_params (the decode always runs the cooked math — an
+        uncooked 7B cannot even compile in 15.75 GB HBM). Default False cooks
+        here: HOST-side when the pytree is numpy (the checkpoint-load path)
+        or lives on the CPU backend; an on-ACCELERATOR transpose of a large
+        model would need 2x HBM and raises with guidance instead."""
+        if not cooked_weights:
             leaves = jax.tree.leaves(params)
             on_host = isinstance(leaves[0], np.ndarray)
-            big = sum(x.nbytes for x in leaves) > 4e9
-            if big and not on_host:
-                raise ValueError(
-                    "pass HOST (numpy) params for large models so the decode "
-                    "weight layout can be cooked without 2x HBM; see "
-                    "models/decode.py:decode_layout_params"
-                )
+            if not on_host:
+                on_accel = leaves[0].devices().pop().platform != "cpu"
+                if on_accel and sum(x.nbytes for x in leaves) > 4e9:
+                    raise ValueError(
+                        "params for a large model live on the accelerator; "
+                        "cooking the decode weight layout there would need 2x "
+                        "HBM. Pass HOST (numpy or CPU-backend) params — "
+                        "load_policy does this — or pre-cook with "
+                        "models.decode.decode_layout_params and pass "
+                        "cooked_weights=True"
+                    )
             params = decode_layout_params(params, xp=np if on_host else jnp)
-        self.params = jax.tree.map(jnp.asarray, params)
+        # place on the default backend device (host/CPU-cooked pytrees would
+        # otherwise stay — and decode — on the CPU even with a TPU attached)
+        self.params = jax.device_put(
+            jax.tree.map(jnp.asarray, params), jax.devices()[0]
+        )
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.norm_stats = norm_stats
@@ -168,7 +178,13 @@ def load_policy(
         params = jax.tree.map(lambda x: np.asarray(x).astype(tgt, copy=False), params)
         norm_stats = load_norm_stats(checkpoint)
     else:
-        params = init_vla_params(jax.random.key(seed), cfg)
+        # random-weights smoke: init on the CPU backend so VLAPolicy can cook
+        # the decode layout without needing 2x accelerator HBM (slow for the
+        # 7B — minutes of single-core init — but the only path that works at
+        # all: the uncooked 7B decode does not compile in 15.75 GB)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_vla_params(jax.random.key(seed), cfg)
+            params = jax.block_until_ready(params)
         norm_stats = {
             "synthetic": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7,
                                       "mask": [True] * 6 + [False]}}

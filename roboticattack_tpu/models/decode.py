@@ -55,7 +55,8 @@ def decode_layout_params(params, xp=np):
     llm = dict(params["llm"])
     layers = dict(llm["layers"])
     for k in _COOKED_KEYS:
-        layers[k] = xp.swapaxes(layers[k], 1, 2)
+        if k in layers:  # Phi-family layers lack gate/up/down; cook what exists
+            layers[k] = xp.swapaxes(layers[k], 1, 2)
     llm["layers"] = layers
     out = dict(params)
     out["llm"] = llm

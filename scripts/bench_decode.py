@@ -6,7 +6,8 @@ weight-streaming-bound decode, N simultaneous requests (or N lockstep eval
 environments, eval/libero.py batch_trials) cost ~one request's wall-clock —
 this script measures actions/s at several batch sizes on the attached chip.
 
-Usage: python scripts/bench_decode.py [--model openvla-7b] [--batches 1,2,4,8]
+Usage: python scripts/bench_decode.py [--model openvla-7b] [--batches 1,2,4]
+(bs>=6 OOMs at compile on one 15.75 GB v5e — see the --batches help text)
 Prints one JSON line per batch size on stdout; diagnostics on stderr.
 """
 
@@ -78,7 +79,10 @@ def main():
         ])
 
     params = gen(jax.random.key(0))
-    jax.block_until_ready(params)
+    # block_until_ready does not block through the axon relay (CLAUDE.md
+    # gotcha) — materialize a scalar to actually synchronize, so the first
+    # batch's compile_s metric isn't inflated by param generation
+    np.asarray(jax.device_get(jax.tree.leaves(params)[0].ravel()[0]))
     log(f"cooked-layout param init: {time.time()-t0:.1f}s")
 
     tok = WordStubTokenizer()

@@ -107,3 +107,34 @@ def test_ensure_trailing_empty_token():
     out_ids2, out_mask2 = ensure_trailing_empty_token(ids2, mask2)
     np.testing.assert_array_equal(out_ids2[:, :3], ids2)
     assert out_mask2.sum() == 3
+
+
+def test_cooked_layout_decode_is_bit_identical():
+    """decode_layout_params + cooked_weights=True (the layout every real
+    policy decode runs — the uncooked 7B cannot compile in 15.75 GB HBM) must
+    reproduce the storage-layout decode bit-for-bit; also covers the
+    Phi-safety skip of absent mlp keys."""
+    import jax
+
+    from roboticattack_tpu.models.decode import decode_layout_params
+
+    params = jax.device_get(init_vla_params(jax.random.key(3), VLA_TINY))
+    ids_np, mask_np, px = _prompt(batch=2, seed=4)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+    a = greedy_decode_actions(
+        jax.tree.map(jnp.asarray, params), VLA_TINY, ids, mask, px
+    )
+    cooked = decode_layout_params(params)
+    b = greedy_decode_actions(
+        jax.tree.map(jnp.asarray, cooked), VLA_TINY, ids, mask, px,
+        cooked_weights=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.actions), np.asarray(b.actions))
+    # original pytree untouched (cooking copies the dict spine); gate_w is
+    # non-square so the transpose is visible in the shape
+    assert params["llm"]["layers"]["gate_w"].shape != cooked["llm"]["layers"]["gate_w"].shape
+    np.testing.assert_array_equal(
+        np.asarray(cooked["llm"]["layers"]["gate_w"]),
+        np.swapaxes(np.asarray(params["llm"]["layers"]["gate_w"]), 1, 2),
+    )
