@@ -317,6 +317,80 @@ def build_hf_dinov2(state: Dict[str, np.ndarray], cfg: ViTConfig,
     return model
 
 
+def build_hf_clip(state: Dict[str, np.ndarray], cfg: ViTConfig,
+                  prefix: str = "vision_backbone.featurizer."):
+    """torch CLIPVisionModel from the checkpoint's timm CLIP-tower names
+    (pre-norm `norm_pre`, bias-less patch embed, quick-GELU — the zoo's
+    `vit_*_clip_*.openai` towers, clip_vit.py:16-27)."""
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=cfg.embed_dim, num_hidden_layers=cfg.depth,
+        num_attention_heads=cfg.num_heads, intermediate_size=cfg.mlp_hidden,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        hidden_act="quick_gelu" if cfg.use_quick_gelu else "gelu",
+        layer_norm_eps=cfg.ln_eps,
+    )
+    model = CLIPVisionModel(hf_cfg).eval()
+    get = lambda n: _np32(state[prefix + n])
+    d = cfg.embed_dim
+    pos = get("pos_embed")  # [1, N or 1+N, D]
+    if pos.shape[1] == cfg.num_patches:
+        # runtime layout (cls pos already folded into cls_token): zero cls row
+        pos = np.concatenate([np.zeros((1, 1, d), np.float32), pos], axis=1)
+    sd = {
+        "vision_model.embeddings.patch_embedding.weight": get("patch_embed.proj.weight"),
+        "vision_model.embeddings.class_embedding": get("cls_token").reshape(d),
+        "vision_model.embeddings.position_embedding.weight": pos[0],
+        "vision_model.pre_layrnorm.weight": get("norm_pre.weight"),
+        "vision_model.pre_layrnorm.bias": get("norm_pre.bias"),
+    }
+    for i in range(cfg.depth):
+        b = f"blocks.{i}."
+        hb = f"vision_model.encoder.layers.{i}."
+        if prefix + b + "norm1.weight" not in state:
+            continue
+        (qw, kw, vw), (qb, kb, vb) = _split_qkv(
+            get(b + "attn.qkv.weight"), get(b + "attn.qkv.bias"), d
+        )
+        sd.update({
+            hb + "layer_norm1.weight": get(b + "norm1.weight"),
+            hb + "layer_norm1.bias": get(b + "norm1.bias"),
+            hb + "self_attn.q_proj.weight": qw, hb + "self_attn.q_proj.bias": qb,
+            hb + "self_attn.k_proj.weight": kw, hb + "self_attn.k_proj.bias": kb,
+            hb + "self_attn.v_proj.weight": vw, hb + "self_attn.v_proj.bias": vb,
+            hb + "self_attn.out_proj.weight": get(b + "attn.proj.weight"),
+            hb + "self_attn.out_proj.bias": get(b + "attn.proj.bias"),
+            hb + "layer_norm2.weight": get(b + "norm2.weight"),
+            hb + "layer_norm2.bias": get(b + "norm2.bias"),
+            hb + "mlp.fc1.weight": get(b + "mlp.fc1.weight"),
+            hb + "mlp.fc1.bias": get(b + "mlp.fc1.bias"),
+            hb + "mlp.fc2.weight": get(b + "mlp.fc2.weight"),
+            hb + "mlp.fc2.bias": get(b + "mlp.fc2.bias"),
+        })
+    ret = model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=False
+    )
+    assert not ret.unexpected_keys, ret.unexpected_keys
+    return model
+
+
+def tower_builder(cfg: ViTConfig):
+    """The torch reference-module builder for a tower config, or a clear
+    error for combinations the harness doesn't cover yet."""
+    if cfg.pre_norm:
+        return build_hf_clip
+    if cfg.num_reg_tokens or cfg.use_layerscale:
+        return build_hf_dinov2
+    if cfg.use_cls_token:
+        raise NotImplementedError(
+            "plain cls-token tower (IN1K-style) has no torch reference "
+            "builder in the parity harness yet"
+        )
+    return build_hf_siglip
+
+
 def build_hf_siglip(state: Dict[str, np.ndarray], cfg: ViTConfig,
                     prefix: str = "vision_backbone.fused_featurizer."):
     import torch
@@ -468,7 +542,7 @@ def parity_report(
 
     hf_dino = hf_sig = None
     if "dino" in modules or "full" in modules:
-        hf_dino = build_hf_dinov2(state, cfg.dino)
+        hf_dino = tower_builder(cfg.dino)(state, cfg.dino)
     if cfg.siglip is not None and ("siglip" in modules or "full" in modules):
         hf_sig = build_hf_siglip(state, cfg.siglip)
 

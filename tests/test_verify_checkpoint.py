@@ -171,3 +171,88 @@ def test_cli_fails_fast_on_bad_manifest(tmp_path, capsys):
     assert report["ok"] is False
     # parity/smoke never ran: manifest failure fails fast
     assert set(report["steps"]) == {"manifest"}
+
+
+def test_clip_single_tower_parity(tmp_path):
+    """The parity harness covers the zoo's CLIP-family VLMs: a single-tower
+    pre-norm quick-GELU CLIP + 2-layer projector + Llama checkpoint (timm
+    names, the layout prismatic_to_hf_names produces for zoo .pt dirs) passes
+    tower/projector/llm/full parity, and a corrupted tower weight fails it."""
+    from roboticattack_tpu.models import TINY_LLAMA
+    from roboticattack_tpu.models.config import ViTConfig, VLAConfig
+    from roboticattack_tpu.models.convert import convert_state_dict
+    from test_convert_roundtrip import _t, _vit_state
+
+    clip_cfg = ViTConfig(
+        embed_dim=32, depth=3, num_heads=2, mlp_hidden=64, patch_size=14,
+        image_size=56, use_cls_token=True, pre_norm=True, use_quick_gelu=True,
+        ln_eps=1e-5,
+    )
+    cfg = VLAConfig(name="tiny-clip", dino=clip_cfg, siglip=None,
+                    llm=TINY_LLAMA, dtype="float32")
+    params = jax.device_get(init_vla_params(jax.random.key(12), cfg))
+
+    sd = _vit_state(params["vision"]["dino"], "vision_backbone.featurizer.",
+                    clip_cfg, use_ls=False)
+    tower = params["vision"]["dino"]
+    sd["vision_backbone.featurizer.norm_pre.weight"] = np.asarray(tower["norm_pre"]["scale"])
+    sd["vision_backbone.featurizer.norm_pre.bias"] = np.asarray(tower["norm_pre"]["bias"])
+    pj = params["projector"]
+    for i in (1, 2):
+        sd[f"projector.fc{i}.weight"] = _t(pj[f"fc{i}_w"])
+        sd[f"projector.fc{i}.bias"] = np.asarray(pj[f"fc{i}_b"])
+    llm = params["llm"]
+    sd["language_model.model.embed_tokens.weight"] = np.asarray(llm["embed"])
+    sd["language_model.model.norm.weight"] = np.asarray(llm["norm"])
+    sd["language_model.lm_head.weight"] = _t(llm["lm_head"])
+    L = llm["layers"]
+    for i in range(TINY_LLAMA.num_layers):
+        b = f"language_model.model.layers.{i}."
+        sd[b + "input_layernorm.weight"] = np.asarray(L["attn_norm"][i])
+        sd[b + "self_attn.q_proj.weight"] = _t(L["q_w"][i])
+        sd[b + "self_attn.k_proj.weight"] = _t(L["k_w"][i])
+        sd[b + "self_attn.v_proj.weight"] = _t(L["v_w"][i])
+        sd[b + "self_attn.o_proj.weight"] = _t(L["o_w"][i])
+        sd[b + "post_attention_layernorm.weight"] = np.asarray(L["mlp_norm"][i])
+        sd[b + "mlp.gate_proj.weight"] = _t(L["gate_w"][i])
+        sd[b + "mlp.up_proj.weight"] = _t(L["up_w"][i])
+        sd[b + "mlp.down_proj.weight"] = _t(L["down_w"][i])
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+    # the converter round-trips this layout (sanity for the fixture itself)
+    restored = convert_state_dict(sd, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(restored["vision"]["dino"]["patch_embed"]["kernel"]),
+        np.asarray(tower["patch_embed"]["kernel"]),
+    )
+
+    pr = parity_report(sd, cfg, modules=("dino", "projector", "llm", "full"),
+                       seq=16, seed=13)
+    for name, d in pr.items():
+        assert d["ok"], (name, d)
+
+    # a conversion bug (transposed projection in OUR pytree; the torch side
+    # reads the raw checkpoint independently) must be caught
+    bad = dict(restored)
+    bad["vision"] = {"dino": dict(restored["vision"]["dino"])}
+    blocks = dict(bad["vision"]["dino"]["blocks"])
+    blocks["proj_w"] = np.swapaxes(np.asarray(blocks["proj_w"]), 1, 2)
+    bad["vision"]["dino"]["blocks"] = blocks
+    pr_bad = parity_report(sd, cfg, params=bad, modules=("dino",), seed=13)
+    assert not pr_bad["dino"]["ok"], pr_bad["dino"]
+
+
+def test_manifest_covers_clip_single_tower():
+    from roboticattack_tpu.models import TINY_LLAMA
+    from roboticattack_tpu.models.config import ViTConfig, VLAConfig
+
+    clip_cfg = ViTConfig(
+        embed_dim=32, depth=3, num_heads=2, mlp_hidden=64, patch_size=14,
+        image_size=56, use_cls_token=True, pre_norm=True, use_quick_gelu=True,
+    )
+    cfg = VLAConfig(name="tiny-clip", dino=clip_cfg, siglip=None, llm=TINY_LLAMA)
+    names = [r.names[0] for r in expected_checkpoint_rules(cfg)]
+    assert "vision_backbone.featurizer.norm_pre.weight" in names
+    assert "vision_backbone.featurizer.cls_token" in names
+    assert not any("patch_embed.proj.bias" in n for n in names)  # pre-norm: no bias
+    assert "projector.fc1.weight" in names and not any("fc3" in n for n in names)
