@@ -101,13 +101,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = build_config(args.model)
     print(f"checkpoint: {ckpt_dir}\nconfig: {cfg.name}")
 
-    report = {"model": args.model, "checkpoint": ckpt_dir, "steps": {}}
+    # prismatic zoo checkpoints are a torch .pt (no safetensors headers):
+    # load + rename upfront, validate the manifest over the in-memory state
+    is_prismatic = os.path.exists(
+        os.path.join(ckpt_dir, "checkpoints", "latest-checkpoint.pt")
+    )
+    report = {"model": args.model, "checkpoint": ckpt_dir, "steps": {},
+              "layout": "prismatic-pt" if is_prismatic else "safetensors"}
     ok = True
+
+    state = params = None
+    if is_prismatic:
+        from ..models.registry import read_prismatic_state_dict
+        from ..models.verify import manifest_report_from_state
+
+        t0 = time.time()
+        state = read_prismatic_state_dict(ckpt_dir)
+        print(f"loaded prismatic .pt state in {time.time()-t0:.1f}s "
+              f"({sum(v.nbytes for v in state.values())/1e9:.2f} GB)")
 
     # --- 1. manifest ---------------------------------------------------------
     if "manifest" in steps:
         t0 = time.time()
-        m = manifest_report(ckpt_dir, cfg)
+        m = (manifest_report_from_state(state, cfg) if is_prismatic
+             else manifest_report(ckpt_dir, cfg))
         report["steps"]["manifest"] = m.to_json()
         status = "PASS" if m.ok else "FAIL"
         print(f"[manifest] {status} in {time.time()-t0:.1f}s — {m.n_tensors} tensors, "
@@ -125,12 +142,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             steps = [s for s in steps if s == "manifest"]
             print("[manifest] failing fast: skipping parity/smoke")
 
-    state = params = None
     if "parity" in steps or "smoke" in steps:
         from ..models.convert import convert_state_dict, read_state_dict
 
         t0 = time.time()
-        state = read_state_dict(ckpt_dir)
+        if state is None:
+            state = read_state_dict(ckpt_dir)
         params = convert_state_dict(state, cfg)
         print(f"loaded + converted state dict in {time.time()-t0:.1f}s "
               f"({sum(v.nbytes for v in state.values())/1e9:.2f} GB)")

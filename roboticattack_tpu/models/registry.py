@@ -430,12 +430,11 @@ def prismatic_to_hf_names(state: Dict) -> Dict:
     return out
 
 
-def _load_prismatic_dir(path: str, spec: ModelSpec, config: Optional[VLAConfig] = None):
-    """Load a TRI-ML/prismatic-vlms checkpoint dir: torch 'latest-checkpoint.pt'
-    holding {'model': {module: state_dict}} (load.py:60-67, ddp.py:26-53)."""
-    from .convert import convert_state_dict
-
-    cfg = config or build_config(spec.model_id)  # raises UnsupportedArchitecture early
+def read_prismatic_state_dict(path: str) -> Dict:
+    """Raw state of a TRI-ML/prismatic-vlms checkpoint dir — torch
+    'latest-checkpoint.pt' holding {'model': {module: state_dict}}
+    (load.py:60-67, ddp.py:26-53) — flattened and renamed to the HF OpenVLA
+    tensor names the converter (and the acceptance parity harness) consume."""
     import numpy as np
     import torch
 
@@ -443,10 +442,16 @@ def _load_prismatic_dir(path: str, spec: ModelSpec, config: Optional[VLAConfig] 
         os.path.join(path, "checkpoints", "latest-checkpoint.pt"),
         map_location="cpu", weights_only=True,
     )
-    modules = ckpt["model"]
     flat = {}
-    for module, sd in modules.items():
+    for module, sd in ckpt["model"].items():
         for k, v in sd.items():
             flat[f"{module}.{k}"] = np.asarray(v.to(torch.float32))
-    params = convert_state_dict(prismatic_to_hf_names(flat), cfg)
+    return prismatic_to_hf_names(flat)
+
+
+def _load_prismatic_dir(path: str, spec: ModelSpec, config: Optional[VLAConfig] = None):
+    from .convert import convert_state_dict
+
+    cfg = config or build_config(spec.model_id)  # raises UnsupportedArchitecture early
+    params = convert_state_dict(read_prismatic_state_dict(path), cfg)
     return params, cfg, None

@@ -190,11 +190,26 @@ class ManifestReport:
 
 
 def manifest_report(ckpt_dir: str, cfg: VLAConfig) -> ManifestReport:
-    """Validate a downloaded checkpoint against the golden manifest. Reads
-    only headers; reports EVERY missing/mis-shaped tensor (not just the
-    first), so one look at the output tells whether the download is truncated,
-    the repo is wrong, or the layout drifted."""
-    headers = read_safetensors_headers(ckpt_dir)
+    """Validate a downloaded safetensors checkpoint against the golden
+    manifest. Reads only headers; reports EVERY missing/mis-shaped tensor
+    (not just the first), so one look at the output tells whether the
+    download is truncated, the repo is wrong, or the layout drifted."""
+    return validate_manifest(read_safetensors_headers(ckpt_dir), cfg)
+
+
+def manifest_report_from_state(state: Dict[str, np.ndarray], cfg: VLAConfig) -> ManifestReport:
+    """Manifest validation over an in-memory (HF-named) state dict — the
+    prismatic .pt path, which has no cheap header scan (torch.load reads
+    everything anyway)."""
+    headers = {
+        k: (str(np.asarray(v).dtype).upper().replace("FLOAT", "F"), tuple(v.shape))
+        for k, v in state.items()
+    }
+    return validate_manifest(headers, cfg)
+
+
+def validate_manifest(headers: Dict[str, Tuple[str, Tuple[int, ...]]],
+                      cfg: VLAConfig) -> ManifestReport:
     missing: List[str] = []
     mismatched: List[str] = []
     consumed = set()

@@ -256,3 +256,50 @@ def test_manifest_covers_clip_single_tower():
     assert "vision_backbone.featurizer.cls_token" in names
     assert not any("patch_embed.proj.bias" in n for n in names)  # pre-norm: no bias
     assert "projector.fc1.weight" in names and not any("fc3" in n for n in names)
+
+
+def test_cli_accepts_prismatic_pt_layout(tmp_path):
+    """The acceptance CLI handles legacy prismatic .pt checkpoint dirs: the
+    state is loaded through the rename shim, the manifest validates the
+    renamed in-memory tensors, and all three legs pass."""
+    import torch
+
+    from roboticattack_tpu.cli.verify_checkpoint import main
+
+    params = jax.device_get(init_vla_params(jax.random.key(20), VLA_TINY))
+    hf_names = _full_state(params)
+    rng = np.random.default_rng(20)
+    for k in hf_names:
+        if ".ls1." in k or ".ls2." in k:  # see _write_checkpoint note
+            hf_names[k] = rng.uniform(0.1, 1.0, np.asarray(hf_names[k]).shape)
+    inverse = {
+        "vision_backbone.featurizer.": "vision_backbone.dino_featurizer.",
+        "vision_backbone.fused_featurizer.": "vision_backbone.siglip_featurizer.",
+        "projector.fc1.": "projector.projector.0.",
+        "projector.fc2.": "projector.projector.2.",
+        "projector.fc3.": "projector.projector.4.",
+        "language_model.": "llm_backbone.llm.",
+    }
+    modules = {"vision_backbone": {}, "projector": {}, "llm_backbone": {}}
+    for key, val in hf_names.items():
+        for new, old in inverse.items():
+            if key.startswith(new):
+                key = old + key[len(new):]
+                break
+        module = key.split(".", 1)[0]
+        modules[module][key.split(".", 1)[1]] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(val, np.float32))
+        )
+    (tmp_path / "checkpoints").mkdir()
+    torch.save({"model": modules}, tmp_path / "checkpoints" / "latest-checkpoint.pt")
+
+    out = tmp_path / "verify_out"
+    rc = main([
+        "--model", "vla-tiny", "--checkpoint", str(tmp_path),
+        "--output", str(out), "--smoke-iters", "6", "--parity-seq", "16",
+    ])
+    assert rc == 0
+    report = json.loads((out / "verify_report.json").read_text())
+    assert report["layout"] == "prismatic-pt"
+    assert report["ok"] is True and report["steps"]["manifest"]["ok"] is True
+    assert all(d["ok"] for d in report["steps"]["parity"].values())
