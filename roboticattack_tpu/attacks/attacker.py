@@ -271,11 +271,16 @@ class OpenVLAAttacker:
         # ~0.1 s of host work), and the main thread keeps doing its own cheap
         # device transfer — relay-safe because all jax calls stay here.
         train_batches = host_prefetch(train_batches, depth=2)
-        for i in range(start_iter, a.num_iter):
-            batch = next(train_batches)
+
+        def next_placed():
+            nb = next(train_batches)
             if grip_filter:
-                batch = filter_gripper_open(batch, rng_np)
-            batch = self._place(batch)
+                nb = filter_gripper_open(nb, rng_np)
+            return self._place(nb)
+
+        staged = next_placed()
+        for i in range(start_iter, a.num_iter):
+            batch = staged
 
             lr = cosine_schedule_with_warmup(i // a.accumulate_steps, a.lr, a.warmup, sched_total)
             apply_update = (i + 1) % a.accumulate_steps == 0
@@ -287,6 +292,12 @@ class OpenVLAAttacker:
                         jnp.float32(lr), jnp.bool_(apply_update),
                         jax.random.key(a.seed * 1000003 + i),
                     )
+                    # stage the NEXT batch's device transfer while the step
+                    # executes: dispatch above is async, and keeping the
+                    # device_put on THIS thread avoids the round-2 relay
+                    # deadlock that a transfer thread (device_prefetch) hits
+                    if i + 1 < a.num_iter:
+                        staged = next_placed()
                     jax.block_until_ready(state.patch)
 
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items() if not k.startswith("ex_")}
