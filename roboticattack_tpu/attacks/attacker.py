@@ -40,6 +40,7 @@ from .engine import (
     AttackState,
     init_attack_state,
     make_attack_step,
+    make_clean_filter_step,
     make_val_step,
 )
 from .optimizer import cosine_schedule_with_warmup
@@ -188,6 +189,12 @@ class OpenVLAAttacker:
         else:
             self._step = make_attack_step(spec, cfg, target, attack.maskidx)
         self._val = make_val_step(spec, cfg, target, attack.maskidx)
+        # the maskidx==[6] clean-image pre-filter runs as its OWN program —
+        # fused into the val it pushes the 7B compile over HBM (engine.py note)
+        self._clean_val = (
+            make_clean_filter_step(cfg)
+            if list(attack.maskidx) == [6] else None
+        )
 
         self.params = replicate(params, mesh) if mesh is not None else params
         self.histories: Dict[str, List[float]] = {}
@@ -350,6 +357,8 @@ class OpenVLAAttacker:
             m = self._val(
                 self.params, state.patch, batch, jax.random.key(a.seed * 7 + step * 131 + j)
             )
+            if self._clean_val is not None:
+                m["clean_gripper_correct"] = self._clean_val(self.params, batch)
             # keep the (large) patched images on device; fetch only the last batch
             patched_dev = m.pop("_patched_images")
             m = jax.device_get(m)

@@ -247,23 +247,14 @@ def make_val_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.n
 
         preds, gt, mask = action_preds_and_mask(out.logits, labels, cfg)
 
-        # clean-image forward for the maskidx==[6] pre-filter (TMA.py:223-250):
-        # per-example gripper correctness on the unpatched image
-        if need_clean_filter:
-            clean_pixels = dual_normalize(batch.images).astype(jnp.dtype(cfg.dtype))
-            clean_out = vla_forward(
-                params, cfg, batch.input_ids, batch.attention_mask, clean_pixels, None
-            )
-            c_preds, c_gt, c_mask = action_preds_and_mask(clean_out.logits, batch.labels, cfg)
-            # last action token per row == gripper dim
-            order = jnp.argsort(~c_mask, axis=-1, stable=True)
-            last = order[:, 6]
-            grip_ok = jnp.take_along_axis(c_preds, last[:, None], 1)[:, 0] == jnp.take_along_axis(
-                c_gt, last[:, None], 1
-            )[:, 0]
-            metrics["clean_gripper_correct"] = grip_ok
-        else:
+        if not need_clean_filter:
             metrics["clean_gripper_correct"] = jnp.ones(batch.images.shape[0], bool)
+        # else: the clean-image pre-filter forward lives in its OWN compiled
+        # program (make_clean_filter_step) and the runner merges its output —
+        # fusing a SECOND full forward into this program pushes the 7B val
+        # compile over HBM (XLA adds ~3 GB of transposed weight-stack copies
+        # on top of 13.97 GB of args; measured round 3, objective-independent:
+        # any maskidx==[6] val OOMs fused, every single-forward val fits)
 
         # per-dim relative distance for UADA logging (UADA.py:354-369)
         if spec.objective == "uada" and len(maskidx) > 0:
@@ -276,3 +267,22 @@ def make_val_step(spec: AttackSpec, cfg: VLAConfig, target_tokens: Optional[np.n
         return metrics
 
     return jax.jit(val)
+
+
+def make_clean_filter_step(cfg: VLAConfig):
+    """Jitted clean-image gripper pre-filter (TMA.py:223-250): per-example
+    correctness of the gripper dim on the UNPATCHED image. Kept as its own
+    compiled program — see the note in make_val_step."""
+
+    def clean(params, batch: AttackBatch):
+        pixels = dual_normalize(batch.images).astype(jnp.dtype(cfg.dtype))
+        out = vla_forward(params, cfg, batch.input_ids, batch.attention_mask, pixels, None)
+        c_preds, c_gt, c_mask = action_preds_and_mask(out.logits, batch.labels, cfg)
+        # last action token per row == gripper dim
+        order = jnp.argsort(~c_mask, axis=-1, stable=True)
+        last = order[:, 6]
+        return jnp.take_along_axis(c_preds, last[:, None], 1)[:, 0] == jnp.take_along_axis(
+            c_gt, last[:, None], 1
+        )[:, 0]
+
+    return jax.jit(clean)

@@ -119,6 +119,8 @@ def test_accumulation_buffer_keeps_raw_gradients():
 
 
 def test_val_step_metrics():
+    from roboticattack_tpu.attacks.engine import make_clean_filter_step
+
     params, batches = _setup()
     maskidx = [6]
     target = build_tma_target_tokens(np.zeros(7), maskidx)
@@ -128,8 +130,16 @@ def test_val_step_metrics():
     batch = next(batches)
     metrics = val(params, state.patch, batch, jax.random.key(8))
     assert np.isfinite(float(metrics["ce"]))
-    assert metrics["clean_gripper_correct"].shape == (batch.images.shape[0],)
     assert metrics["_patched_images"].shape == batch.images.shape
+    # the maskidx==[6] clean-image pre-filter is its OWN compiled program
+    # (fusing a second full forward into the val OOMs the 7B compile) and
+    # the runner merges its output; the val itself no longer emits the key
+    assert "clean_gripper_correct" not in metrics
+    clean = make_clean_filter_step(VLA_TINY)
+    grip_ok = clean(params, batch)
+    assert grip_ok.shape == (batch.images.shape[0],) and grip_ok.dtype == bool
+    # patch-independent and deterministic
+    np.testing.assert_array_equal(np.asarray(grip_ok), np.asarray(clean(params, batch)))
 
 
 def test_host_prefetch_preserves_order_and_surfaces_errors():
