@@ -285,7 +285,11 @@ class OpenVLAAttacker:
                 nb = filter_gripper_open(nb, rng_np)
             return self._place(nb)
 
-        staged = next_placed()
+        # guard the initial fetch: a fully-complete resume (start_iter >=
+        # num_iter) must finish cleanly, not raise StopIteration on an
+        # exhausted iterator (or waste a batch of an infinite one)
+        if start_iter < a.num_iter:
+            staged = next_placed()
         for i in range(start_iter, a.num_iter):
             batch = staged
 

@@ -28,7 +28,9 @@ def main(argv=None):
     p.add_argument("--shy", default=0, type=int)
     args, extra = p.parse_known_args(argv)
     for banned in ("--angle", "--shx", "--shy"):
-        if banned in extra:
+        # catch both '--angle 5' and '--angle=5' — either form in extra_args
+        # would desync the eval's log filename from the queue's resume marker
+        if any(e == banned or e.startswith(banned + "=") for e in extra):
             raise SystemExit(f"pass {banned} as a first-class flag, not an extra")
 
     from ..eval.queue import SUITE_PLACEMENTS, run_queue

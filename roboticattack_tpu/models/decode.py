@@ -112,6 +112,26 @@ def greedy_decode_actions(
     b, s = input_ids.shape
     p_llm = params["llm"]
 
+    # Guard against a mislabeled cooked flag: for square projections (7B
+    # q_w/o_w are 4096x4096) the wrong flag silently computes y@W^T with no
+    # shape error and returns garbage actions. gate_w is never square in any
+    # Llama-family config (intermediate_size != hidden_size), so its layout
+    # identifies the pytree: storage [L, hidden, inter] vs cooked
+    # [L, inter, hidden]. Shapes are static, so this costs nothing under jit.
+    gw = p_llm["layers"]["gate_w"].shape
+    want = (
+        (lcfg.intermediate_size, lcfg.hidden_size)
+        if cooked_weights
+        else (lcfg.hidden_size, lcfg.intermediate_size)
+    )
+    if tuple(gw[-2:]) != want:
+        raise ValueError(
+            f"cooked_weights={cooked_weights} but gate_w has layout "
+            f"{tuple(gw[-2:])}, expected {want} — the params pytree "
+            f"{'was not' if cooked_weights else 'was already'} run through "
+            "decode_layout_params (or was cooked twice)"
+        )
+
     patches = vision_features(params["vision"], cfg, pixel_values)
     projected = projector_apply(params["projector"], patches).astype(dtype)
     emb = p_llm["embed"][input_ids]

@@ -197,14 +197,24 @@ def manifest_report(ckpt_dir: str, cfg: VLAConfig) -> ManifestReport:
     return validate_manifest(read_safetensors_headers(ckpt_dir), cfg)
 
 
+# numpy dtype name -> safetensors dtype name, so in-memory manifests share
+# _DTYPE_BYTES and histogram keys with the header-scan path ('int64' would
+# otherwise yield an 'INT64' key that misses the byte table)
+_NUMPY_TO_ST = {
+    "float64": "F64", "float32": "F32", "float16": "F16", "bfloat16": "BF16",
+    "int64": "I64", "int32": "I32", "int16": "I16", "int8": "I8",
+    "uint8": "U8", "bool": "BOOL",
+}
+
+
 def manifest_report_from_state(state: Dict[str, np.ndarray], cfg: VLAConfig) -> ManifestReport:
     """Manifest validation over an in-memory (HF-named) state dict — the
     prismatic .pt path, which has no cheap header scan (torch.load reads
     everything anyway)."""
-    headers = {
-        k: (str(np.asarray(v).dtype).upper().replace("FLOAT", "F"), tuple(v.shape))
-        for k, v in state.items()
-    }
+    headers = {}
+    for k, v in state.items():
+        name = str(np.asarray(v).dtype)
+        headers[k] = (_NUMPY_TO_ST.get(name, name.upper()), tuple(v.shape))
     return validate_manifest(headers, cfg)
 
 

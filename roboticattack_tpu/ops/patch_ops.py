@@ -17,6 +17,11 @@ appply_random_transform.py:113-116) is implemented as an implicit-coordinate
 bilinear gather so the scale can be a traced scalar under static shapes. (The
 reference's version crashes on an undefined variable — SURVEY.md §7 classifies
 it as a defect to fix, not copy.)
+
+There is deliberately NO ``colorjitter`` knob here: the reference's is a latent
+crash — `TMA.py:141` forwards ``colorjitter=`` to `apply_random_patch_batch`,
+whose signature (appply_random_transform.py:104) doesn't accept it, so enabling
+it raises TypeError; no reference script ever sets it True (SURVEY.md §7).
 """
 
 from __future__ import annotations
