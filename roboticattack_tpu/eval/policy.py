@@ -44,13 +44,21 @@ class VLAPolicy:
         center_crop: bool = False,
         prompt_pad: int = PROMPT_PAD,
         cooked_weights: bool = False,
+        mesh=None,
     ) -> None:
         """`cooked_weights=True`: params already went through
         decode_layout_params (the decode always runs the cooked math — an
         uncooked 7B cannot even compile in 15.75 GB HBM). Default False cooks
         here: HOST-side when the pytree is numpy (the checkpoint-load path)
         or lives on the CPU backend; an on-ACCELERATOR transpose of a large
-        model would need 2x HBM and raises with guidance instead."""
+        model would need 2x HBM and raises with guidance instead.
+
+        `mesh`: a jax.sharding.Mesh with a 'model' axis enables
+        tensor-parallel serving — weights Megatron-split per
+        parallel.sharding.decode_param_specs, KV cache head-sharded
+        (models/decode.py). One 15.75 GB v5e caps batched decode at bs<=4;
+        tp=2 halves the per-chip weight bytes and bs=8 fits
+        (tests/test_decode_tp.py pins the compiled per-chip numbers)."""
         if not cooked_weights:
             leaves = jax.tree.leaves(params)
             on_host = isinstance(leaves[0], np.ndarray)
@@ -66,11 +74,20 @@ class VLAPolicy:
                         "cooked_weights=True"
                     )
             params = decode_layout_params(params, xp=np if on_host else jnp)
-        # place on the default backend device (host/CPU-cooked pytrees would
-        # otherwise stay — and decode — on the CPU even with a TPU attached)
-        self.params = jax.device_put(
-            jax.tree.map(jnp.asarray, params), jax.devices()[0]
-        )
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import shard_decode_params
+
+            self.params = shard_decode_params(
+                jax.tree.map(jnp.asarray, params), mesh
+            )
+        else:
+            # place on the default backend device (host/CPU-cooked pytrees
+            # would otherwise stay — and decode — on the CPU even with a TPU
+            # attached)
+            self.params = jax.device_put(
+                jax.tree.map(jnp.asarray, params), jax.devices()[0]
+            )
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.norm_stats = norm_stats
@@ -79,10 +96,21 @@ class VLAPolicy:
         self.prompt_pad = prompt_pad
         self._decode = jax.jit(
             lambda p, ids, mask, px: greedy_decode_actions(
-                p, cfg, ids, mask, px, cooked_weights=True
+                p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh
             )
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
+
+    def _place(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """Input placement: batch dim split over 'data' when the mesh has one
+        and it divides the batch; otherwise replicated (pure-TP serving)."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        d = self.mesh.shape.get("data", 1)
+        spec = P("data") if d > 1 and arr.shape[0] % d == 0 else P()
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _tokenize(self, task_label: str):
         key = task_label
@@ -118,7 +146,10 @@ class VLAPolicy:
         pixels = pixels.astype(jnp.dtype(self.cfg.dtype))
 
         ids, mask = self._tokenize(task_label)
-        res = self._decode(self.params, jnp.asarray(ids), jnp.asarray(mask), pixels)
+        res = self._decode(
+            self.params, self._place(jnp.asarray(ids)),
+            self._place(jnp.asarray(mask)), self._place(pixels),
+        )
         normalized = np.asarray(res.actions, np.float64)[0]
         return unnormalize_actions(normalized, self.norm_stats, self.unnorm_key)
 
@@ -148,7 +179,9 @@ class VLAPolicy:
         n = pixels.shape[0]
         ids = jnp.broadcast_to(jnp.asarray(ids), (n, ids.shape[1]))
         mask = jnp.broadcast_to(jnp.asarray(mask), (n, mask.shape[1]))
-        res = self._decode(self.params, ids, mask, pixels)
+        res = self._decode(
+            self.params, self._place(ids), self._place(mask), self._place(pixels)
+        )
         normalized = np.asarray(res.actions, np.float64)
         return np.stack([
             unnormalize_actions(a, self.norm_stats, self.unnorm_key) for a in normalized
@@ -161,6 +194,7 @@ def load_policy(
     unnorm_key: Optional[str] = None,
     center_crop: bool = False,
     seed: int = 42,
+    mesh=None,
 ) -> VLAPolicy:
     """Build a policy from a local HF checkpoint dir (or random weights for
     smoke tests when checkpoint is None)."""
@@ -190,7 +224,8 @@ def load_policy(
                                       "mask": [True] * 6 + [False]}}
         }
         unnorm_key = unnorm_key or "synthetic"
-    return VLAPolicy(params, cfg, tokenizer, norm_stats, unnorm_key, center_crop)
+    return VLAPolicy(params, cfg, tokenizer, norm_stats, unnorm_key, center_crop,
+                     mesh=mesh)
 
 
 # --- reference dispatch shims (experiments/robot/robot_utils.py:40-74) --------

@@ -98,8 +98,20 @@ def greedy_decode_actions(
     pixel_values: jnp.ndarray,     # [B, 2, H, W, 3] normalized
     num_steps: int = ACTION_DIM,
     cooked_weights: bool = False,  # params went through decode_layout_params
+    mesh=None,                     # jax.sharding.Mesh with a 'model' axis for TP serving
 ) -> DecodeResult:
-    """Greedy multimodal generation of `num_steps` action tokens."""
+    """Greedy multimodal generation of `num_steps` action tokens.
+
+    `mesh`: tensor-parallel serving over the mesh's 'model' axis. Params must
+    be placed with parallel.sharding.decode_param_specs (Megatron column/row
+    splits on the cooked stacks); the KV cache is pinned head-sharded here so
+    the whole prefill+decode runs without ever gathering a weight or cache —
+    per decode step the only collectives are two [B,1,D] psums (o_proj /
+    down_proj row-parallel) and the [B,1,V] logit gather for the argmax. This
+    is the capability the reference scales only by big-GPU HBM
+    (modeling_prismatic.py:506-534): one 15.75 GB v5e fits bs<=4; tp=2 halves
+    the 13 GB weight arguments per chip and bs=8 fits (tests/test_decode_tp).
+    """
     from .config import PhiConfig
 
     if isinstance(cfg.llm, PhiConfig):
@@ -165,6 +177,24 @@ def greedy_decode_actions(
         (nl, b, lcfg.num_kv_heads, total, lcfg.head_dim), dtype=mm_emb.dtype
     )
     cache_v = jnp.zeros_like(cache_k)
+    if mesh is not None and "model" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tp = mesh.shape["model"]
+        if tp > 1:
+            if lcfg.num_kv_heads % tp:
+                raise ValueError(
+                    f"decode TP needs num_kv_heads ({lcfg.num_kv_heads}) "
+                    f"divisible by the 'model' axis size ({tp})"
+                )
+            # pin the cache head-sharded: GSPMD would usually propagate this
+            # from the column-split k/v projections, but the scan carry's
+            # fixed-point pass is shape-dependent (flash_attention.py:29-33
+            # precedent) — an unpinned cache falling back to replicated would
+            # silently all-gather [L,B,Hkv,total,hd] every step
+            kv_sharding = NamedSharding(mesh, P(None, None, "model", None, None))
+            cache_k = jax.lax.with_sharding_constraint(cache_k, kv_sharding)
+            cache_v = jax.lax.with_sharding_constraint(cache_v, kv_sharding)
 
     def prefill_block(carry, inp):
         x, ck, cv = carry

@@ -120,3 +120,64 @@ def shard_params(params: Dict, mesh: Mesh, model_axis: str = "model",
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+# ------------------------------------------------------------- decode (serving)
+
+def decode_param_specs(params: Dict, model_axis: str = "model") -> Dict:
+    """TP PartitionSpecs for the COOKED decode pytree (models/decode.py
+    decode_layout_params output: projection stacks are [L, out, in], the
+    transpose of the storage layout the training specs above annotate).
+
+    Megatron split, serving flavor:
+      q/k/v cooked [L, H*hd, D]  split on heads (dim 1)  — column parallel
+      o     cooked [L, D, H*hd]  split on heads (dim 2)  — row parallel (psum)
+      gate/up [L, I, D]          split on I (dim 1)      — column parallel
+      down    [L, D, I]          split on I (dim 2)      — row parallel (psum)
+      lm_head [D, V]             split on V — the per-step argmax gathers one
+                                 [B, 1, V] f32 logit row (~1 MB at bs=8)
+      embed                      REPLICATED (262 MB bf16): the decode hot loop
+                                 gathers one row per step; a vocab-sharded
+                                 embed would turn that into a collective per
+                                 token for a 131 MB/chip saving at tp=2 —
+                                 wrong trade for serving
+      vision/projector/norms     replicated (<2 GB combined)
+
+    Raises KeyError on non-Llama layer keys: `greedy_decode_actions` is the
+    OpenVLA action head (Phi zoo VLMs are forward/CE models, decode.py:105).
+    """
+    m = model_axis
+    cooked = {
+        "attn_norm": P(), "mlp_norm": P(),
+        "q_w": P(None, m, None), "k_w": P(None, m, None), "v_w": P(None, m, None),
+        "o_w": P(None, None, m),
+        "gate_w": P(None, m, None), "up_w": P(None, m, None),
+        "down_w": P(None, None, m),
+    }
+    layer_keys = set(params["llm"]["layers"])
+    if not layer_keys <= set(cooked):
+        raise KeyError(
+            f"decode TP supports the Llama-family layer layout only; "
+            f"unknown keys {sorted(layer_keys - set(cooked))}"
+        )
+    def replicate_like(tree):
+        return jax.tree.map(lambda _: P(), tree)
+
+    return {
+        "vision": replicate_like(params["vision"]),
+        "projector": replicate_like(params["projector"]),
+        "llm": {
+            "embed": P(),
+            "layers": {k: cooked[k] for k in layer_keys},
+            "norm": jax.tree.map(lambda _: P(), params["llm"]["norm"]),
+            "lm_head": P(None, m),
+        },
+    }
+
+
+def shard_decode_params(params: Dict, mesh: Mesh, model_axis: str = "model") -> Dict:
+    """Place a COOKED decode pytree with serving TP shardings over `mesh`."""
+    specs = decode_param_specs(params, model_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

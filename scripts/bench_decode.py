@@ -35,9 +35,20 @@ def main():
     ap.add_argument("--batches", default="1,2,4")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--prompt_pad", type=int, default=64)
+    # tensor-parallel serving over the first `tp` attached devices (Megatron
+    # splits via parallel.sharding.decode_param_specs, head-sharded KV cache);
+    # tp=2 fits bs=8 in 2x 15.75 GB (compiled per-chip numbers pinned in
+    # tests/test_decode_tp.py). Needs >=tp devices — ready for multi-chip.
+    ap.add_argument("--tp", type=int, default=1)
+    # shell-env JAX_PLATFORMS is silently ignored on this box (sitecustomize
+    # pins the TPU plugin — CLAUDE.md gotcha); this flag is the working override
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 
@@ -70,7 +81,27 @@ def main():
     shapes = decode_layout_params(shapes, xp=_ShapeSwap)
     leaves, treedef = jax.tree.flatten(shapes)
 
-    @jax.jit
+    mesh = None
+    out_shardings = None
+    if args.tp > 1:
+        from jax.sharding import NamedSharding
+        from roboticattack_tpu.parallel import make_mesh
+        from roboticattack_tpu.parallel.sharding import decode_param_specs
+
+        if len(jax.devices()) < args.tp:
+            log(f"--tp {args.tp} needs >= {args.tp} devices; attached: "
+                f"{len(jax.devices())}")
+            sys.exit(2)
+        mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
+        # generate the weights DIRECTLY into their shards (out_shardings on
+        # the init jit) — no chip ever holds the full 13.5 GB
+        out_shardings = jax.tree.map(
+            lambda sp: NamedSharding(mesh, sp), decode_param_specs(shapes)
+        )
+        log(f"tp={args.tp} mesh over {mesh.devices.ravel().tolist()}")
+
+    @(jax.jit if out_shardings is None else
+      (lambda f: jax.jit(f, out_shardings=out_shardings)))
     def gen(key):
         keys = jax.random.split(key, len(leaves))
         return jax.tree.unflatten(treedef, [
@@ -95,7 +126,9 @@ def main():
     mask[0, : len(ids)] = 1
 
     decode = jax.jit(
-        lambda p, i, m, px: greedy_decode_actions(p, cfg, i, m, px, cooked_weights=True)
+        lambda p, i, m, px: greedy_decode_actions(
+            p, cfg, i, m, px, cooked_weights=True, mesh=mesh
+        )
     )
     rng = np.random.default_rng(0)
     size = cfg.dino.image_size
