@@ -22,9 +22,15 @@ achievable rate at ~0.7-1.4 inner steps/s/GPU. `vs_baseline` divides by the
 bracket itself. A measured A100 run of the reference would collapse the
 bracket; no CUDA hardware is attached here.
 
-Prints ONE JSON line on stdout; diagnostics go to stderr.
+Prints ONE JSON line on stdout; diagnostics go to stderr. The line's primary
+metric is the UADA inner-step rate (unchanged series since round 1); an
+`extra` array pins the OTHER production graphs — TMA (gripper-targeted
+maskidx=[6], including its split clean-filter + val programs, the round-3 OOM
+fix) and UPA (L1 grad clip) — so a regression in an objective-specific
+subgraph moves the tracked benchmark even though the headline number is
+UADA's (VERDICT r3 weak #5).
 
-Usage: python bench.py [--tiny] [--iters N] [--inner K] [--bs B]
+Usage: python bench.py [--tiny] [--iters N] [--inner K] [--bs B] [--objectives uada,tma,upa]
 """
 
 import argparse
@@ -50,6 +56,8 @@ def main():
     # measured 1.261 inner/s vs 1.245 at inner=2 on one v5e
     ap.add_argument("--inner", type=int, default=8, help="inner fwd+bwd per outer step")
     ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--objectives", default="uada,tma,upa",
+                    help="first is the primary metric; the rest go in `extra`")
     args = ap.parse_args()
 
     import jax
@@ -78,44 +86,100 @@ def main():
     ))
     batch = jax.tree.map(jnp.asarray, batch)
 
-    spec = AttackSpec(objective="uada", geometry=True, inner_loop=args.inner)
-    step = make_attack_step(spec, cfg, None, [0, 1, 2, 3, 4, 5, 6])
-    state = init_attack_state(jax.random.key(1), (50, 50))
+    from roboticattack_tpu.utils import build_tma_target_tokens
 
-    t0 = time.time()
-    state, metrics = step(
-        params, state, batch, jnp.float32(2e-3), jnp.bool_(True), jax.random.key(2)
-    )
-    jax.block_until_ready(state)
-    log(f"compile + first step: {time.time()-t0:.1f}s "
-        f"(loss={float(np.asarray(metrics['loss'])[-1]):.4f})")
+    # Objective definitions — the three production graphs. TMA runs the
+    # reference's headline gripper-targeted config (maskidx=[6]), which pulls
+    # in the split clean-filter + val programs (the round-3 compile-OOM fix);
+    # UPA runs with its adamW-branch L1 grad clip (UPA.py:155-158).
+    def objective_setup(obj):
+        if obj == "uada":
+            return (AttackSpec(objective="uada", geometry=True,
+                               inner_loop=args.inner),
+                    None, [0, 1, 2, 3, 4, 5, 6])
+        if obj == "tma":
+            maskidx = [6]
+            return (AttackSpec(objective="tma", geometry=True,
+                               inner_loop=args.inner),
+                    build_tma_target_tokens(np.zeros(7), maskidx), maskidx)
+        if obj == "upa":
+            return (AttackSpec(objective="upa", geometry=True,
+                               inner_loop=args.inner, grad_clip_l1=1e-3),
+                    None, [0, 1, 2, 3, 4, 5, 6])
+        raise ValueError(f"unknown objective {obj}")
 
-    times = []
-    for i in range(args.iters):
+    def sync(tree):
+        # block_until_ready does NOT block through the axon relay (CLAUDE.md);
+        # device_get of a scalar slice is the reliable completion barrier
+        leaf = jax.tree.leaves(tree)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+
+    def time_objective(obj, iters):
+        spec, target, maskidx = objective_setup(obj)
+        step = make_attack_step(spec, cfg, target, maskidx)
+        state = init_attack_state(jax.random.key(1), (50, 50))
         t0 = time.time()
         state, metrics = step(
-            params, state, batch, jnp.float32(2e-3), jnp.bool_(True), jax.random.key(3 + i)
+            params, state, batch, jnp.float32(2e-3), jnp.bool_(True), jax.random.key(2)
         )
-        jax.block_until_ready(state)
-        times.append(time.time() - t0)
-    best = min(times)
-    inner_per_sec = args.inner / best
-    log(f"steady-state outer-step times: {[f'{t:.3f}' for t in times]} "
-        f"-> {inner_per_sec:.3f} inner fwd+bwd/s")
+        sync(state.patch)
+        compile_s = time.time() - t0
+        log(f"[{obj}] compile + first step: {compile_s:.1f}s "
+            f"(loss={float(np.asarray(metrics['loss'])[-1]):.4f})")
+        times = []
+        for i in range(iters):
+            t0 = time.time()
+            state, metrics = step(
+                params, state, batch, jnp.float32(2e-3), jnp.bool_(True),
+                jax.random.key(3 + i),
+            )
+            sync(state.patch)
+            times.append(time.time() - t0)
+        inner_per_sec = args.inner / min(times)
+        log(f"[{obj}] steady-state outer-step times: "
+            f"{[f'{t:.3f}' for t in times]} -> {inner_per_sec:.3f} inner fwd+bwd/s")
+        result = {"value": round(inner_per_sec, 4), "compile_s": round(compile_s, 1)}
+
+        if obj == "tma":
+            # the maskidx=[6] eval cadence: clean-image pre-filter as its OWN
+            # program + the single-forward val (fused they OOM the 7B at
+            # compile — commit ac7d2f4); pin that both still compile and run
+            from roboticattack_tpu.attacks.engine import (
+                make_clean_filter_step, make_val_step)
+
+            clean = make_clean_filter_step(cfg)   # both come back jitted
+            val = make_val_step(spec, cfg, target, maskidx)
+            for label, fn in (
+                ("clean_filter", lambda: clean(params, batch)),
+                ("val", lambda: val(params, state.patch, batch, jax.random.key(9))),
+            ):
+                t0 = time.time()
+                out_ = fn()
+                sync(out_)
+                c_s = time.time() - t0
+                t0 = time.time()
+                out_ = fn()
+                sync(out_)
+                result[f"{label}_s"] = round(time.time() - t0, 3)
+                log(f"[tma] {label}: compile+run {c_s:.1f}s, steady {result[f'{label}_s']:.3f}s")
+        return result
+
+    objectives = [o.strip() for o in args.objectives.split(",") if o.strip()]
+    primary_obj = objectives[0]
+    primary = time_objective(primary_obj, args.iters)
+    inner_per_sec = primary["value"]
 
     # FLOP accounting (7B config): ~134 TFLOP per inner step incl. remat
     if name == "openvla-7b":
         tflops = 134.0 * inner_per_sec
         log(f"~{tflops:.0f} TFLOP/s ({tflops/197*100:.0f}% of v5e bf16 peak, remat-inclusive)")
 
-    metric_name = (
-        "uada_attack_inner_steps_per_sec_7b_bs8" if name == "openvla-7b"
-        else "uada_attack_inner_steps_per_sec_tiny"
-    )
+    suffix = "7b_bs8" if name == "openvla-7b" else "tiny"
+    metric_name = f"{primary_obj}_attack_inner_steps_per_sec_{suffix}"
     vs = inner_per_sec / REF_A100_INNER_STEPS_PER_SEC if name == "openvla-7b" else None
     out = {
         "metric": metric_name,
-        "value": round(inner_per_sec, 4),
+        "value": inner_per_sec,
         "unit": "fwd+bwd inner steps/s/chip",
         "vs_baseline": round(vs, 4) if vs is not None else None,
     }
@@ -123,6 +187,14 @@ def main():
         lo, hi = REF_A100_ESTIMATE_RANGE
         out["baseline_estimate_range"] = [lo, hi]
         out["vs_baseline_range"] = [round(inner_per_sec / hi, 4), round(inner_per_sec / lo, 4)]
+    extra = []
+    for obj in objectives[1:]:
+        r = time_objective(obj, max(2, args.iters - 1))
+        r["metric"] = f"{obj}_attack_inner_steps_per_sec_{suffix}"
+        r["unit"] = "fwd+bwd inner steps/s/chip"
+        extra.append(r)
+    if extra:
+        out["extra"] = extra
     print(json.dumps(out))
 
 
