@@ -243,15 +243,20 @@ def collective_summary(compiled) -> List[Dict]:
 
 
 def tpu_topology_mesh(topology_name: str = "v5e:2x2",
-                      shape: Tuple[int, int] = (2, 2)) -> Mesh:
+                      shape: Tuple[int, int] = (2, 2),
+                      **topo_kwargs) -> Mesh:
     """A ('data','model') mesh over an UNATTACHED TPU topology — compiles
     through the relay produce real TPU HBM estimates without multi-chip
     hardware. Raises whatever the plugin raises if topologies are
-    unsupported; callers record the outcome either way."""
+    unsupported; callers record the outcome either way.
+
+    Sub-default-host topologies need explicit bounds, e.g. a 2-chip slice:
+    tpu_topology_mesh('v5e:1x2', (1, 2), chips_per_host_bounds=(1, 2, 1))
+    (the default 2x2x1 bounds reject '1x2' as non-divisible)."""
     from jax.experimental import topologies
 
     topo = topologies.get_topology_desc(
-        platform="tpu", topology_name=topology_name
+        platform="tpu", topology_name=topology_name, **topo_kwargs
     )
     devices = np.asarray(topo.devices).reshape(shape)
     return Mesh(devices, axis_names=("data", "model"))

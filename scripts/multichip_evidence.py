@@ -143,6 +143,13 @@ def main():
         L["tpu_decode_tp2_bs8"] = run_leg(
             "TPU-AOT decode tp2 bs8",
             lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x2", (1, 2),
+                                  chips_per_host_bounds=(1, 2, 1)),
+                batch_size=8)),
+        )
+        L["tpu_decode_tp4_bs8"] = run_leg(
+            "TPU-AOT decode tp4 bs8",
+            lambda: tpu_leg(lambda: compile_decode_7b(
                 tpu_topology_mesh("v5e:2x2", (1, 4)), batch_size=8)),
         )
 
