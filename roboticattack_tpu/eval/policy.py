@@ -45,6 +45,7 @@ class VLAPolicy:
         prompt_pad: int = PROMPT_PAD,
         cooked_weights: bool = False,
         mesh=None,
+        quantize: Optional[str] = None,
     ) -> None:
         """`cooked_weights=True`: params already went through
         decode_layout_params (the decode always runs the cooked math — an
@@ -58,7 +59,15 @@ class VLAPolicy:
         parallel.sharding.decode_param_specs, KV cache head-sharded
         (models/decode.py). One 15.75 GB v5e caps batched decode at bs<=4;
         tp=2 halves the per-chip weight bytes and bs=8 fits
-        (tests/test_decode_tp.py pins the compiled per-chip numbers)."""
+        (tests/test_decode_tp.py pins the compiled per-chip numbers).
+
+        `quantize='int8'`: weight-only per-channel int8 on the LLM stack +
+        lm_head/embed (models/quant.py) — ~7 GB of weight arguments instead
+        of 13.5, so bs=8..16 batched serving fits on a SINGLE chip, and each
+        decode step streams half the bytes. Composes with `mesh` (the scale
+        leaves have TP specs). Host-side, like cooking."""
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize={quantize!r}; supported: 'int8'")
         if not cooked_weights:
             leaves = jax.tree.leaves(params)
             on_host = isinstance(leaves[0], np.ndarray)
@@ -74,6 +83,19 @@ class VLAPolicy:
                         "cooked_weights=True"
                     )
             params = decode_layout_params(params, xp=np if on_host else jnp)
+        if quantize == "int8":
+            from ..models.quant import quantize_decode_params
+
+            leaves = jax.tree.leaves(params)
+            on_host = isinstance(leaves[0], np.ndarray)
+            if not on_host and leaves[0].devices().pop().platform != "cpu" \
+                    and sum(x.nbytes for x in leaves) > 4e9:
+                raise ValueError(
+                    "int8 quantization of a large model must run host-side "
+                    "(numpy or CPU-backend params) — the same 2x-HBM hazard "
+                    "as decode-layout cooking"
+                )
+            params = quantize_decode_params(params, xp=np if on_host else jnp)
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import shard_decode_params
@@ -195,6 +217,7 @@ def load_policy(
     center_crop: bool = False,
     seed: int = 42,
     mesh=None,
+    quantize: Optional[str] = None,
 ) -> VLAPolicy:
     """Build a policy from a local HF checkpoint dir (or random weights for
     smoke tests when checkpoint is None)."""
@@ -225,7 +248,7 @@ def load_policy(
         }
         unnorm_key = unnorm_key or "synthetic"
     return VLAPolicy(params, cfg, tokenizer, norm_stats, unnorm_key, center_crop,
-                     mesh=mesh)
+                     mesh=mesh, quantize=quantize)
 
 
 # --- reference dispatch shims (experiments/robot/robot_utils.py:40-74) --------

@@ -32,12 +32,49 @@ from ..ops.attention import NEG_INF
 _COOKED_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 
 
-def _proj(y, w, cooked: bool):
+def _proj(y, w, cooked: bool, scale=None):
     """y @ W for storage layout [in, out] (cooked=False) or the pre-transposed
-    decode layout [out, in] (cooked=True)."""
+    decode layout [out, in] (cooked=True). `scale` (f32 [out], present iff `w`
+    is a quantize_decode_params int8 stack) dequantizes AFTER the contraction
+    — exact, since the per-output-channel scale is constant over the
+    contraction dim; XLA fuses the int8->activation-dtype convert into the
+    matmul operand read so HBM streams int8 bytes (models/quant.py)."""
+    if scale is not None:
+        out = jnp.einsum(
+            "bsi,oi->bso", y, w.astype(y.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (out * scale).astype(y.dtype)
     if cooked:
         return jnp.einsum("bsi,oi->bso", y, w)
     return y @ w
+
+
+def _pj(p, key, y, cooked: bool):
+    """Layer-dict projection: dispatches on the presence of the quantization
+    scale leaf (scan slices both the int8 stack and its [L, out] scale)."""
+    return _proj(y, p[key], cooked, p.get(key + "_scale"))
+
+
+def _embed_rows(p_llm, ids, dtype):
+    """Token-embedding lookup; per-row int8 dequantization is exact."""
+    e = p_llm["embed"][ids]
+    sc = p_llm.get("embed_scale")
+    if sc is not None:
+        return (e.astype(jnp.float32) * sc[ids][..., None]).astype(dtype)
+    return e
+
+
+def _lm_logits(p_llm, h):
+    """[B, 1, D] hidden -> [B, V] f32 logits via the (possibly int8) lm_head."""
+    w = p_llm["lm_head"]
+    sc = p_llm.get("lm_head_scale")
+    if sc is None:
+        return (h @ w).astype(jnp.float32)[:, 0]
+    out = jnp.einsum(
+        "bsd,dv->bsv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
+    )
+    return (out * sc)[:, 0]
 
 
 def decode_layout_params(params, xp=np):
@@ -54,6 +91,12 @@ def decode_layout_params(params, xp=np):
     weights in HBM."""
     llm = dict(params["llm"])
     layers = dict(llm["layers"])
+    if np.dtype(layers["q_w"].dtype) == np.int8:
+        raise ValueError(
+            "params are already int8-quantized (quantize_decode_params "
+            "output, which implies the cooked layout); cooking again would "
+            "transpose the int8 stacks away from their scales"
+        )
     for k in _COOKED_KEYS:
         if k in layers:  # Phi-family layers lack gate/up/down; cook what exists
             layers[k] = xp.swapaxes(layers[k], 1, 2)
@@ -66,9 +109,9 @@ def decode_layout_params(params, xp=np):
 def _qkv(cfg, p, y, cooked=False):
     b, s, _ = y.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = _proj(y, p["q_w"], cooked).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-    k = _proj(y, p["k_w"], cooked).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
-    v = _proj(y, p["v_w"], cooked).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    q = _pj(p, "q_w", y, cooked).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = _pj(p, "k_w", y, cooked).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    v = _pj(p, "v_w", y, cooked).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -81,8 +124,8 @@ def _attend(q, k, v, bias):
 
 def _mlp(cfg, p, x, cooked=False):
     y = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-    gate = jax.nn.silu(_proj(y, p["gate_w"], cooked).astype(jnp.float32)).astype(x.dtype)
-    return x + _proj(gate * _proj(y, p["up_w"], cooked), p["down_w"], cooked)
+    gate = jax.nn.silu(_pj(p, "gate_w", y, cooked).astype(jnp.float32)).astype(x.dtype)
+    return x + _pj(p, "down_w", gate * _pj(p, "up_w", y, cooked), cooked)
 
 
 class DecodeResult(NamedTuple):
@@ -130,6 +173,11 @@ def greedy_decode_actions(
     # Llama-family config (intermediate_size != hidden_size), so its layout
     # identifies the pytree: storage [L, hidden, inter] vs cooked
     # [L, inter, hidden]. Shapes are static, so this costs nothing under jit.
+    if jnp.dtype(p_llm["layers"]["q_w"].dtype) == jnp.int8 and not cooked_weights:
+        raise ValueError(
+            "int8-quantized params (quantize_decode_params output) are "
+            "always in the cooked layout; pass cooked_weights=True"
+        )
     gw = p_llm["layers"]["gate_w"].shape
     want = (
         (lcfg.intermediate_size, lcfg.hidden_size)
@@ -146,7 +194,7 @@ def greedy_decode_actions(
 
     patches = vision_features(params["vision"], cfg, pixel_values)
     projected = projector_apply(params["projector"], patches).astype(dtype)
-    emb = p_llm["embed"][input_ids]
+    emb = _embed_rows(p_llm, input_ids, dtype)
     mm_emb = jnp.concatenate([emb[:, :1], projected, emb[:, 1:]], axis=1)  # [B, T0, D]
     t0 = mm_emb.shape[1]
     num_patches = projected.shape[1]
@@ -203,7 +251,7 @@ def greedy_decode_actions(
         q, k, v = _qkv(lcfg, p, y, cooked_weights)
         q, k = apply_rope(q, k, cos_all[:t0], sin_all[:t0])
         attn = _attend(q, k, v, prefix_bias)
-        x = x + _proj(attn.transpose(0, 2, 1, 3).reshape(x.shape), p["o_w"], cooked_weights)
+        x = x + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(x.shape), cooked_weights)
         x = _mlp(lcfg, p, x, cooked_weights)
         ck = jax.lax.dynamic_update_slice(ck, k[None].astype(ck.dtype), (li, 0, 0, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0))
@@ -215,7 +263,7 @@ def greedy_decode_actions(
     )
     hidden = rms_norm(hidden, p_llm["norm"], lcfg.rms_eps)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # [B,1,D]
-    logits = (last_hidden @ p_llm["lm_head"]).astype(jnp.float32)[:, 0]
+    logits = _lm_logits(p_llm, last_hidden)
     first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
 
     # --- cached decode steps -------------------------------------------------------
@@ -224,7 +272,7 @@ def greedy_decode_actions(
     def step(carry, i):
         token, ck, cv = carry
         pos = num_patches + true_len + i              # [B] rope position of this token
-        x = p_llm["embed"][token][:, None, :]         # [B, 1, D]
+        x = _embed_rows(p_llm, token, dtype)[:, None, :]  # [B, 1, D]
         cos = jnp.take(cos_all, pos, axis=0)[:, None, :]  # [B,1,hd]
         sin = jnp.take(sin_all, pos, axis=0)[:, None, :]
 
@@ -243,13 +291,13 @@ def greedy_decode_actions(
             ck_l = jax.lax.dynamic_update_slice(ck_l, k, (0, 0, t0 + i, 0))
             cv_l = jax.lax.dynamic_update_slice(cv_l, v, (0, 0, t0 + i, 0))
             attn = _attend(q, ck_l, cv_l, bias)
-            xc = xc + _proj(attn.transpose(0, 2, 1, 3).reshape(xc.shape), p["o_w"], cooked_weights)
+            xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
             xc = _mlp(lcfg, p, xc, cooked_weights)
             return xc, (ck_l, cv_l)
 
         x, (ck, cv) = jax.lax.scan(block, x, (p_llm["layers"], ck, cv))
         h = rms_norm(x, p_llm["norm"], lcfg.rms_eps)
-        logits = (h @ p_llm["lm_head"]).astype(jnp.float32)[:, 0]
+        logits = _lm_logits(p_llm, h)
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (next_token, ck, cv), token
 

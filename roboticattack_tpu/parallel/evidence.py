@@ -105,10 +105,12 @@ def evidence_7b_config(name: str = "openvla-7b") -> VLAConfig:
 
 
 def abstract_params(cfg: VLAConfig, mesh: Mesh, specs: Optional[Dict] = None,
-                    cooked: bool = False) -> Dict:
+                    cooked: bool = False, quantize: bool = False) -> Dict:
     """ShapeDtypeStruct pytree of the model params with shardings attached.
     `cooked=True` builds the decode layout (decode_layout_params shapes) and
-    defaults to serving TP specs; otherwise storage layout + training specs."""
+    defaults to serving TP specs; otherwise storage layout + training specs.
+    `quantize=True` (cooked only) applies the int8 weight-only shape
+    transform (models/quant.py quantize_decode_shapes)."""
     from ..models import init_vla_params
     from .sharding import decode_param_specs, vla_param_specs
 
@@ -124,6 +126,10 @@ def abstract_params(cfg: VLAConfig, mesh: Mesh, specs: Optional[Dict] = None,
                 return jax.ShapeDtypeStruct(tuple(shape), s.dtype)
 
         shapes = decode_layout_params(shapes, xp=_ShapeSwap)
+        if quantize:
+            from ..models.quant import quantize_decode_shapes
+
+            shapes = quantize_decode_shapes(shapes)
         specs = specs or decode_param_specs(shapes)
     else:
         specs = specs or vla_param_specs(shapes)
@@ -191,13 +197,15 @@ def compile_attack_step_7b(mesh: Mesh, batch_size: int = 8, pad_to: int = 32,
     return step.lower(p_abs, state, batch, lr, apply_update, rng).compile()
 
 
-def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64):
+def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
+                      quantize: bool = False):
     """Lower + compile the FULL 7B TP serving decode (cooked layout) with
-    abstract params on `mesh`."""
+    abstract params on `mesh`. `quantize=True`: int8 weight-only stacks
+    (models/quant.py) — the single-chip bs>=8 serving configuration."""
     from ..models.decode import greedy_decode_actions
 
     cfg = evidence_7b_config()
-    p_abs = abstract_params(cfg, mesh, cooked=True)
+    p_abs = abstract_params(cfg, mesh, cooked=True, quantize=quantize)
     rep = NamedSharding(mesh, P())
     ids = jax.ShapeDtypeStruct((batch_size, prompt_pad), jnp.int32, sharding=rep)
     msk = jax.ShapeDtypeStruct((batch_size, prompt_pad), jnp.int32, sharding=rep)

@@ -153,6 +153,15 @@ def decode_param_specs(params: Dict, model_axis: str = "model") -> Dict:
         "o_w": P(None, None, m),
         "gate_w": P(None, m, None), "up_w": P(None, m, None),
         "down_w": P(None, None, m),
+        # int8 per-output-channel scales (models/quant.py): [L, out] — follow
+        # the OUT dim of their stack. Column-parallel stacks shard out; the
+        # row-parallel o/down stacks shard the CONTRACTION, so their scales
+        # (full model-dim out) replicate — dequantization is linear, so
+        # scaling partial products before the psum is exact
+        "q_w_scale": P(None, m), "k_w_scale": P(None, m), "v_w_scale": P(None, m),
+        "o_w_scale": P(),
+        "gate_w_scale": P(None, m), "up_w_scale": P(None, m),
+        "down_w_scale": P(),
     }
     layer_keys = set(params["llm"]["layers"])
     if not layer_keys <= set(cooked):
@@ -163,15 +172,21 @@ def decode_param_specs(params: Dict, model_axis: str = "model") -> Dict:
     def replicate_like(tree):
         return jax.tree.map(lambda _: P(), tree)
 
+    llm_keys = set(params["llm"])
+    llm = {
+        "embed": P(),
+        "layers": {k: cooked[k] for k in layer_keys},
+        "norm": jax.tree.map(lambda _: P(), params["llm"]["norm"]),
+        "lm_head": P(None, m),
+    }
+    if "lm_head_scale" in llm_keys:  # [V] — follows the vocab split
+        llm["lm_head_scale"] = P(m)
+    if "embed_scale" in llm_keys:    # [V] f32, 128 KB — replicated like embed
+        llm["embed_scale"] = P()
     return {
         "vision": replicate_like(params["vision"]),
         "projector": replicate_like(params["projector"]),
-        "llm": {
-            "embed": P(),
-            "layers": {k: cooked[k] for k in layer_keys},
-            "norm": jax.tree.map(lambda _: P(), params["llm"]["norm"]),
-            "lm_head": P(None, m),
-        },
+        "llm": llm,
     }
 
 

@@ -1,0 +1,225 @@
+"""Weight-only int8 serving decode (models/quant.py).
+
+Correctness strategy: real released weights are unreachable here (zero
+egress), so the math path is pinned exactly instead — int8-grid weights with
+power-of-two per-channel scales make the quantized program and the
+full-precision program bit-equal (multiplying by 2^k only shifts exponents;
+per-output-channel dequantization commutes with the contraction), so any
+divergence is a decode-path bug, not quantization noise.
+
+Capability under test: single-chip bs>=8 batched `predict_action` — the
+configuration BASELINE.md round 3 said "needs TP over >=2 chips". The
+reference serves this path bs=1 fp16 only (modeling_prismatic.py:506-534).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from roboticattack_tpu.models import VLA_TINY, init_vla_params
+from roboticattack_tpu.models.decode import (
+    decode_layout_params,
+    greedy_decode_actions,
+)
+from roboticattack_tpu.models.quant import (
+    QUANT_LAYER_KEYS,
+    is_quantized,
+    quantize_decode_params,
+    quantize_decode_shapes,
+)
+
+from test_decode import _prompt
+
+
+def _cooked_tiny(seed=0):
+    params = jax.device_get(init_vla_params(jax.random.key(seed), VLA_TINY))
+    return decode_layout_params(params, xp=np)
+
+
+def _pow2_rowscale(w):
+    """Smallest power-of-two scale per output row covering int8 range."""
+    absmax = np.max(np.abs(np.float32(w)), axis=-1, keepdims=True)
+    return np.exp2(np.ceil(np.log2(absmax / 127.0 + 1e-30))).astype(np.float32)
+
+
+def _grid_pair(cooked):
+    """(float_params, quant_params) where every quantizable tensor is EXACTLY
+    representable on the int8 grid with power-of-two scales — the bit-parity
+    construction."""
+    fl = {k: dict(v) if isinstance(v, dict) else v for k, v in cooked.items()}
+    fl["llm"] = dict(cooked["llm"])
+    fl_layers = dict(cooked["llm"]["layers"])
+    q = dict(fl)
+    q["llm"] = dict(fl["llm"])
+    q_layers = dict(fl_layers)
+
+    for k in QUANT_LAYER_KEYS:
+        w = np.float32(fl_layers[k])
+        s = _pow2_rowscale(w)                       # [L, out, 1]
+        w8 = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        fl_layers[k] = (w8.astype(np.float32) * s).astype(np.float32)
+        q_layers[k] = w8
+        q_layers[k + "_scale"] = s[..., 0]
+    fl["llm"]["layers"] = fl_layers
+    q["llm"]["layers"] = q_layers
+
+    lm = np.float32(cooked["llm"]["lm_head"])       # [D, V] per-column scale
+    s_lm = _pow2_rowscale(lm.T).T                   # [1, V]
+    lm8 = np.clip(np.round(lm / s_lm), -127, 127).astype(np.int8)
+    fl["llm"]["lm_head"] = (lm8.astype(np.float32) * s_lm).astype(np.float32)
+    q["llm"]["lm_head"] = lm8
+    q["llm"]["lm_head_scale"] = s_lm[0]
+
+    emb = np.float32(cooked["llm"]["embed"])        # [V, D] per-row scale
+    s_e = _pow2_rowscale(emb)                       # [V, 1]
+    e8 = np.clip(np.round(emb / s_e), -127, 127).astype(np.int8)
+    fl["llm"]["embed"] = (e8.astype(np.float32) * s_e).astype(np.float32)
+    q["llm"]["embed"] = e8
+    q["llm"]["embed_scale"] = s_e[:, 0]
+    return fl, q
+
+
+def test_roundtrip_error_bound():
+    """|W - q*s| <= s/2 elementwise (up to f32 rounding of w/s, which can
+    push a value across the .5 boundary — hence the 1e-3 relative slop) for
+    every quantized stack."""
+    cooked = _cooked_tiny()
+    qp = quantize_decode_params(cooked, xp=np)
+    assert is_quantized(qp) and not is_quantized(cooked)
+    bound = 0.5 * (1 + 1e-3)
+    for k in QUANT_LAYER_KEYS:
+        w = np.float32(cooked["llm"]["layers"][k])
+        q = qp["llm"]["layers"][k]
+        s = qp["llm"]["layers"][k + "_scale"]
+        assert q.dtype == np.int8 and s.dtype == np.float32
+        err = np.abs(w - q.astype(np.float32) * s[..., None])
+        assert np.all(err <= s[..., None] * bound), k
+    # embed rows dequantize within half a step too
+    emb = np.float32(cooked["llm"]["embed"])
+    e8 = qp["llm"]["embed"].astype(np.float32)
+    se = qp["llm"]["embed_scale"]
+    assert np.all(np.abs(emb - e8 * se[:, None]) <= se[:, None] * bound)
+
+
+def test_quantize_is_idempotent_and_guards_layout():
+    cooked = _cooked_tiny()
+    qp = quantize_decode_params(cooked, xp=np)
+    assert quantize_decode_params(qp, xp=np) is qp
+    storage = jax.device_get(init_vla_params(jax.random.key(0), VLA_TINY))
+    with pytest.raises(ValueError, match="COOKED"):
+        quantize_decode_params(storage, xp=np)
+    with pytest.raises(ValueError, match="quantized"):
+        decode_layout_params(qp, xp=np)  # double-cook would orphan the scales
+    ids, mask, px = _prompt(batch=1, seed=2)
+    with pytest.raises(ValueError, match="cooked_weights=True"):
+        greedy_decode_actions(
+            jax.tree.map(jnp.asarray, qp), VLA_TINY,
+            jnp.asarray(ids), jnp.asarray(mask), px, cooked_weights=False,
+        )
+
+
+def test_grid_weights_bit_parity():
+    """On int8-grid weights with power-of-two scales, the int8 program and
+    the full-precision program produce IDENTICAL tokens and actions."""
+    fl, q = _grid_pair(_cooked_tiny(seed=3))
+    ids_np, mask_np, px = _prompt(batch=2, seed=4)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    ref = greedy_decode_actions(
+        jax.tree.map(jnp.asarray, fl), VLA_TINY, ids, mask, px,
+        cooked_weights=True,
+    )
+    got = greedy_decode_actions(
+        jax.tree.map(jnp.asarray, q), VLA_TINY, ids, mask, px,
+        cooked_weights=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.actions), np.asarray(got.actions))
+
+
+def test_quant_tp_matches_single_device():
+    """int8 + tensor parallelism: the scale leaves shard with their stacks
+    (parallel/sharding.py decode_param_specs) and the tp=2 program is
+    bit-identical to the single-device int8 decode."""
+    from roboticattack_tpu.parallel import make_mesh
+    from roboticattack_tpu.parallel.sharding import shard_decode_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    qp = jax.tree.map(jnp.asarray, quantize_decode_params(_cooked_tiny(), xp=np))
+    ids_np, mask_np, px = _prompt(batch=2, seed=5)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    ref = greedy_decode_actions(qp, VLA_TINY, ids, mask, px, cooked_weights=True)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    p_tp = shard_decode_params(qp, mesh)
+    bsh = NamedSharding(mesh, P("data"))
+    got = jax.jit(
+        lambda p, i, m, x: greedy_decode_actions(
+            p, VLA_TINY, i, m, x, cooked_weights=True, mesh=mesh
+        )
+    )(p_tp, *(jax.device_put(x, bsh) for x in (ids, mask, px)))
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+
+def test_policy_quantize_end_to_end():
+    """load_policy(quantize='int8') serves batched actions and actually
+    shrinks the resident weight bytes (the point of the feature)."""
+    from roboticattack_tpu.eval.policy import load_policy
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (2, 56, 56, 3), dtype=np.uint8)
+    task = "pick up the block"
+
+    full = load_policy(None, model_name="vla-tiny")
+    quant = load_policy(None, model_name="vla-tiny", quantize="int8")
+    acts = quant.get_action_batch(frames, task)
+    assert acts.shape == (2, 7) and np.all(np.isfinite(acts))
+
+    bytes_full = sum(x.nbytes for x in jax.tree.leaves(full.params))
+    bytes_q = sum(x.nbytes for x in jax.tree.leaves(quant.params))
+    # tiny model: the LLM share of params is smaller than the 7B's ~95%, but
+    # the quantized pytree must still be materially lighter
+    assert bytes_q < 0.7 * bytes_full, (bytes_q, bytes_full)
+
+
+def test_quant_7b_shape_budget():
+    """eval_shape-level 7B accounting: int8 cuts the decode pytree from
+    ~13.5 GB to ~7.7 GB (the vision tower + projector stay bf16) — under the
+    15.75 GB v5e ceiling WITH a bs=16 KV cache (2.7 GB), the single-chip
+    serving configuration."""
+    from roboticattack_tpu.parallel.evidence import evidence_7b_config
+
+    cfg = evidence_7b_config()
+    shapes = jax.eval_shape(
+        lambda k: init_vla_params(k, cfg), jax.random.key(0)
+    )
+
+    class _ShapeSwap:
+        @staticmethod
+        def swapaxes(s, a, b):
+            shape = list(s.shape)
+            shape[a], shape[b] = shape[b], shape[a]
+            return jax.ShapeDtypeStruct(tuple(shape), s.dtype)
+
+    cooked = decode_layout_params(shapes, xp=_ShapeSwap)
+    qshapes = quantize_decode_shapes(cooked)
+
+    def total_gb(tree):
+        return sum(
+            int(np.prod(s.shape, dtype=np.int64)) * jnp.dtype(s.dtype).itemsize
+            for s in jax.tree.leaves(tree)
+        ) / 1024**3
+
+    full = total_gb(cooked)
+    quant = total_gb(qshapes)
+    assert full > 13.0, full
+    assert quant < 7.8, quant
+    # scales are noise: < 0.5% of the quantized total
+    scale_gb = sum(
+        int(np.prod(s.shape, dtype=np.int64)) * 4
+        for p in [qshapes["llm"]["layers"]]
+        for k, s in p.items() if k.endswith("_scale")
+    ) / 1024**3
+    assert scale_gb < 0.005 * quant
