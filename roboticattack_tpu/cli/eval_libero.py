@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, type=str)
     p.add_argument("--model", default="openvla-7b", type=str)
     p.add_argument("--unnorm_key", default=None, type=str)
+    # serving levers for --batch_trials (BASELINE.md): int8 weight-only quant
+    # (bs>=8 fits ONE v5e; models/quant.py) and tensor-parallel decode over
+    # the first N attached devices (parallel/sharding.py Megatron splits)
+    p.add_argument("--quantize", default=None, choices=[None, "int8"])
+    p.add_argument("--tp", default=1, type=int,
+                   help="tensor-parallel serving over the first N devices")
     p.add_argument("--config_path", default=None, type=str,
                    help="YAML/JSON LiberoEvalConfig file (draccus-style; the "
                         "reference's clean eval is config-file driven, "
@@ -75,9 +81,17 @@ def main(argv=None):
     model = args.model
     if args.checkpoint is None and model == "openvla-7b":
         print("WARNING: no --checkpoint; random weights (smoke mode)")
+    mesh = None
+    if args.tp > 1:
+        import jax
+
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
     policy = load_policy(
         args.checkpoint, model_name=model,
         unnorm_key=args.unnorm_key, center_crop=args.center_crop,
+        mesh=mesh, quantize=args.quantize,
     )
     cfg = LiberoEvalConfig(
         task_suite_name=args.task_suite_name,

@@ -40,6 +40,10 @@ def main():
     # tp=2 fits bs=8 in 2x 15.75 GB (compiled per-chip numbers pinned in
     # tests/test_decode_tp.py). Needs >=tp devices — ready for multi-chip.
     ap.add_argument("--tp", type=int, default=1)
+    # weight-only int8 (models/quant.py): ~7.7 GB of weight arguments instead
+    # of 13.5 on the 7B, so bs>=8 batched serving fits ONE 15.75 GB v5e, and
+    # a weight-streaming-bound decode step reads half the HBM bytes
+    ap.add_argument("--quantize", default=None, choices=[None, "int8"])
     # shell-env JAX_PLATFORMS is silently ignored on this box (sitecustomize
     # pins the TPU plugin — CLAUDE.md gotcha); this flag is the working override
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -79,6 +83,10 @@ def main():
     t0 = time.time()
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
     shapes = decode_layout_params(shapes, xp=_ShapeSwap)
+    if args.quantize == "int8":
+        from roboticattack_tpu.models.quant import quantize_decode_shapes
+
+        shapes = quantize_decode_shapes(shapes)
     leaves, treedef = jax.tree.flatten(shapes)
 
     mesh = None
@@ -104,10 +112,20 @@ def main():
       (lambda f: jax.jit(f, out_shardings=out_shardings)))
     def gen(key):
         keys = jax.random.split(key, len(leaves))
-        return jax.tree.unflatten(treedef, [
-            jax.random.normal(k, s.shape, dtype=jnp.float32).astype(s.dtype) * 0.02
-            for k, s in zip(keys, leaves)
-        ])
+
+        def one(k, s):
+            # int8 leaves (--quantize): uniform full-range weights; their f32
+            # scale leaves get ~0.02/127 so dequantized magnitudes match the
+            # bf16 branch. Values are irrelevant to throughput — dtypes and
+            # shapes are what the program streams.
+            if s.dtype == jnp.int8:
+                return jax.random.randint(k, s.shape, -127, 128, jnp.int32).astype(jnp.int8)
+            draw = jax.random.normal(k, s.shape, dtype=jnp.float32) * 0.02
+            if args.quantize == "int8" and s.dtype == jnp.float32:
+                draw = jnp.abs(draw) / 127.0 + 1e-6
+            return draw.astype(s.dtype)
+
+        return jax.tree.unflatten(treedef, [one(k, s) for k, s in zip(keys, leaves)])
 
     params = gen(jax.random.key(0))
     # block_until_ready does not block through the axon relay (CLAUDE.md

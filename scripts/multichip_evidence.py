@@ -10,6 +10,7 @@ bytes are exact, CPU temp numbers are discarded as f32-upcast-inflated):
   * attack step dp=4 x tp=2, bs=16, pad 48  — the capacity the freed HBM buys
   * serving decode tp=2, bs=8               — inventory + per-chip args
   * attack step single-chip                 — the 14.9 GB comparison point
+  * serving decode int8 single-chip, bs=8   — weight-only quant args (7.7 GB)
 
 TPU legs (--tpu; topology-AOT through the compile relay,
 jax.experimental.topologies 'v5e:2x2' — real HBM temp estimates, ~3 min
@@ -17,6 +18,7 @@ relay compile each):
   * attack step dp=2 x tp=2, bs=8, pad 32
   * attack step dp=2 x tp=2, bs=16, pad 48
   * serving decode tp=2 (data axis unused), bs=8
+  * serving decode int8 single-chip (v5e:1x1), bs=8 and bs=16
   * a flash-attention attempt, recording the known topology-AOT limitation
 
 Usage: python scripts/multichip_evidence.py [--tpu] [--out MULTICHIP_EVIDENCE.json]
@@ -113,9 +115,18 @@ def main():
         lambda: leg(lambda: compile_attack_step_7b(
             make_mesh(data=1, model=1, devices=cpu[:1]), batch_size=8, pad_to=32)),
     )
+    # int8 weight-only serving (models/quant.py): single-chip bs=8 — the
+    # configuration bf16 cannot compile at all (bs>=6 OOMs on 15.75 GB)
+    L["cpu_decode_int8_single_chip_bs8"] = run_leg(
+        "cpu decode int8 1-chip bs8",
+        lambda: leg(lambda: compile_decode_7b(
+            make_mesh(data=1, model=1, devices=cpu[:1]), batch_size=8,
+            quantize=True)),
+    )
     for name in ("cpu_attack_dp4_tp2_bs8_pad32", "cpu_attack_dp8_bs8_pad32",
                  "cpu_attack_dp4_tp2_bs16_pad48", "cpu_decode_tp2_bs8",
-                 "cpu_attack_single_chip_bs8_pad32"):
+                 "cpu_attack_single_chip_bs8_pad32",
+                 "cpu_decode_int8_single_chip_bs8"):
         if L[name].get("status") == "ok":
             # CPU temp estimates are bf16->f32-upcast-inflated; keep only args
             L[name]["memory"].pop("temp_gb", None)
@@ -152,6 +163,16 @@ def main():
             lambda: tpu_leg(lambda: compile_decode_7b(
                 tpu_topology_mesh("v5e:2x2", (1, 4)), batch_size=8)),
         )
+        # int8 weight-only single-chip serving: real HBM estimates for the
+        # bs=8 and bs=16 programs bf16 can't fit (models/quant.py)
+        for bs in (8, 16):
+            L[f"tpu_decode_int8_1chip_bs{bs}"] = run_leg(
+                f"TPU-AOT decode int8 1-chip bs{bs}",
+                lambda bs=bs: tpu_leg(lambda: compile_decode_7b(
+                    tpu_topology_mesh("v5e:1x1", (1, 1),
+                                      chips_per_host_bounds=(1, 1, 1)),
+                    batch_size=bs, quantize=True)),
+            )
 
         # record the flash-attention topology-AOT limitation explicitly
         def flash_leg():

@@ -115,6 +115,19 @@ def test_eval_libero_rollout_with_patch(fake_libero, tmp_path):
     assert os.path.exists(tmp_path / "logs" / "EVAL-libero_spatial--120_160_0_0_0.txt")
 
 
+def test_eval_libero_rollout_quantized_policy(fake_libero, tmp_path):
+    """The int8 weight-only serving policy (models/quant.py — the single-chip
+    bs>=8 lever) drives the same closed loop end-to-end."""
+    policy = load_policy(None, model_name="vla-tiny", quantize="int8")
+    cfg = LiberoEvalConfig(
+        task_suite_name="libero_spatial", num_trials_per_task=1,
+        patchroot=None, output_dir=str(tmp_path / "logs_q"),
+        batch_trials=2,
+    )
+    successes, episodes = eval_libero(cfg, policy)
+    assert episodes == 2 and successes == 2
+
+
 def test_eval_libero_clean_uses_clean_max_steps(fake_libero, tmp_path):
     policy = load_policy(None, model_name="vla-tiny")
     cfg = LiberoEvalConfig(

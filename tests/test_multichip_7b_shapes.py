@@ -119,3 +119,17 @@ def test_decode_tp2_7b_inventory_and_memory():
                 assert dims in allowed_psums, c.describe()
         else:
             assert c.nbytes < MB, c.describe()
+
+
+def test_decode_int8_single_chip_bs8_memory():
+    """Int8 weight-only serving (models/quant.py) at bs=8 on ONE chip — the
+    configuration bf16 cannot compile at all (bs>=6 OOMs in 15.75 GB HBM,
+    BASELINE.md): per-chip weight arguments drop to ~7.7 GB and no
+    collectives exist (single device). Measured on the real v5e: 19.4
+    actions/s (vs 12.9 at the bf16 bs=4 ceiling)."""
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    comp = compile_decode_7b(mesh, batch_size=8, quantize=True)
+
+    mem = memory_summary(comp)
+    assert 7.5 < mem["argument_gb"] < 7.9, mem
+    assert not collect_collectives(comp.as_text())
