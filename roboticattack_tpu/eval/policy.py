@@ -68,34 +68,33 @@ class VLAPolicy:
         leaves have TP specs). Host-side, like cooking."""
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize={quantize!r}; supported: 'int8'")
-        if not cooked_weights:
-            leaves = jax.tree.leaves(params)
-            on_host = isinstance(leaves[0], np.ndarray)
-            if not on_host:
-                on_accel = leaves[0].devices().pop().platform != "cpu"
-                if on_accel and sum(x.nbytes for x in leaves) > 4e9:
-                    raise ValueError(
-                        "params for a large model live on the accelerator; "
-                        "cooking the decode weight layout there would need 2x "
-                        "HBM. Pass HOST (numpy or CPU-backend) params — "
-                        "load_policy does this — or pre-cook with "
-                        "models.decode.decode_layout_params and pass "
-                        "cooked_weights=True"
-                    )
-            params = decode_layout_params(params, xp=np if on_host else jnp)
-        if quantize == "int8":
-            from ..models.quant import quantize_decode_params
 
+        def _host_xp(what):
+            # host-side transforms only: an on-ACCELERATOR pass over a large
+            # model would transiently need 2x HBM for the weight bytes
             leaves = jax.tree.leaves(params)
             on_host = isinstance(leaves[0], np.ndarray)
             if not on_host and leaves[0].devices().pop().platform != "cpu" \
                     and sum(x.nbytes for x in leaves) > 4e9:
                 raise ValueError(
-                    "int8 quantization of a large model must run host-side "
-                    "(numpy or CPU-backend params) — the same 2x-HBM hazard "
-                    "as decode-layout cooking"
+                    f"params for a large model live on the accelerator; "
+                    f"{what} there would need 2x HBM. Pass HOST (numpy or "
+                    f"CPU-backend) params — load_policy does this — or "
+                    f"pre-cook with models.decode.decode_layout_params and "
+                    f"pass cooked_weights=True"
                 )
-            params = quantize_decode_params(params, xp=np if on_host else jnp)
+            return np if on_host else jnp
+
+        if not cooked_weights:
+            params = decode_layout_params(
+                params, xp=_host_xp("cooking the decode weight layout")
+            )
+        if quantize == "int8":
+            from ..models.quant import quantize_decode_params
+
+            params = quantize_decode_params(
+                params, xp=_host_xp("int8 quantization")
+            )
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import shard_decode_params

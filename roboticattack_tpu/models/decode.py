@@ -106,6 +106,21 @@ def decode_layout_params(params, xp=np):
     return out
 
 
+def decode_layout_shapes(shapes):
+    """`decode_layout_params` on a `jax.ShapeDtypeStruct` pytree — the
+    shape-level cooking used wherever abstract params are compiled without
+    materializing weight bytes (parallel/evidence.py, scripts/bench_decode.py)."""
+
+    class _ShapeSwap:
+        @staticmethod
+        def swapaxes(s, a, b):
+            shape = list(s.shape)
+            shape[a], shape[b] = shape[b], shape[a]
+            return jax.ShapeDtypeStruct(tuple(shape), s.dtype)
+
+    return decode_layout_params(shapes, xp=_ShapeSwap)
+
+
 def _qkv(cfg, p, y, cooked=False):
     b, s, _ = y.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -235,12 +250,16 @@ def greedy_decode_actions(
                     f"decode TP needs num_kv_heads ({lcfg.num_kv_heads}) "
                     f"divisible by the 'model' axis size ({tp})"
                 )
-            # pin the cache head-sharded: GSPMD would usually propagate this
-            # from the column-split k/v projections, but the scan carry's
-            # fixed-point pass is shape-dependent (flash_attention.py:29-33
-            # precedent) — an unpinned cache falling back to replicated would
-            # silently all-gather [L,B,Hkv,total,hd] every step
-            kv_sharding = NamedSharding(mesh, P(None, None, "model", None, None))
+            # pin the cache head-sharded (and batch-sharded when the mesh has
+            # a data axis — else dp>1 serving would hold the FULL-batch cache
+            # on every chip and gather the data-sharded k/v into it):
+            # GSPMD would usually propagate this from the column-split k/v
+            # projections, but the scan carry's fixed-point pass is
+            # shape-dependent (flash_attention.py:29-33 precedent) — an
+            # unpinned cache falling back to replicated would silently
+            # all-gather [L,B,Hkv,total,hd] every step
+            batch_axis = "data" if "data" in mesh.axis_names else None
+            kv_sharding = NamedSharding(mesh, P(None, batch_axis, "model", None, None))
             cache_k = jax.lax.with_sharding_constraint(cache_k, kv_sharding)
             cache_v = jax.lax.with_sharding_constraint(cache_v, kv_sharding)
 

@@ -54,9 +54,17 @@ _HLO_BYTES = {"f64": 8, "f32": 4, "f16": 2, "bf16": 2, "s64": 8, "s32": 4,
               "u64": 8, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
               "pred": 1}
 
+# The result capture is LAZY up to the op name: TPU layout annotations nest
+# parens inside tuple results — `(f32[50,50,3]{1,0,2:T(8,128)S(1)}, ...)` —
+# which a `\([^)]*\)` alternative truncates at the first `)`, silently
+# dropping the tuple-fused patch-grad psum from TPU inventories (caught by
+# round-4 review against real v5e topology-AOT HLO). Async pairs: `-done`
+# ops carry the true result shape and are counted; `-start` ops are skipped
+# (their tuple result aliases the input, which would double-count bytes).
 _COLLECTIVE_RE = re.compile(
-    r"= (\([^)]*\)|\S+) "
-    r"(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)\("
+    r"= (.+?) "
+    r"(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
+    r"(?:-done)?\("
 )
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
@@ -116,16 +124,9 @@ def abstract_params(cfg: VLAConfig, mesh: Mesh, specs: Optional[Dict] = None,
 
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
     if cooked:
-        from ..models.decode import decode_layout_params
+        from ..models.decode import decode_layout_shapes
 
-        class _ShapeSwap:
-            @staticmethod
-            def swapaxes(s, a, b):
-                shape = list(s.shape)
-                shape[a], shape[b] = shape[b], shape[a]
-                return jax.ShapeDtypeStruct(tuple(shape), s.dtype)
-
-        shapes = decode_layout_params(shapes, xp=_ShapeSwap)
+        shapes = decode_layout_shapes(shapes)
         if quantize:
             from ..models.quant import quantize_decode_shapes
 

@@ -57,7 +57,7 @@ def main():
     import numpy as np
 
     from roboticattack_tpu.models import get_config, init_vla_params
-    from roboticattack_tpu.models.decode import decode_layout_params, greedy_decode_actions
+    from roboticattack_tpu.models.decode import decode_layout_shapes, greedy_decode_actions
     from roboticattack_tpu.utils import WordStubTokenizer
     from roboticattack_tpu.utils.constants import PAD_TOKEN_ID
 
@@ -73,16 +73,9 @@ def main():
     # (minutes on one CPU core + a 13.5 GB relay upload) nor an on-device
     # transpose (2x HBM) is workable — so build the cooked SHAPES via
     # eval_shape and fill them with random normals on device.
-    class _ShapeSwap:
-        @staticmethod
-        def swapaxes(s, a, b):
-            shape = list(s.shape)
-            shape[a], shape[b] = shape[b], shape[a]
-            return jax.ShapeDtypeStruct(tuple(shape), s.dtype)
-
     t0 = time.time()
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
-    shapes = decode_layout_params(shapes, xp=_ShapeSwap)
+    shapes = decode_layout_shapes(shapes)
     if args.quantize == "int8":
         from roboticattack_tpu.models.quant import quantize_decode_shapes
 

@@ -20,6 +20,7 @@ import pytest
 from roboticattack_tpu.models import VLA_TINY, init_vla_params
 from roboticattack_tpu.models.decode import (
     decode_layout_params,
+    decode_layout_shapes,
     greedy_decode_actions,
 )
 from roboticattack_tpu.models.quant import (
@@ -195,15 +196,7 @@ def test_quant_7b_shape_budget():
     shapes = jax.eval_shape(
         lambda k: init_vla_params(k, cfg), jax.random.key(0)
     )
-
-    class _ShapeSwap:
-        @staticmethod
-        def swapaxes(s, a, b):
-            shape = list(s.shape)
-            shape[a], shape[b] = shape[b], shape[a]
-            return jax.ShapeDtypeStruct(tuple(shape), s.dtype)
-
-    cooked = decode_layout_params(shapes, xp=_ShapeSwap)
+    cooked = decode_layout_shapes(shapes)
     qshapes = quantize_decode_shapes(cooked)
 
     def total_gb(tree):

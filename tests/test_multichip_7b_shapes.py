@@ -32,6 +32,39 @@ def _member_bytes(dtype, dims):
     return int(np.prod(dims, dtype=np.int64)) * _HLO_BYTES.get(dtype, 4)
 
 
+def test_collect_collectives_parses_real_tpu_hlo_forms():
+    """Literal HLO lines captured from a real v5e topology-AOT compile
+    (round 4): tuple results carry nested parens in layout annotations
+    (`T(8,128)`), and collective-permutes lower as async start/done pairs.
+    The parser must see the tuple-fused patch-grad psum, count `-done` ops
+    (true result shape), and skip `-start` ops (tuple aliases the input)."""
+    hlo = "\n".join([
+        '%all-reduce.60 = bf16[4,288,4096]{2,1,0:T(8,128)(2,1)S(1)} '
+        'all-reduce(%fusion.2641), channel_id=3, replica_groups=[2,2]<=[4]',
+        '%all-reduce.57 = (f32[50,50,3]{1,0,2:T(8,128)S(1)}, f32[]{:T(128)}, '
+        'f32[]{:T(128)}, f32[]{:T(128)}) all-reduce(%get-tuple-element.6484)',
+        '%collective-permute-start = (f32[4,32,128]{2,1,0:T(8,128)}, '
+        'f32[4,32,128]{2,1,0:T(8,128)}, u32[]{:S(2)}, u32[]{:S(2)}) '
+        'collective-permute-start(%get-tuple-element.6390), channel_id=10',
+        '%collective-permute-done = f32[4,32,128]{2,1,0:T(8,128)} '
+        'collective-permute-done(%collective-permute-start)',
+        '%all-gather.5 = s32[4,31,2]{1,0,2:T(4,128)S(1)} '
+        'all-gather(%bitcast.2283), channel_id=12, dimensions={2}',
+    ])
+    colls = collect_collectives(hlo)
+    by_op = {}
+    for c in colls:
+        by_op.setdefault(c.op, []).append(c)
+    assert len(by_op["all-reduce"]) == 2
+    tuple_ar = by_op["all-reduce"][1]
+    assert ("f32", (50, 50, 3)) in tuple_ar.members, tuple_ar
+    assert tuple_ar.nbytes == 50 * 50 * 3 * 4 + 3 * 4
+    # exactly ONE permute: the -done (result shape), not the -start alias
+    assert len(by_op["collective-permute"]) == 1
+    assert by_op["collective-permute"][0].members == (("f32", (4, 32, 128)),)
+    assert len(by_op["all-gather"]) == 1
+
+
 def test_attack_step_dp4_tp2_7b_inventory_and_memory():
     """dp=4 x tp=2, bs=8 global (2/chip), pad 32 (seq 288) — the BASELINE
     scaling-model layout. Pins:
