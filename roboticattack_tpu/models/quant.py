@@ -73,6 +73,12 @@ def quantize_decode_params(params: Dict, xp=np) -> Dict:
     """
     llm = params["llm"]
     layers = llm["layers"]
+    if "gate_w" not in layers:
+        raise ValueError(
+            "int8 decode quantization supports Llama-family layer stacks "
+            "(gate/up/down SwiGLU); this pytree has none — Phi-family decode "
+            "itself is routed away in models/decode.py"
+        )
     gw = layers["gate_w"]
     if np.dtype(gw.dtype) == np.int8:
         return params  # idempotent

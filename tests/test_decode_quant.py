@@ -120,6 +120,18 @@ def test_quantize_is_idempotent_and_guards_layout():
         )
 
 
+def test_quantize_rejects_non_llama_stacks():
+    """Phi-family layer stacks (no SwiGLU gate/up/down) must fail loudly,
+    not with a KeyError — Phi decode itself is routed away in decode.py."""
+    cooked = _cooked_tiny()
+    cooked["llm"] = dict(cooked["llm"])
+    cooked["llm"]["layers"] = {
+        k: v for k, v in cooked["llm"]["layers"].items() if k != "gate_w"
+    }
+    with pytest.raises(ValueError, match="Llama-family"):
+        quantize_decode_params(cooked, xp=np)
+
+
 def test_grid_weights_bit_parity():
     """On int8-grid weights with power-of-two scales, the int8 program and
     the full-precision program produce IDENTICAL tokens and actions."""
