@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     # serving levers for --batch_trials (BASELINE.md): int8 weight-only quant
     # (bs>=8 fits ONE v5e; models/quant.py) and tensor-parallel decode over
     # the first N attached devices (parallel/sharding.py Megatron splits)
-    p.add_argument("--quantize", default=None, choices=[None, "int8"])
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "int4"])
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel serving over the first N devices")
     p.add_argument("--config_path", default=None, type=str,

@@ -33,6 +33,32 @@ from .processing import center_crop_resize_tf, eval_prompt, resize_bicubic_pil
 PROMPT_PAD = 64
 
 
+def _parse_quantize(quantize: Optional[str]):
+    """'int8' | 'int4' | 'int4:<group_size>' | None ->
+    (mode, group_size)."""
+    from ..models.quant import DEFAULT_GROUP_SIZE
+
+    if quantize is None:
+        return None, DEFAULT_GROUP_SIZE
+    if quantize == "int8":
+        return "int8", DEFAULT_GROUP_SIZE
+    if quantize == "int4":
+        return "int4", DEFAULT_GROUP_SIZE
+    if quantize.startswith("int4:"):
+        try:
+            gs = int(quantize.split(":", 1)[1])
+        except ValueError:
+            gs = 0
+        if gs <= 0:
+            raise ValueError(
+                f"quantize={quantize!r}: group size must be a positive int"
+            )
+        return "int4", gs
+    raise ValueError(
+        f"quantize={quantize!r}; supported: 'int8', 'int4', 'int4:<group_size>'"
+    )
+
+
 class VLAPolicy:
     def __init__(
         self,
@@ -64,10 +90,12 @@ class VLAPolicy:
         `quantize='int8'`: weight-only per-channel int8 on the LLM stack +
         lm_head/embed (models/quant.py) — ~7 GB of weight arguments instead
         of 13.5, so bs=8..16 batched serving fits on a SINGLE chip, and each
-        decode step streams half the bytes. Composes with `mesh` (the scale
-        leaves have TP specs). Host-side, like cooking."""
-        if quantize not in (None, "int8"):
-            raise ValueError(f"quantize={quantize!r}; supported: 'int8'")
+        decode step streams half the bytes. `quantize='int4'` (or
+        'int4:<group_size>', default 128): grouped-scale int4 stacks — ~5 GB
+        total pytree, packed s4 streaming in the decode hot loop. Both
+        compose with `mesh` (the scale leaves have TP specs). Host-side,
+        like cooking."""
+        quant_mode, quant_gs = _parse_quantize(quantize)
 
         def _host_xp(what):
             # host-side transforms only: an on-ACCELERATOR pass over a large
@@ -89,11 +117,14 @@ class VLAPolicy:
             params = decode_layout_params(
                 params, xp=_host_xp("cooking the decode weight layout")
             )
-        if quantize == "int8":
+        if quant_mode is not None:
             from ..models.quant import quantize_decode_params
 
             params = quantize_decode_params(
-                params, xp=_host_xp("int8 quantization")
+                params,
+                xp=_host_xp(f"{quant_mode} quantization"),
+                mode=quant_mode,
+                group_size=quant_gs,
             )
         self.mesh = mesh
         if mesh is not None:

@@ -34,12 +34,38 @@ _COOKED_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 
 def _proj(y, w, cooked: bool, scale=None):
     """y @ W for storage layout [in, out] (cooked=False) or the pre-transposed
-    decode layout [out, in] (cooked=True). `scale` (f32 [out], present iff `w`
-    is a quantize_decode_params int8 stack) dequantizes AFTER the contraction
-    — exact, since the per-output-channel scale is constant over the
-    contraction dim; XLA fuses the int8->activation-dtype convert into the
-    matmul operand read so HBM streams int8 bytes (models/quant.py)."""
-    if scale is not None:
+    decode layout [out, in] (cooked=True). `scale` is present iff `w` is a
+    quantize_decode_params stack:
+
+    int8 — scale f32 [out] dequantizes AFTER the contraction (exact: the
+    per-output-channel scale is constant over the contraction dim); XLA fuses
+    the int8->activation-dtype convert into the matmul operand read so HBM
+    streams int8 bytes (models/quant.py).
+
+    int4 — scale f32 [out, G] is GROUPED over the contraction dim
+    (rank dispatch: scale.ndim == w.ndim). Two static-shape regimes:
+      * decode steps (s == 1): contract per group, scale the f32 [b,1,out,G]
+        partials, reduce over G — exact, and HBM streams packed s4 bytes in
+        the bandwidth-bound phase where it matters.
+      * prefill (s > 1): the per-group partial tensor would be [b,s,out,G]
+        (~1.3 GB at 7B bs=8), so dequantize the layer's weights in-register
+        and run one dense matmul — prefill is FLOP-bound, the bf16 temp is
+        ~90 MB/stack under the layer scan and streams once.
+    """
+    if scale is not None and scale.ndim == w.ndim:  # grouped int4
+        out_dim, in_dim = w.shape[-2:]
+        g = scale.shape[-1]
+        wg = w.reshape(w.shape[:-1] + (g, in_dim // g))
+        if y.shape[1] == 1:
+            yg = y.reshape(y.shape[0], 1, g, in_dim // g)
+            part = jnp.einsum(
+                "bsgi,ogi->bsog", yg, wg.astype(y.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.einsum("bsog,og->bso", part, scale).astype(y.dtype)
+        wd = (wg.astype(jnp.float32) * scale[..., None]).reshape(w.shape)
+        return jnp.einsum("bsi,oi->bso", y, wd.astype(y.dtype))
+    if scale is not None:  # per-output-channel int8
         out = jnp.einsum(
             "bsi,oi->bso", y, w.astype(y.dtype),
             preferred_element_type=jnp.float32,
@@ -66,11 +92,24 @@ def _embed_rows(p_llm, ids, dtype):
 
 
 def _lm_logits(p_llm, h):
-    """[B, 1, D] hidden -> [B, V] f32 logits via the (possibly int8) lm_head."""
+    """[B, 1, D] hidden -> [B, V] f32 logits via the (possibly int8/int4)
+    lm_head [D, V]. int8 scale: [V] post-matmul; int4 scale: [V, D/gs]
+    grouped over the hidden contraction (always s == 1 here, so the grouped
+    partial tensor [b, 1, G, V] is small)."""
     w = p_llm["lm_head"]
     sc = p_llm.get("lm_head_scale")
     if sc is None:
         return (h @ w).astype(jnp.float32)[:, 0]
+    if sc.ndim == 2:  # grouped int4
+        d, v = w.shape
+        g = sc.shape[-1]
+        wg = w.reshape(g, d // g, v)
+        hg = h.reshape(h.shape[0], 1, g, d // g)
+        part = jnp.einsum(
+            "bsgi,giv->bsgv", hg, wg.astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum("bsgv,vg->bsv", part, sc)[:, 0]
     out = jnp.einsum(
         "bsd,dv->bsv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
     )
@@ -89,13 +128,15 @@ def decode_layout_params(params, xp=np):
     stacks (cooked=True) gives the program the layout it wants with zero
     temps. Do this on HOST numpy — an on-device transpose would need 2x the
     weights in HBM."""
+    from .quant import quant_mode
+
     llm = dict(params["llm"])
     layers = dict(llm["layers"])
-    if np.dtype(layers["q_w"].dtype) == np.int8:
+    if quant_mode(params) is not None:
         raise ValueError(
-            "params are already int8-quantized (quantize_decode_params "
+            "params are already int8/int4-quantized (quantize_decode_params "
             "output, which implies the cooked layout); cooking again would "
-            "transpose the int8 stacks away from their scales"
+            "transpose the quantized stacks away from their scales"
         )
     for k in _COOKED_KEYS:
         if k in layers:  # Phi-family layers lack gate/up/down; cook what exists
@@ -188,9 +229,12 @@ def greedy_decode_actions(
     # Llama-family config (intermediate_size != hidden_size), so its layout
     # identifies the pytree: storage [L, hidden, inter] vs cooked
     # [L, inter, hidden]. Shapes are static, so this costs nothing under jit.
-    if jnp.dtype(p_llm["layers"]["q_w"].dtype) == jnp.int8 and not cooked_weights:
+    if (
+        jnp.dtype(p_llm["layers"]["q_w"].dtype) in (jnp.int8, jnp.dtype(jnp.int4))
+        and not cooked_weights
+    ):
         raise ValueError(
-            "int8-quantized params (quantize_decode_params output) are "
+            "int8/int4-quantized params (quantize_decode_params output) are "
             "always in the cooked layout; pass cooked_weights=True"
         )
     gw = p_llm["layers"]["gate_w"].shape
@@ -250,6 +294,23 @@ def greedy_decode_actions(
                     f"decode TP needs num_kv_heads ({lcfg.num_kv_heads}) "
                     f"divisible by the 'model' axis size ({tp})"
                 )
+            # int4 grouped scales on the ROW-parallel stacks shard their
+            # GROUPS over the contraction split; a shard boundary inside a
+            # group would make GSPMD fall back to gathering the stack —
+            # silent and tensor-sized, so reject it loudly
+            for k in ("o_w", "down_w"):
+                sc = p_llm["layers"].get(k + "_scale")
+                if sc is not None and sc.ndim == 3:
+                    in_dim = p_llm["layers"][k].shape[-1]
+                    gs = in_dim // sc.shape[-1]
+                    if (in_dim // tp) % gs:
+                        raise ValueError(
+                            f"int4 decode TP: {k}'s contraction per chip "
+                            f"({in_dim}/{tp}) is not a multiple of the "
+                            f"quantization group size ({gs}); re-quantize "
+                            f"with a group_size dividing {in_dim // tp} "
+                            f"(e.g. 64)"
+                        )
             # pin the cache head-sharded (and batch-sharded when the mesh has
             # a data axis — else dp>1 serving would hold the FULL-batch cache
             # on every chip and gather the data-sharded k/v into it):

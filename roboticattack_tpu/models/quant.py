@@ -1,13 +1,15 @@
-"""Weight-only int8 quantization for the serving decode.
+"""Weight-only int8 / int4 quantization for the serving decode.
 
 The 7B decode is weight-streaming-bound: every generated token re-reads the
 full LLM stack from HBM, and the 13.5 GB of bf16 weights are both the memory
 ceiling (one 15.75 GB v5e fits bs<=4, BASELINE.md) and the bandwidth bill.
 Symmetric per-output-channel int8 halves both: ~7.0 GB of weight arguments,
 so bs=8..16 batched serving fits on a SINGLE chip (previously "needs TP over
->=2 chips"), and each decode step streams half the bytes.
+>=2 chips"), and each decode step streams half the bytes. Grouped int4
+(mode="int4") halves the stack bytes AGAIN (~5.0 GB total pytree on the 7B):
+the TPU stores s4 packed two-per-byte, so HBM streams 4-bit weights.
 
-Scheme (w8a16 / "LLM.int8-style" weight-only, the TPU-friendly flavor):
+int8 scheme (w8a16 / "LLM.int8-style" weight-only, the TPU-friendly flavor):
   - per-OUTPUT-channel symmetric scales over the contraction dim, so
     dequantization is a single f32 multiply AFTER the matmul:
         y @ W  ==  (y @ W8) * s        (exactly, since s is constant per
@@ -20,6 +22,23 @@ Scheme (w8a16 / "LLM.int8-style" weight-only, the TPU-friendly flavor):
     stack + lm_head, which is exactly what gets quantized.
   - embed rows are quantized per-ROW (per-token): a lookup dequantizes with
     one [.,1] multiply and is exact per row.
+
+int4 scheme (w4a16, GPTQ/AWQ-style GROUPED scales — per-channel alone is too
+coarse at 4 bits):
+  - each output channel's contraction dim is tiled into groups of
+    `group_size` (default 128, the AWQ/GPTQ convention) with one symmetric
+    scale per (channel, group): stacks [L, out, in] carry f32 scales
+    [L, out, in/gs]. Dequantization is NOT a single post-matmul multiply
+    anymore — the decode hot loop contracts per group and applies the scale
+    to the [.., out, G] partial sums before reducing over groups (exact;
+    models/decode.py _proj), while the FLOP-bound prefill dequantizes each
+    layer's weights in-register and runs one dense matmul.
+  - the embedding table stays per-row int8 (a 4-bit row scale is 15 levels
+    for a lookup that costs nothing at int8 — wrong fidelity trade), and the
+    lm_head gets grouped scales over its contraction (hidden) dim.
+  - storage dtype is ml_dtypes.int4 on host / jnp.int4 on device; XLA TPU
+    packs s4 two-per-byte in HBM and fuses the s4->bf16 convert into the
+    matmul operand read.
 
 Quantization is HOST-side on the COOKED layout (models/decode.py
 decode_layout_params: stacks are [L, out, in]) — same reasoning as cooking:
@@ -34,13 +53,23 @@ bit-parity tests on int8-grid weights (tests/test_decode_quant.py) instead.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
+import ml_dtypes
 import numpy as np
 
 # the cooked [L, out, in] projection stacks (models/decode.py _COOKED_KEYS)
 QUANT_LAYER_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 INT8_MAX = 127.0
+INT4_MAX = 7.0
+DEFAULT_GROUP_SIZE = 128  # the GPTQ/AWQ convention; divides 4096 and 11008
+INT4_NP = np.dtype(ml_dtypes.int4)
+
+
+def _int4_dtype(xp):
+    if xp is np:
+        return INT4_NP
+    return xp.int4  # jnp
 
 
 def _quantize_last_dim(w, xp):
@@ -53,35 +82,88 @@ def _quantize_last_dim(w, xp):
     return q.astype(xp.int8), scale.astype(xp.float32)
 
 
+def _quantize_grouped(w, xp, group_size: int, what: str):
+    """Symmetric int4 over GROUPS of the last axis: returns (int4 array with
+    w's shape, f32 scale [..., in/group_size])."""
+    wf = xp.asarray(w, dtype=xp.float32)
+    contraction = wf.shape[-1]
+    if contraction % group_size:
+        raise ValueError(
+            f"int4 group_size={group_size} must divide {what}'s contraction "
+            f"dim ({contraction}); pass a divisor (e.g. 64)"
+        )
+    g = contraction // group_size
+    wg = wf.reshape(wf.shape[:-1] + (g, group_size))
+    absmax = xp.max(xp.abs(wg), axis=-1)                       # [..., G]
+    scale = xp.maximum(absmax / INT4_MAX, xp.float32(1e-12))
+    q = xp.clip(xp.round(wg / scale[..., None]), -INT4_MAX, INT4_MAX)
+    return (
+        q.reshape(wf.shape).astype(_int4_dtype(xp)),
+        scale.astype(xp.float32),
+    )
+
+
+def quant_mode(params: Dict) -> Optional[str]:
+    """'int8' / 'int4' if the LLM projection stacks are quantized
+    (quantize_decode_params output), else None."""
+    dt = np.dtype(params["llm"]["layers"]["q_w"].dtype)
+    if dt == np.int8:
+        return "int8"
+    if dt == INT4_NP:
+        return "int4"
+    return None
+
+
 def is_quantized(params: Dict) -> bool:
-    """True if the LLM projection stacks are int8 (quantize_decode_params
-    output)."""
-    return np.dtype(params["llm"]["layers"]["q_w"].dtype) == np.int8
+    """True if the LLM projection stacks are int8/int4
+    (quantize_decode_params output)."""
+    return quant_mode(params) is not None
 
 
-def quantize_decode_params(params: Dict, xp=np) -> Dict:
-    """Int8-quantize a COOKED decode pytree (decode_layout_params output).
+def quantize_decode_params(
+    params: Dict,
+    xp=np,
+    mode: str = "int8",
+    group_size: int = DEFAULT_GROUP_SIZE,
+) -> Dict:
+    """Quantize a COOKED decode pytree (decode_layout_params output).
 
-    Replaces each projection stack `k` [L, out, in] with an int8 array of the
-    same shape plus `k + "_scale"` f32 [L, out]; `lm_head` [D, V] gets a
-    per-output-column scale [V]; `embed` [V, D] a per-row scale [V]. Vision,
+    mode="int8": replaces each projection stack `k` [L, out, in] with an int8
+    array of the same shape plus `k + "_scale"` f32 [L, out]; `lm_head`
+    [D, V] gets a per-output-column scale [V].
+
+    mode="int4": int4 stacks with GROUPED f32 scales [L, out, in/group_size];
+    `lm_head` [D, V] gets scales [V, D/group_size] over its hidden
+    contraction. models/decode.py dispatches the grouped math on the scale's
+    rank (scale.ndim == stack.ndim).
+
+    Both modes: `embed` [V, D] becomes int8 with a per-row scale [V] (exact
+    per lookup; 4-bit rows are the wrong fidelity trade for 65 MB). Vision,
     projector, and norms are untouched. Pass xp=np for host pytrees (the
     load path), xp=jnp only for small models already on a device.
 
     greedy_decode_actions consumes the result directly (cooked_weights=True);
     parallel.sharding.decode_param_specs knows the scale keys for TP serving.
     """
+    if mode not in ("int8", "int4"):
+        raise ValueError(f"mode={mode!r}; supported: 'int8', 'int4'")
     llm = params["llm"]
     layers = llm["layers"]
     if "gate_w" not in layers:
         raise ValueError(
-            "int8 decode quantization supports Llama-family layer stacks "
-            "(gate/up/down SwiGLU); this pytree has none — Phi-family decode "
-            "itself is routed away in models/decode.py"
+            "int8/int4 decode quantization supports Llama-family layer "
+            "stacks (gate/up/down SwiGLU); this pytree has none — Phi-family "
+            "decode itself is routed away in models/decode.py"
         )
     gw = layers["gate_w"]
-    if np.dtype(gw.dtype) == np.int8:
-        return params  # idempotent
+    have = quant_mode(params)
+    if have is not None:
+        if have == mode:
+            return params  # idempotent
+        raise ValueError(
+            f"params are already {have}-quantized; re-quantizing to {mode} "
+            "would compound rounding — quantize from the bf16 cooked pytree"
+        )
     # cooked-layout check, same trick as greedy_decode_actions: gate_w is
     # never square, cooked is [L, inter, hidden] with inter > hidden for
     # every Llama-family config
@@ -91,19 +173,26 @@ def quantize_decode_params(params: Dict, xp=np) -> Dict:
             f"(decode_layout_params output); gate_w has shape {gw.shape} "
             f"which is the [L, hidden, intermediate] storage layout"
         )
+
+    def q_stack(w, what):
+        if mode == "int8":
+            return _quantize_last_dim(w, xp)
+        return _quantize_grouped(w, xp, group_size, what)
+
     new_layers = dict(layers)
     for k in QUANT_LAYER_KEYS:
         if k in layers:
-            q, s = _quantize_last_dim(layers[k], xp)
+            q, s = q_stack(layers[k], k)
             new_layers[k] = q
             new_layers[k + "_scale"] = s
     new_llm = dict(llm)
     new_llm["layers"] = new_layers
-    # lm_head [D, V]: per-output-COLUMN scale -> quantize over dim 0
-    lm_q, lm_s = _quantize_last_dim(xp.swapaxes(llm["lm_head"], 0, 1), xp)
+    # lm_head [D, V]: contraction is dim 0 -> quantize the [V, D] transpose
+    # (int8: per-output-column scale [V]; int4: grouped [V, D/gs])
+    lm_q, lm_s = q_stack(xp.swapaxes(llm["lm_head"], 0, 1), "lm_head")
     new_llm["lm_head"] = xp.swapaxes(lm_q, 0, 1)
     new_llm["lm_head_scale"] = lm_s
-    # embed [V, D]: per-row scale, lookups dequantize exactly per token
+    # embed [V, D]: per-row int8 scale, lookups dequantize exactly per token
     new_llm["embed"], new_llm["embed_scale"] = _quantize_last_dim(
         llm["embed"], xp
     )
@@ -112,31 +201,49 @@ def quantize_decode_params(params: Dict, xp=np) -> Dict:
     return out
 
 
-def quantize_decode_shapes(shapes: Dict) -> Dict:
+def quantize_decode_shapes(
+    shapes: Dict, mode: str = "int8", group_size: int = DEFAULT_GROUP_SIZE
+) -> Dict:
     """The shape/dtype transform of quantize_decode_params on a
     jax.ShapeDtypeStruct pytree — for abstract-params compiles
     (parallel/evidence.py) where no weight bytes exist to quantize."""
     import jax
     import jax.numpy as jnp
 
-    def i8(s, shape=None):
-        return jax.ShapeDtypeStruct(shape or s.shape, jnp.int8)
+    if mode not in ("int8", "int4"):
+        raise ValueError(f"mode={mode!r}; supported: 'int8', 'int4'")
+    qdt = jnp.int8 if mode == "int8" else jnp.int4
+
+    def qs(s, shape=None):
+        return jax.ShapeDtypeStruct(shape or s.shape, qdt)
 
     def f32(shape):
         return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+    def scale_shape(s):
+        if mode == "int8":
+            return s.shape[:-1]
+        if s.shape[-1] % group_size:
+            raise ValueError(
+                f"int4 group_size={group_size} must divide the contraction "
+                f"dim ({s.shape[-1]})"
+            )
+        return s.shape[:-1] + (s.shape[-1] // group_size,)
 
     llm = shapes["llm"]
     layers = dict(llm["layers"])
     for k in QUANT_LAYER_KEYS:
         if k in layers:
             s = layers[k]
-            layers[k] = i8(s)
-            layers[k + "_scale"] = f32(s.shape[:-1])
+            layers[k] = qs(s)
+            layers[k + "_scale"] = f32(scale_shape(s))
     new_llm = dict(llm, layers=layers)
-    lm = llm["lm_head"]
-    new_llm["lm_head"] = i8(lm)
-    new_llm["lm_head_scale"] = f32(lm.shape[-1:])
-    emb = llm["embed"]
-    new_llm["embed"] = i8(emb)
+    lm = llm["lm_head"]  # [D, V]; contraction is dim 0
+    new_llm["lm_head"] = qs(lm)
+    new_llm["lm_head_scale"] = f32(
+        scale_shape(jax.ShapeDtypeStruct((lm.shape[1], lm.shape[0]), lm.dtype))
+    )
+    emb = llm["embed"]  # per-row int8 in both modes
+    new_llm["embed"] = jax.ShapeDtypeStruct(emb.shape, jnp.int8)
     new_llm["embed_scale"] = f32(emb.shape[:-1])
     return dict(shapes, llm=new_llm)

@@ -113,12 +113,12 @@ def evidence_7b_config(name: str = "openvla-7b") -> VLAConfig:
 
 
 def abstract_params(cfg: VLAConfig, mesh: Mesh, specs: Optional[Dict] = None,
-                    cooked: bool = False, quantize: bool = False) -> Dict:
+                    cooked: bool = False, quantize=False) -> Dict:
     """ShapeDtypeStruct pytree of the model params with shardings attached.
     `cooked=True` builds the decode layout (decode_layout_params shapes) and
     defaults to serving TP specs; otherwise storage layout + training specs.
-    `quantize=True` (cooked only) applies the int8 weight-only shape
-    transform (models/quant.py quantize_decode_shapes)."""
+    `quantize` (cooked only): True/'int8' or 'int4' applies the weight-only
+    shape transform (models/quant.py quantize_decode_shapes)."""
     from ..models import init_vla_params
     from .sharding import decode_param_specs, vla_param_specs
 
@@ -130,7 +130,8 @@ def abstract_params(cfg: VLAConfig, mesh: Mesh, specs: Optional[Dict] = None,
         if quantize:
             from ..models.quant import quantize_decode_shapes
 
-            shapes = quantize_decode_shapes(shapes)
+            mode = "int8" if quantize is True else quantize
+            shapes = quantize_decode_shapes(shapes, mode=mode)
         specs = specs or decode_param_specs(shapes)
     else:
         specs = specs or vla_param_specs(shapes)
@@ -199,10 +200,11 @@ def compile_attack_step_7b(mesh: Mesh, batch_size: int = 8, pad_to: int = 32,
 
 
 def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
-                      quantize: bool = False):
+                      quantize=False):
     """Lower + compile the FULL 7B TP serving decode (cooked layout) with
-    abstract params on `mesh`. `quantize=True`: int8 weight-only stacks
-    (models/quant.py) — the single-chip bs>=8 serving configuration."""
+    abstract params on `mesh`. `quantize`: True/'int8' or 'int4' weight-only
+    stacks (models/quant.py) — the single-chip bs>=8 (int8) / bs>=16 (int4)
+    serving configurations."""
     from ..models.decode import greedy_decode_actions
 
     cfg = evidence_7b_config()

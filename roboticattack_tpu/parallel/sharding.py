@@ -124,6 +124,16 @@ def shard_params(params: Dict, mesh: Mesh, model_axis: str = "model",
 
 # ------------------------------------------------------------- decode (serving)
 
+def _scale_spec(params: Dict, key: str, col: bool, m: str) -> P:
+    """PartitionSpec for a quantization-scale leaf, by its rank (int8
+    [L, out] vs int4 grouped [L, out, G] — see decode_param_specs body)."""
+    leaf = params["llm"]["layers"].get(key)
+    grouped = leaf is not None and getattr(leaf, "ndim", 2) == 3
+    if col:
+        return P(None, m, None) if grouped else P(None, m)
+    return P(None, None, m) if grouped else P()
+
+
 def decode_param_specs(params: Dict, model_axis: str = "model") -> Dict:
     """TP PartitionSpecs for the COOKED decode pytree (models/decode.py
     decode_layout_params output: projection stacks are [L, out, in], the
@@ -153,15 +163,22 @@ def decode_param_specs(params: Dict, model_axis: str = "model") -> Dict:
         "o_w": P(None, None, m),
         "gate_w": P(None, m, None), "up_w": P(None, m, None),
         "down_w": P(None, None, m),
-        # int8 per-output-channel scales (models/quant.py): [L, out] — follow
-        # the OUT dim of their stack. Column-parallel stacks shard out; the
+        # quantization scales (models/quant.py). int8: [L, out] follows the
+        # OUT dim of its stack — column-parallel stacks shard out; the
         # row-parallel o/down stacks shard the CONTRACTION, so their scales
         # (full model-dim out) replicate — dequantization is linear, so
-        # scaling partial products before the psum is exact
-        "q_w_scale": P(None, m), "k_w_scale": P(None, m), "v_w_scale": P(None, m),
-        "o_w_scale": P(),
-        "gate_w_scale": P(None, m), "up_w_scale": P(None, m),
-        "down_w_scale": P(),
+        # scaling partial products before the psum is exact. int4 grouped
+        # scales are [L, out, G] with G tiling the contraction: column-
+        # parallel shards out (dim 1), row-parallel shards the GROUPS (dim 2)
+        # so each chip scales the partial sums of exactly its contraction
+        # slice before the psum (exact for the same linearity reason).
+        "q_w_scale": _scale_spec(params, "q_w_scale", col=True, m=m),
+        "k_w_scale": _scale_spec(params, "k_w_scale", col=True, m=m),
+        "v_w_scale": _scale_spec(params, "v_w_scale", col=True, m=m),
+        "o_w_scale": _scale_spec(params, "o_w_scale", col=False, m=m),
+        "gate_w_scale": _scale_spec(params, "gate_w_scale", col=True, m=m),
+        "up_w_scale": _scale_spec(params, "up_w_scale", col=True, m=m),
+        "down_w_scale": _scale_spec(params, "down_w_scale", col=False, m=m),
     }
     layer_keys = set(params["llm"]["layers"])
     if not layer_keys <= set(cooked):
@@ -179,8 +196,11 @@ def decode_param_specs(params: Dict, model_axis: str = "model") -> Dict:
         "norm": jax.tree.map(lambda _: P(), params["llm"]["norm"]),
         "lm_head": P(None, m),
     }
-    if "lm_head_scale" in llm_keys:  # [V] — follows the vocab split
-        llm["lm_head_scale"] = P(m)
+    if "lm_head_scale" in llm_keys:
+        # int8 [V] / int4 grouped [V, G] — follows the vocab split either way
+        # (the int4 groups tile the REPLICATED hidden contraction)
+        sc = params["llm"]["lm_head_scale"]
+        llm["lm_head_scale"] = P(m, None) if getattr(sc, "ndim", 1) == 2 else P(m)
     if "embed_scale" in llm_keys:    # [V] f32, 128 KB — replicated like embed
         llm["embed_scale"] = P()
     return {

@@ -42,8 +42,9 @@ def main():
     ap.add_argument("--tp", type=int, default=1)
     # weight-only int8 (models/quant.py): ~7.7 GB of weight arguments instead
     # of 13.5 on the 7B, so bs>=8 batched serving fits ONE 15.75 GB v5e, and
-    # a weight-streaming-bound decode step reads half the HBM bytes
-    ap.add_argument("--quantize", default=None, choices=[None, "int8"])
+    # a weight-streaming-bound decode step reads half the HBM bytes. int4
+    # (grouped scales, group=128): ~5.0 GB, packed s4 streaming per step
+    ap.add_argument("--quantize", default=None, choices=[None, "int8", "int4"])
     # shell-env JAX_PLATFORMS is silently ignored on this box (sitecustomize
     # pins the TPU plugin — CLAUDE.md gotcha); this flag is the working override
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -76,10 +77,10 @@ def main():
     t0 = time.time()
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
     shapes = decode_layout_shapes(shapes)
-    if args.quantize == "int8":
+    if args.quantize:
         from roboticattack_tpu.models.quant import quantize_decode_shapes
 
-        shapes = quantize_decode_shapes(shapes)
+        shapes = quantize_decode_shapes(shapes, mode=args.quantize)
     leaves, treedef = jax.tree.flatten(shapes)
 
     mesh = None
@@ -107,15 +108,18 @@ def main():
         keys = jax.random.split(key, len(leaves))
 
         def one(k, s):
-            # int8 leaves (--quantize): uniform full-range weights; their f32
-            # scale leaves get ~0.02/127 so dequantized magnitudes match the
-            # bf16 branch. Values are irrelevant to throughput — dtypes and
-            # shapes are what the program streams.
+            # int8/int4 leaves (--quantize): uniform full-range weights;
+            # their f32 scale leaves get ~0.02/qmax so dequantized magnitudes
+            # match the bf16 branch. Values are irrelevant to throughput —
+            # dtypes and shapes are what the program streams.
             if s.dtype == jnp.int8:
                 return jax.random.randint(k, s.shape, -127, 128, jnp.int32).astype(jnp.int8)
+            if s.dtype == jnp.dtype(jnp.int4):
+                return jax.random.randint(k, s.shape, -7, 8, jnp.int32).astype(jnp.int4)
             draw = jax.random.normal(k, s.shape, dtype=jnp.float32) * 0.02
-            if args.quantize == "int8" and s.dtype == jnp.float32:
-                draw = jnp.abs(draw) / 127.0 + 1e-6
+            if args.quantize and s.dtype == jnp.float32:
+                qmax = 127.0 if args.quantize == "int8" else 7.0
+                draw = jnp.abs(draw) / qmax + 1e-6
             return draw.astype(s.dtype)
 
         return jax.tree.unflatten(treedef, [one(k, s) for k, s in zip(keys, leaves)])

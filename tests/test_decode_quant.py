@@ -228,3 +228,262 @@ def test_quant_7b_shape_budget():
         for k, s in p.items() if k.endswith("_scale")
     ) / 1024**3
     assert scale_gb < 0.005 * quant
+
+
+# ---------------------------------------------------------------------------
+# int4 (grouped scales, models/quant.py mode="int4")
+# ---------------------------------------------------------------------------
+# vla-tiny contraction dims are {64, 128}; group_size=16 divides both (the 7B
+# default of 128 divides its 4096/11008 — test_quant_7b_shape_budget_int4).
+GS = 16
+
+
+def _pow2_groupscale(w, gs):
+    """Smallest power-of-two scale per (channel, group) covering int4 range."""
+    g = w.shape[-1] // gs
+    wg = np.float32(w).reshape(w.shape[:-1] + (g, gs))
+    absmax = np.max(np.abs(wg), axis=-1)
+    return np.exp2(np.ceil(np.log2(absmax / 7.0 + 1e-30))).astype(np.float32)
+
+
+def _grid_pair_int4(cooked, gs=GS):
+    """(float_params, int4_params) where every quantized tensor is EXACTLY
+    representable on the int4 grid with power-of-two GROUP scales. int4*2^k
+    has 3 significand bits, so the dequantized float weights are exact in
+    f32/bf16 — the float program and the int4 prefill are bit-equal; the
+    int4 decode steps contract per group (different f32 summation order),
+    so token equality there is empirical-on-fixed-seeds, not bit-forced."""
+    import ml_dtypes
+
+    fl = dict(cooked)
+    fl["llm"] = dict(cooked["llm"])
+    fl_layers = dict(cooked["llm"]["layers"])
+    q = dict(fl)
+    q["llm"] = dict(fl["llm"])
+    q_layers = dict(fl_layers)
+
+    def grid(w):
+        s = _pow2_groupscale(w, gs)                  # [..., G]
+        g = w.shape[-1] // gs
+        wg = np.float32(w).reshape(w.shape[:-1] + (g, gs))
+        w4 = np.clip(np.round(wg / s[..., None]), -7, 7)
+        deq = (w4 * s[..., None]).reshape(w.shape).astype(np.float32)
+        return deq, w4.reshape(w.shape).astype(ml_dtypes.int4), s
+
+    for k in QUANT_LAYER_KEYS:
+        deq, w4, s = grid(np.float32(fl_layers[k]))
+        fl_layers[k] = deq
+        q_layers[k] = w4
+        q_layers[k + "_scale"] = s
+    fl["llm"]["layers"] = fl_layers
+    q["llm"]["layers"] = q_layers
+
+    lm = np.float32(cooked["llm"]["lm_head"])        # [D, V], contraction dim 0
+    deq, w4, s = grid(lm.T)
+    fl["llm"]["lm_head"] = deq.T.copy()
+    q["llm"]["lm_head"] = w4.T.copy()
+    q["llm"]["lm_head_scale"] = s
+
+    emb = np.float32(cooked["llm"]["embed"])         # per-row int8, both modes
+    s_e = _pow2_rowscale(emb)
+    e8 = np.clip(np.round(emb / s_e), -127, 127).astype(np.int8)
+    fl["llm"]["embed"] = (e8.astype(np.float32) * s_e).astype(np.float32)
+    q["llm"]["embed"] = e8
+    q["llm"]["embed_scale"] = s_e[:, 0]
+    return fl, q
+
+
+def test_int4_roundtrip_error_bound():
+    """|W - q*s| <= s/2 per (channel, group) for every int4 stack, and the
+    scale tensors have the grouped rank the decode dispatches on."""
+    cooked = _cooked_tiny()
+    qp = quantize_decode_params(cooked, xp=np, mode="int4", group_size=GS)
+    from roboticattack_tpu.models.quant import quant_mode
+
+    assert quant_mode(qp) == "int4" and is_quantized(qp)
+    bound = 0.5 * (1 + 1e-3)
+    for k in QUANT_LAYER_KEYS:
+        w = np.float32(cooked["llm"]["layers"][k])
+        q = qp["llm"]["layers"][k]
+        s = qp["llm"]["layers"][k + "_scale"]
+        assert np.dtype(q.dtype).name == "int4" and s.dtype == np.float32
+        assert s.shape == w.shape[:-1] + (w.shape[-1] // GS,), k
+        g = w.shape[-1] // GS
+        wg = w.reshape(w.shape[:-1] + (g, GS))
+        qg = np.float32(q).reshape(wg.shape)
+        err = np.abs(wg - qg * s[..., None])
+        assert np.all(err <= s[..., None] * bound), k
+    # embed stays per-row int8 (fidelity trade documented in quant.py)
+    assert qp["llm"]["embed"].dtype == np.int8
+
+
+def test_int4_group_size_must_divide():
+    with pytest.raises(ValueError, match="group_size"):
+        quantize_decode_params(_cooked_tiny(), xp=np, mode="int4",
+                               group_size=48)
+
+
+def test_int4_requantize_mode_mismatch_rejected():
+    cooked = _cooked_tiny()
+    q8 = quantize_decode_params(cooked, xp=np, mode="int8")
+    with pytest.raises(ValueError, match="already int8"):
+        quantize_decode_params(q8, xp=np, mode="int4", group_size=GS)
+    q4 = quantize_decode_params(cooked, xp=np, mode="int4", group_size=GS)
+    assert quantize_decode_params(q4, xp=np, mode="int4") is q4  # idempotent
+    with pytest.raises(ValueError, match="quantized"):
+        decode_layout_params(q4, xp=np)  # double-cook would orphan scales
+
+
+def test_int4_grouped_proj_matches_f64():
+    """The grouped two-einsum decode path (models/decode.py _proj s==1
+    branch) against f64 numpy grouped math — the unit-level pin on the int4
+    contraction, independent of end-to-end token stability."""
+    from roboticattack_tpu.models.decode import _proj
+
+    rng = np.random.default_rng(7)
+    out_dim, in_dim, g = 24, 32, 4
+    w4 = rng.integers(-7, 8, (out_dim, in_dim))
+    scale = np.exp2(rng.integers(-8, -2, (out_dim, g))).astype(np.float32)
+    y = rng.standard_normal((3, 1, in_dim)).astype(np.float32)
+
+    import ml_dtypes
+
+    got = np.asarray(_proj(
+        jnp.asarray(y), jnp.asarray(w4.astype(ml_dtypes.int4)),
+        cooked=True, scale=jnp.asarray(scale),
+    ))
+    wg = w4.reshape(out_dim, g, in_dim // g).astype(np.float64)
+    yg = y.reshape(3, 1, g, in_dim // g).astype(np.float64)
+    part = np.einsum("bsgi,ogi->bsog", yg, wg)
+    want = np.einsum("bsog,og->bso", part, scale.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_grid_weights_token_parity():
+    """On int4-grid weights with power-of-two group scales the int4 program
+    reproduces the full-precision program's tokens (prefill is bit-exact;
+    decode steps differ only by f32 summation order within groups — see
+    _grid_pair_int4). Fixed seeds; both batch rows checked."""
+    fl, q = _grid_pair_int4(_cooked_tiny(seed=3))
+    ids_np, mask_np, px = _prompt(batch=2, seed=4)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    ref = greedy_decode_actions(
+        jax.tree.map(jnp.asarray, fl), VLA_TINY, ids, mask, px,
+        cooked_weights=True,
+    )
+    got = greedy_decode_actions(
+        jax.tree.map(jnp.asarray, q), VLA_TINY, ids, mask, px,
+        cooked_weights=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.actions), np.asarray(got.actions))
+
+
+def test_int4_tp_matches_single_device():
+    """int4 + tensor parallelism: grouped scales shard with their stacks —
+    column-parallel on OUT, row-parallel on the contraction GROUPS
+    (parallel/sharding.py _scale_spec) — and tp=2 tokens match the
+    single-device int4 program."""
+    from roboticattack_tpu.parallel import make_mesh
+    from roboticattack_tpu.parallel.sharding import shard_decode_params
+
+    qp = jax.tree.map(jnp.asarray, quantize_decode_params(
+        _cooked_tiny(), xp=np, mode="int4", group_size=GS))
+    ids_np, mask_np, px = _prompt(batch=2, seed=5)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    ref = greedy_decode_actions(qp, VLA_TINY, ids, mask, px, cooked_weights=True)
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    p_tp = shard_decode_params(qp, mesh)
+    got = jax.jit(
+        lambda p, i, m, x: greedy_decode_actions(
+            p, VLA_TINY, i, m, x, cooked_weights=True, mesh=mesh
+        )
+    )(p_tp, ids, mask, px)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+
+def test_int4_tp_rejects_group_straddling_shards():
+    """A shard boundary inside a quantization group would make GSPMD gather
+    the row-parallel stacks — rejected loudly (models/decode.py)."""
+    from roboticattack_tpu.parallel import make_mesh
+
+    # tiny o_w contraction is 64: gs=32 -> 2 groups; tp=4 puts 16 columns per
+    # chip, half a group -> must raise (kv heads = 4 pass the head guard)
+    qp = jax.tree.map(jnp.asarray, quantize_decode_params(
+        _cooked_tiny(), xp=np, mode="int4", group_size=32))
+    ids_np, mask_np, px = _prompt(batch=2, seed=6)
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="group size"):
+        greedy_decode_actions(
+            qp, VLA_TINY, jnp.asarray(ids_np), jnp.asarray(mask_np), px,
+            cooked_weights=True, mesh=mesh,
+        )
+
+
+def test_policy_int4_end_to_end():
+    """load_policy(quantize='int4:16') serves batched actions; the pytree is
+    materially lighter than int8's."""
+    from roboticattack_tpu.eval.policy import load_policy
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (2, 56, 56, 3), dtype=np.uint8)
+    q8 = load_policy(None, model_name="vla-tiny", quantize="int8")
+    q4 = load_policy(None, model_name="vla-tiny", quantize="int4:16")
+    acts = q4.get_action_batch(frames, "pick up the block")
+    assert acts.shape == (2, 7) and np.all(np.isfinite(acts))
+
+    def packed_bytes(tree):
+        # the CPU backend stores int4 UNPACKED (1 byte/elem); TPU HBM packs
+        # s4 two-per-byte, which is the deployment number this test pins
+        return sum(
+            x.size // 2 if jnp.dtype(x.dtype) == jnp.dtype(jnp.int4) else x.nbytes
+            for x in jax.tree.leaves(tree)
+        )
+
+    def quantized_portion(p):
+        # the stacks + lm_head and their scales — what int4 shrinks (embed is
+        # per-row int8 in both modes; vision/projector stay bf16)
+        return {"layers": p.params["llm"]["layers"],
+                "lm": p.params["llm"]["lm_head"],
+                "lms": p.params["llm"]["lm_head_scale"]}
+
+    b8 = packed_bytes(quantized_portion(q8))
+    b4 = packed_bytes(quantized_portion(q4))
+    assert jnp.dtype(q4.params["llm"]["layers"]["q_w"].dtype) == jnp.dtype(jnp.int4)
+    assert b4 < 0.8 * b8, (b4, b8)
+    with pytest.raises(ValueError, match="quantize"):
+        load_policy(None, model_name="vla-tiny", quantize="int5")
+
+
+def test_quant_7b_shape_budget_int4():
+    """eval_shape-level 7B accounting: int4 cuts the decode pytree to
+    ~5.0 GB (group_size=128 divides 4096 and 11008) — bs=32 serving HBM
+    headroom on one 15.75 GB v5e."""
+    from roboticattack_tpu.parallel.evidence import evidence_7b_config
+
+    cfg = evidence_7b_config()
+    shapes = jax.eval_shape(
+        lambda k: init_vla_params(k, cfg), jax.random.key(0)
+    )
+    cooked = decode_layout_shapes(shapes)
+    q4 = quantize_decode_shapes(cooked, mode="int4")
+
+    def total_gb(tree):
+        return sum(
+            int(np.prod(s.shape, dtype=np.int64))
+            * jnp.dtype(s.dtype).itemsize if jnp.dtype(s.dtype) != jnp.dtype(jnp.int4)
+            else int(np.prod(s.shape, dtype=np.int64)) // 2
+            for s in jax.tree.leaves(tree)
+        ) / 1024**3
+
+    quant = total_gb(q4)
+    assert quant < 5.2, quant
+    # grouped scales cost ~1/32 of the int4 stack bytes (f32 per 128 weights)
+    scale_gb = sum(
+        int(np.prod(s.shape, dtype=np.int64)) * 4
+        for k, s in q4["llm"]["layers"].items() if k.endswith("_scale")
+    ) / 1024**3
+    assert 0.1 < scale_gb < 0.25, scale_gb

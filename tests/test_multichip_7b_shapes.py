@@ -166,3 +166,45 @@ def test_decode_int8_single_chip_bs8_memory():
     mem = memory_summary(comp)
     assert 7.5 < mem["argument_gb"] < 7.9, mem
     assert not collect_collectives(comp.as_text())
+
+
+def test_decode_int4_single_chip_bs16_memory():
+    """Grouped int4 weight-only serving (models/quant.py mode='int4') at
+    bs=16 on ONE chip: per-chip weight arguments drop to ~5.0 GB (int8:
+    ~7.7, bf16: 13.5 — which caps at bs<=4), leaving HBM headroom for
+    twice the int8 ceiling's KV cache. No collectives (single device)."""
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    comp = compile_decode_7b(mesh, batch_size=16, quantize="int4")
+
+    mem = memory_summary(comp)
+    assert 4.6 < mem["argument_gb"] < 5.2, mem
+    assert not collect_collectives(comp.as_text())
+
+
+def test_decode_int4_tp2_no_weight_gather():
+    """int4 + tp=2: grouped scales shard with their stacks (column-parallel
+    OUT / row-parallel contraction GROUPS, parallel/sharding.py _scale_spec);
+    the compiled program moves only [B,1,D]-activation psums and the logit
+    gather across ICI — never an int4 stack or the KV cache."""
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    comp = compile_decode_7b(mesh, batch_size=16, quantize="int4")
+
+    mem = memory_summary(comp)
+    # ~1.7 GB of int4 stack shards + ~1.3 GB replicated vision/projector/embed
+    assert mem["argument_gb"] < 3.4, mem
+    # same inventory as the bf16 tp=2 decode (test_decode_tp2_7b...): the
+    # row-parallel activation psums per decode step ([16,1,4096]) and per
+    # prefill pass ([16,320,4096]) + sub-MB argmax/logit gathers — int4
+    # changes the weight bytes, not what crosses ICI
+    # (dims compared sorted: the grouped-einsum output psum lowers in an
+    # [out, b, s]-major layout, e.g. f32[4096,16,1])
+    allowed_psums = {(1, 16, 4096), (16, 320, 4096)}
+    colls = collect_collectives(comp.as_text())
+    assert colls, "expected row-parallel psums"
+    for c in colls:
+        assert c.op in ("all-reduce", "all-gather"), c.describe()
+        if c.op == "all-reduce":
+            for _, dims in c.members:
+                assert tuple(sorted(dims)) in allowed_psums, c.describe()
+        else:
+            assert c.nbytes < MB, c.describe()
