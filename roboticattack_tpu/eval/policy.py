@@ -12,7 +12,7 @@ instruction; the env-side gripper sign conventions stay with the caller
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -231,6 +231,43 @@ class VLAPolicy:
         n = pixels.shape[0]
         ids = jnp.broadcast_to(jnp.asarray(ids), (n, ids.shape[1]))
         mask = jnp.broadcast_to(jnp.asarray(mask), (n, mask.shape[1]))
+        res = self._decode(
+            self.params, self._place(ids), self._place(mask), self._place(pixels)
+        )
+        normalized = np.asarray(res.actions, np.float64)
+        return np.stack([
+            unnormalize_actions(a, self.norm_stats, self.unnorm_key) for a in normalized
+        ])
+
+    def get_action_multi(
+        self, images_u8: np.ndarray, task_labels: Sequence[str]
+    ) -> np.ndarray:
+        """Mixed-task batched inference: images_u8 [N, H, W, 3] uint8 with a
+        task label PER ROW -> [N, 7] unnormalized actions from ONE decode.
+
+        greedy_decode_actions handles per-row prompts natively (right-padded
+        ids + per-row true lengths, models/decode.py), so N requests for
+        DIFFERENT instructions share one weight-streaming pass — the
+        coalescing primitive serving.DynamicBatcher builds on. Same program
+        as get_action_batch (prompts are padded to prompt_pad either way):
+        one compile per distinct N."""
+        if len(task_labels) != len(images_u8):
+            raise ValueError(
+                f"{len(images_u8)} images vs {len(task_labels)} task labels"
+            )
+        frames = []
+        for img in images_u8:
+            if self.center_crop:
+                img = center_crop_resize_tf(img, crop_scale=0.9)
+            if img.shape[:2] != (self.cfg.dino.image_size,) * 2:
+                img = resize_bicubic_pil(img, self.cfg.dino.image_size)
+            frames.append(img)
+        pixels = dual_normalize(jnp.asarray(np.stack(frames), jnp.float32) / 255.0)
+        pixels = pixels.astype(jnp.dtype(self.cfg.dtype))
+
+        rows = [self._tokenize(t) for t in task_labels]
+        ids = jnp.asarray(np.concatenate([r[0] for r in rows], axis=0))
+        mask = jnp.asarray(np.concatenate([r[1] for r in rows], axis=0))
         res = self._decode(
             self.params, self._place(ids), self._place(mask), self._place(pixels)
         )

@@ -1,0 +1,11 @@
+"""Serving layer: dynamic request batching over the batch-native decode.
+
+The reference's serving surface is bs=1 `predict_action`
+(modeling_prismatic.py:506-534); this package adds what a production robot
+fleet needs on TPU: request coalescing into bucketed batch shapes
+(DynamicBatcher) over VLAPolicy.get_action_multi's mixed-task batches.
+"""
+
+from .batcher import DynamicBatcher, default_buckets
+
+__all__ = ["DynamicBatcher", "default_buckets"]

@@ -1,0 +1,206 @@
+"""Dynamic request batching for `predict_action` serving.
+
+The reference serves `predict_action` one request at a time (HF bs=1 fp16
+`generate`, modeling_prismatic.py:506-534). On a TPU the 7B decode is
+weight-streaming-bound: N coalesced requests cost ~one request's wall-clock
+(measured on one v5e: bs=1 131 ms -> bs=16 758 ms = 21.1 actions/s with int8
+weights, scripts/bench_decode.py). This module turns that property into a
+serving layer: concurrent callers submit (frame, instruction) requests; a
+worker thread coalesces them into mixed-task batches
+(VLAPolicy.get_action_multi) under a latency bound.
+
+TPU-specific design point — BUCKETED batch shapes: XLA compiles one program
+per input shape, and a 7B decode compile through this environment's relay is
+minutes. Batches are therefore padded up to a fixed bucket ladder (powers of
+two by default) so the number of distinct compiled programs is
+O(log max_batch), not O(max_batch); `warmup()` precompiles every bucket
+before traffic. Padding rows replicate row 0 and their outputs are dropped.
+
+Threading model: one worker thread owns the policy/device; callers block on
+`concurrent.futures.Future`s. This matches JAX's single-Python-thread
+dispatch model — the GIL-free hot path is inside XLA, so a dispatcher thread
+saturates the chip while N robot-control clients (e.g. one per arm) stay
+simple blocking callers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SENTINEL = object()
+
+
+def default_buckets(max_batch: int) -> Tuple[int, ...]:
+    """Powers of two up to and including max_batch (max_batch is always the
+    last bucket even when it is not a power of two)."""
+    if max_batch < 1:
+        raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+    out = []
+    b = 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return tuple(out)
+
+
+class DynamicBatcher:
+    """Coalesces concurrent get_action requests into bucketed batches.
+
+    policy        : VLAPolicy (or anything with `get_action_multi(images,
+                    tasks) -> [N, 7]`).
+    max_batch     : largest batch the device configuration fits (one bf16
+                    v5e: 4; int8: 16; int4: 32 — BASELINE.md serving table).
+    max_wait_ms   : how long the worker holds the FIRST request of a batch
+                    while more arrive. The latency bound for a lone request
+                    is ~max_wait_ms + one decode.
+    buckets       : ascending batch shapes to compile; default powers of two.
+
+    Shutdown: `close()` drains nothing — queued requests are failed with
+    RuntimeError so callers never hang. Use as a context manager.
+    """
+
+    def __init__(
+        self,
+        policy,
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+        buckets: Optional[Sequence[int]] = None,
+    ) -> None:
+        self.policy = policy
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.buckets = tuple(sorted(buckets)) if buckets else default_buckets(
+            self.max_batch
+        )
+        if self.buckets[-1] != self.max_batch:
+            raise ValueError(
+                f"buckets {self.buckets} must end at max_batch={self.max_batch}"
+            )
+        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats: Dict[str, int] = {
+            "requests": 0, "batches": 0, "padded_rows": 0, "errors": 0,
+        }
+        self._bucket_counts: Dict[int, int] = {b: 0 for b in self.buckets}
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._run, name="vla-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------- client API
+    def submit(self, image_u8: np.ndarray, task_label: str) -> Future:
+        """Enqueue one request; returns a Future resolving to the [7] action."""
+        if self._closed:
+            raise RuntimeError("DynamicBatcher is closed")
+        fut: Future = Future()
+        self._q.put((np.asarray(image_u8), str(task_label), fut))
+        with self._lock:
+            self.stats["requests"] += 1
+        return fut
+
+    def get_action(
+        self, image_u8: np.ndarray, task_label: str,
+        timeout: Optional[float] = None,
+    ) -> np.ndarray:
+        """Blocking convenience wrapper: submit + wait."""
+        return self.submit(image_u8, task_label).result(timeout=timeout)
+
+    def warmup(self, image_u8: np.ndarray, task_label: str = "warmup") -> None:
+        """Compile every bucket's decode program before traffic (a 7B bucket
+        compile through the relay is minutes — do not pay it on a live
+        request)."""
+        for b in self.buckets:
+            imgs = np.stack([image_u8] * b)
+            self.policy.get_action_multi(imgs, [task_label] * b)
+
+    def bucket_counts(self) -> Dict[int, int]:
+        with self._lock:
+            return dict(self._bucket_counts)
+
+    def close(self) -> None:
+        """Stop the worker; fail queued requests instead of hanging callers."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(_SENTINEL)
+        self._worker.join(timeout=30.0)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _SENTINEL:
+                item[2].set_exception(RuntimeError("batcher closed"))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---------------------------------------------------------------- worker
+    def _take_batch(self) -> Optional[List]:
+        """Block for the first request, then soak more until max_batch or the
+        deadline. Returns None on shutdown."""
+        first = self._q.get()
+        if first is _SENTINEL:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is _SENTINEL:
+                self._q.put(_SENTINEL)  # re-post for the outer loop to see
+                break
+            batch.append(item)
+        return batch
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            images = [b[0] for b in batch]
+            tasks = [b[1] for b in batch]
+            futures = [b[2] for b in batch]
+            n = len(batch)
+            bucket = self._bucket_for(n)
+            # pad to the bucket shape with row-0 replicas (outputs dropped):
+            # a fresh shape would trigger a minutes-long 7B recompile
+            for _ in range(bucket - n):
+                images.append(images[0])
+                tasks.append(tasks[0])
+            try:
+                actions = self.policy.get_action_multi(np.stack(images), tasks)
+            except Exception as e:  # fail THIS batch; keep serving
+                with self._lock:
+                    self.stats["errors"] += 1
+                for f in futures:
+                    f.set_exception(e)
+                continue
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["padded_rows"] += bucket - n
+                self._bucket_counts[bucket] += 1
+            for f, a in zip(futures, actions[:n]):
+                f.set_result(np.asarray(a))

@@ -11,6 +11,7 @@ bytes are exact, CPU temp numbers are discarded as f32-upcast-inflated):
   * serving decode tp=2, bs=8               — inventory + per-chip args
   * attack step single-chip                 — the 14.9 GB comparison point
   * serving decode int8 single-chip, bs=8   — weight-only quant args (7.7 GB)
+  * serving decode int4 single-chip, bs=32  — grouped-int4 args (~5.0 GB)
 
 TPU legs (--tpu; topology-AOT through the compile relay,
 jax.experimental.topologies 'v5e:2x2' — real HBM temp estimates, ~3 min
@@ -19,6 +20,7 @@ relay compile each):
   * attack step dp=2 x tp=2, bs=16, pad 48
   * serving decode tp=2 (data axis unused), bs=8
   * serving decode int8 single-chip (v5e:1x1), bs=8 and bs=16
+  * serving decode int4 single-chip (v5e:1x1), bs=32
   * a flash-attention attempt, recording the known topology-AOT limitation
 
 Usage: python scripts/multichip_evidence.py [--tpu] [--out MULTICHIP_EVIDENCE.json]
@@ -123,10 +125,19 @@ def main():
             make_mesh(data=1, model=1, devices=cpu[:1]), batch_size=8,
             quantize=True)),
     )
+    # grouped int4 (mode='int4', group=128): ~5.0 GB of weight arguments —
+    # the bs=32-class single-chip configuration
+    L["cpu_decode_int4_single_chip_bs32"] = run_leg(
+        "cpu decode int4 1-chip bs32",
+        lambda: leg(lambda: compile_decode_7b(
+            make_mesh(data=1, model=1, devices=cpu[:1]), batch_size=32,
+            quantize="int4")),
+    )
     for name in ("cpu_attack_dp4_tp2_bs8_pad32", "cpu_attack_dp8_bs8_pad32",
                  "cpu_attack_dp4_tp2_bs16_pad48", "cpu_decode_tp2_bs8",
                  "cpu_attack_single_chip_bs8_pad32",
-                 "cpu_decode_int8_single_chip_bs8"):
+                 "cpu_decode_int8_single_chip_bs8",
+                 "cpu_decode_int4_single_chip_bs32"):
         if L[name].get("status") == "ok":
             # CPU temp estimates are bf16->f32-upcast-inflated; keep only args
             L[name]["memory"].pop("temp_gb", None)
@@ -173,6 +184,14 @@ def main():
                                       chips_per_host_bounds=(1, 1, 1)),
                     batch_size=bs, quantize=True)),
             )
+        # grouped int4: the bs=32 single-chip program (real HBM estimate)
+        L["tpu_decode_int4_1chip_bs32"] = run_leg(
+            "TPU-AOT decode int4 1-chip bs32",
+            lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x1", (1, 1),
+                                  chips_per_host_bounds=(1, 1, 1)),
+                batch_size=32, quantize="int4")),
+        )
 
         # record the flash-attention topology-AOT limitation explicitly
         def flash_leg():
