@@ -189,55 +189,15 @@ class VLAPolicy:
     def get_action(self, image_u8: np.ndarray, task_label: str) -> np.ndarray:
         """image_u8: model-ready uint8 [224, 224, 3] frame (already patched if
         attacking). Returns the unnormalized 7-DoF action."""
-        img = image_u8
-        if self.center_crop:
-            img = center_crop_resize_tf(img, crop_scale=0.9)
-        if img.shape[:2] != (self.cfg.dino.image_size,) * 2:
-            img = resize_bicubic_pil(img, self.cfg.dino.image_size)
-        pixels = dual_normalize(jnp.asarray(img[None], jnp.float32) / 255.0)
-        pixels = pixels.astype(jnp.dtype(self.cfg.dtype))
-
-        ids, mask = self._tokenize(task_label)
-        res = self._decode(
-            self.params, self._place(jnp.asarray(ids)),
-            self._place(jnp.asarray(mask)), self._place(pixels),
-        )
-        normalized = np.asarray(res.actions, np.float64)[0]
-        return unnormalize_actions(normalized, self.norm_stats, self.unnorm_key)
+        return self.get_action_multi(image_u8[None], [task_label])[0]
 
     def get_action_batch(self, images_u8: np.ndarray, task_label: str) -> np.ndarray:
         """Batched inference for lockstep multi-environment rollouts:
         images_u8 [N, H, W, 3] uint8 (one frame per live env, already patched)
-        -> [N, 7] unnormalized actions from ONE decode call.
-
-        The decode is the same jitted KV-cache program as `get_action` at
-        batch N (greedy_decode_actions is batch-native) — on TPU the 7B's
-        decode cost is weight-streaming-bound, so N environments cost ~the
-        same wall-clock as one (the serving win the reference's bs=1
-        `generate` path can't express, modeling_prismatic.py:325-341). One
-        compile per distinct N: keep the lockstep width fixed (pad the last
-        partial group) to avoid recompiles."""
-        frames = []
-        for img in images_u8:
-            if self.center_crop:
-                img = center_crop_resize_tf(img, crop_scale=0.9)
-            if img.shape[:2] != (self.cfg.dino.image_size,) * 2:
-                img = resize_bicubic_pil(img, self.cfg.dino.image_size)
-            frames.append(img)
-        pixels = dual_normalize(jnp.asarray(np.stack(frames), jnp.float32) / 255.0)
-        pixels = pixels.astype(jnp.dtype(self.cfg.dtype))
-
-        ids, mask = self._tokenize(task_label)
-        n = pixels.shape[0]
-        ids = jnp.broadcast_to(jnp.asarray(ids), (n, ids.shape[1]))
-        mask = jnp.broadcast_to(jnp.asarray(mask), (n, mask.shape[1]))
-        res = self._decode(
-            self.params, self._place(ids), self._place(mask), self._place(pixels)
-        )
-        normalized = np.asarray(res.actions, np.float64)
-        return np.stack([
-            unnormalize_actions(a, self.norm_stats, self.unnorm_key) for a in normalized
-        ])
+        -> [N, 7] unnormalized actions from ONE decode call (the serving win
+        the reference's bs=1 `generate` path can't express,
+        modeling_prismatic.py:325-341)."""
+        return self.get_action_multi(images_u8, [task_label] * len(images_u8))
 
     def get_action_multi(
         self, images_u8: np.ndarray, task_labels: Sequence[str]
@@ -248,9 +208,11 @@ class VLAPolicy:
         greedy_decode_actions handles per-row prompts natively (right-padded
         ids + per-row true lengths, models/decode.py), so N requests for
         DIFFERENT instructions share one weight-streaming pass — the
-        coalescing primitive serving.DynamicBatcher builds on. Same program
-        as get_action_batch (prompts are padded to prompt_pad either way):
-        one compile per distinct N."""
+        coalescing primitive serving.DynamicBatcher builds on. On TPU the
+        7B's decode cost is weight-streaming-bound, so N requests cost ~the
+        same wall-clock as one. One compile per distinct N: keep the batch
+        width fixed (serving pads to buckets; lockstep eval pads the last
+        partial trial group) to avoid minutes-long recompiles."""
         if len(task_labels) != len(images_u8):
             raise ValueError(
                 f"{len(images_u8)} images vs {len(task_labels)} task labels"

@@ -36,6 +36,15 @@ import numpy as np
 _SENTINEL = object()
 
 
+def _fail_future(fut: Future, exc: BaseException) -> None:
+    """set_exception that tolerates a caller having cancelled the future —
+    an InvalidStateError here must never kill the worker/closer."""
+    try:
+        fut.set_exception(exc)
+    except Exception:
+        pass
+
+
 def default_buckets(max_batch: int) -> Tuple[int, ...]:
     """Powers of two up to and including max_batch (max_batch is always the
     last bucket even when it is not a power of two)."""
@@ -62,8 +71,9 @@ class DynamicBatcher:
                     is ~max_wait_ms + one decode.
     buckets       : ascending batch shapes to compile; default powers of two.
 
-    Shutdown: `close()` drains nothing — queued requests are failed with
-    RuntimeError so callers never hang. Use as a context manager.
+    Shutdown: `close()` stops new submissions, fails every request still in
+    the queue with RuntimeError (the in-flight batch, if any, completes), and
+    joins the worker. Use as a context manager.
     """
 
     def __init__(
@@ -98,11 +108,14 @@ class DynamicBatcher:
     # ------------------------------------------------------------- client API
     def submit(self, image_u8: np.ndarray, task_label: str) -> Future:
         """Enqueue one request; returns a Future resolving to the [7] action."""
-        if self._closed:
-            raise RuntimeError("DynamicBatcher is closed")
         fut: Future = Future()
-        self._q.put((np.asarray(image_u8), str(task_label), fut))
+        # the closed-check and the put are atomic vs close(): once close()
+        # flips _closed under this lock, no request can slip in AFTER its
+        # queue drain and hang its caller forever
         with self._lock:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._q.put((np.asarray(image_u8), str(task_label), fut))
             self.stats["requests"] += 1
         return fut
 
@@ -125,20 +138,27 @@ class DynamicBatcher:
         with self._lock:
             return dict(self._bucket_counts)
 
-    def close(self) -> None:
-        """Stop the worker; fail queued requests instead of hanging callers."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(_SENTINEL)
-        self._worker.join(timeout=30.0)
+    def close(self, timeout: Optional[float] = None) -> None:
+        """Stop accepting requests, fail everything still queued, stop the
+        worker. Any batch already executing completes and resolves its
+        futures; `timeout` bounds the join on it (None = wait — a 7B decode
+        through the relay can legitimately take minutes)."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        # Fail queued-but-unstarted requests BEFORE posting the sentinel (so
+        # this drain can never swallow it). The worker may race us for items;
+        # queue semantics hand each request to exactly one side — served or
+        # failed, never both, never neither.
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
-            if item is not _SENTINEL:
-                item[2].set_exception(RuntimeError("batcher closed"))
+            _fail_future(item[2], RuntimeError("batcher closed"))
+        self._q.put(_SENTINEL)
+        self._worker.join(timeout=timeout)
 
     def __enter__(self):
         return self
@@ -180,6 +200,14 @@ class DynamicBatcher:
             batch = self._take_batch()
             if batch is None:
                 return
+            # claim each future; a caller who cancel()ed while queued is
+            # dropped here — and can no longer cancel, so the set_result /
+            # set_exception below cannot raise InvalidStateError and kill
+            # this thread (submit() would then accept requests forever that
+            # nobody serves)
+            batch = [b for b in batch if b[2].set_running_or_notify_cancel()]
+            if not batch:
+                continue
             images = [b[0] for b in batch]
             tasks = [b[1] for b in batch]
             futures = [b[2] for b in batch]
@@ -196,11 +224,14 @@ class DynamicBatcher:
                 with self._lock:
                     self.stats["errors"] += 1
                 for f in futures:
-                    f.set_exception(e)
+                    _fail_future(f, e)
                 continue
             with self._lock:
                 self.stats["batches"] += 1
                 self.stats["padded_rows"] += bucket - n
                 self._bucket_counts[bucket] += 1
             for f, a in zip(futures, actions[:n]):
-                f.set_result(np.asarray(a))
+                try:
+                    f.set_result(np.asarray(a))
+                except Exception:  # belt-and-braces: never kill the worker
+                    pass

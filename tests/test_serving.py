@@ -128,6 +128,26 @@ def test_batcher_error_propagates_and_keeps_serving():
         b.close()
 
 
+def test_batcher_survives_cancelled_future():
+    """A caller cancel()ing its pending Future must not kill the worker
+    (set_result on a cancelled future raises InvalidStateError): the request
+    is dropped at claim time and later submissions still get served."""
+    stub = StubPolicy(delay_s=0.3)
+    b = DynamicBatcher(stub, max_batch=2, max_wait_ms=1.0)
+    try:
+        blocker = b.submit(_frames(1)[0], "task#0")
+        time.sleep(0.1)  # worker is now inside the 0.3 s decode
+        victim = b.submit(_frames(1)[0], "task#1")
+        assert victim.cancel()  # still queued -> cancellable
+        blocker.result(timeout=30)
+        np.testing.assert_array_equal(
+            b.get_action(_frames(1)[0], "task#5", timeout=30), np.full(7, 5.0)
+        )
+        assert victim.cancelled()
+    finally:
+        b.close()
+
+
 def test_batcher_close_fails_pending_and_rejects_new():
     stub = StubPolicy(delay_s=0.2)
     b = DynamicBatcher(stub, max_batch=1, max_wait_ms=1.0)
