@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     # the first N attached devices (parallel/sharding.py Megatron splits)
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int4"])
+    p.add_argument("--kv_cache", default=None, choices=[None, "int8"],
+                   help="int8 KV cache (exact per-position dequantization)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel serving over the first N devices")
     p.add_argument("--config_path", default=None, type=str,
@@ -92,7 +94,7 @@ def main(argv=None):
     policy = load_policy(
         args.checkpoint, model_name=model,
         unnorm_key=args.unnorm_key, center_crop=args.center_crop,
-        mesh=mesh, quantize=args.quantize,
+        mesh=mesh, quantize=args.quantize, kv_cache=args.kv_cache,
     )
     cfg = LiberoEvalConfig(
         task_suite_name=args.task_suite_name,

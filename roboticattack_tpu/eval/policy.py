@@ -72,6 +72,7 @@ class VLAPolicy:
         cooked_weights: bool = False,
         mesh=None,
         quantize: Optional[str] = None,
+        kv_cache: Optional[str] = None,
     ) -> None:
         """`cooked_weights=True`: params already went through
         decode_layout_params (the decode always runs the cooked math — an
@@ -94,7 +95,12 @@ class VLAPolicy:
         'int4:<group_size>', default 128): grouped-scale int4 stacks — ~5 GB
         total pytree, packed s4 streaming in the decode hot loop. Both
         compose with `mesh` (the scale leaves have TP specs). Host-side,
-        like cooking."""
+        like cooking.
+
+        `kv_cache='int8'`: int8 KV cache with exact per-position
+        dequantization around both attention matmuls (models/decode.py
+        _attend_kv8) — halves the cache's HBM bill, the next ceiling after
+        weight quantization at large serving batches."""
         quant_mode, quant_gs = _parse_quantize(quantize)
 
         def _host_xp(what):
@@ -148,7 +154,8 @@ class VLAPolicy:
         self.prompt_pad = prompt_pad
         self._decode = jax.jit(
             lambda p, ids, mask, px: greedy_decode_actions(
-                p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh
+                p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh,
+                kv_cache=kv_cache,
             )
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
@@ -247,6 +254,7 @@ def load_policy(
     seed: int = 42,
     mesh=None,
     quantize: Optional[str] = None,
+    kv_cache: Optional[str] = None,
 ) -> VLAPolicy:
     """Build a policy from a local HF checkpoint dir (or random weights for
     smoke tests when checkpoint is None)."""
@@ -277,7 +285,7 @@ def load_policy(
         }
         unnorm_key = unnorm_key or "synthetic"
     return VLAPolicy(params, cfg, tokenizer, norm_stats, unnorm_key, center_crop,
-                     mesh=mesh, quantize=quantize)
+                     mesh=mesh, quantize=quantize, kv_cache=kv_cache)
 
 
 # --- reference dispatch shims (experiments/robot/robot_utils.py:40-74) --------

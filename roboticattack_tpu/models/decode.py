@@ -178,6 +178,33 @@ def _attend(q, k, v, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _quantize_kv(x):
+    """Per-(batch, head, position) symmetric int8 over the head dim:
+    [B, H, T, hd] -> (int8 same shape, f32 scale [B, H, T])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q8 = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    return jnp.clip(q8, -127.0, 127.0).astype(jnp.int8), scale
+
+
+def _attend_kv8(q, k8, sk, v8, sv, bias):
+    """Attention over an int8 KV cache with per-position scales — exact
+    dequantization with ZERO extra matmuls, both scales being constant over
+    their contraction dims:
+      scores = (q @ k^T) = (q @ k8^T) * sk   (sk per key position/head)
+      out    = probs @ v = (probs * sv) @ v8 (sv folds into the probs)
+    The MXU sees int8->bf16 operand reads (HBM streams half the cache bytes);
+    the scales are [B, H, T] f32 — noise next to the [B, H, T, hd] cache."""
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * sk[:, :, None, :] * (q.shape[-1] ** -0.5) + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = (probs * sv[:, :, None, :]).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v8.astype(q.dtype))
+
+
 def _mlp(cfg, p, x, cooked=False):
     y = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
     gate = jax.nn.silu(_pj(p, "gate_w", y, cooked).astype(jnp.float32)).astype(x.dtype)
@@ -198,6 +225,7 @@ def greedy_decode_actions(
     num_steps: int = ACTION_DIM,
     cooked_weights: bool = False,  # params went through decode_layout_params
     mesh=None,                     # jax.sharding.Mesh with a 'model' axis for TP serving
+    kv_cache: Optional[str] = None,  # None (model dtype) or 'int8'
 ) -> DecodeResult:
     """Greedy multimodal generation of `num_steps` action tokens.
 
@@ -210,7 +238,15 @@ def greedy_decode_actions(
     is the capability the reference scales only by big-GPU HBM
     (modeling_prismatic.py:506-534): one 15.75 GB v5e fits bs<=4; tp=2 halves
     the 13 GB weight arguments per chip and bs=8 fits (tests/test_decode_tp).
-    """
+
+    `kv_cache='int8'`: store the cache int8 with per-(batch, head, position)
+    f32 scales — halves the next memory/bandwidth bill after weight
+    quantization (the 7B cache is ~2.7 GB at bs=16, ~5.5 at bs=32).
+    Dequantization is exact around both attention matmuls (_attend_kv8); the
+    fidelity cost is only the int8 rounding of each K/V row. Prefill
+    attention runs on the full-precision K/V (they are live in registers);
+    the first generated token is therefore bit-identical to the unquantized
+    program, and only the 6 cached decode steps see quantized keys."""
     from .config import PhiConfig
 
     if isinstance(cfg.llm, PhiConfig):
@@ -279,11 +315,20 @@ def greedy_decode_actions(
     # concatenating zero pads afterwards made XLA hold the cache in 2-3
     # layouts simultaneously (~590 MB each at bs=6) — the allocation that
     # capped single-chip decode at bs<=4.
+    if kv_cache not in (None, "int8"):
+        raise ValueError(f"kv_cache={kv_cache!r}; supported: None, 'int8'")
+    kv8 = kv_cache == "int8"
     nl = lcfg.num_layers
     cache_k = jnp.zeros(
-        (nl, b, lcfg.num_kv_heads, total, lcfg.head_dim), dtype=mm_emb.dtype
+        (nl, b, lcfg.num_kv_heads, total, lcfg.head_dim),
+        dtype=jnp.int8 if kv8 else mm_emb.dtype,
     )
     cache_v = jnp.zeros_like(cache_k)
+    # per-(batch, head, position) dequantization scales; zero on never-written
+    # slots is safe — those positions are NEG_INF-masked in every bias
+    kv_scale_shape = (nl, b, lcfg.num_kv_heads, total)
+    scale_k = jnp.zeros(kv_scale_shape, jnp.float32) if kv8 else None
+    scale_v = jnp.zeros(kv_scale_shape, jnp.float32) if kv8 else None
     if mesh is not None and "model" in mesh.axis_names:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -323,22 +368,33 @@ def greedy_decode_actions(
             kv_sharding = NamedSharding(mesh, P(None, batch_axis, "model", None, None))
             cache_k = jax.lax.with_sharding_constraint(cache_k, kv_sharding)
             cache_v = jax.lax.with_sharding_constraint(cache_v, kv_sharding)
+            if kv8:  # scales follow their cache slices
+                sc_sharding = NamedSharding(mesh, P(None, batch_axis, "model", None))
+                scale_k = jax.lax.with_sharding_constraint(scale_k, sc_sharding)
+                scale_v = jax.lax.with_sharding_constraint(scale_v, sc_sharding)
 
     def prefill_block(carry, inp):
-        x, ck, cv = carry
+        x, ck, cv, sk, sv = carry
         p, li = inp
         y = rms_norm(x, p["attn_norm"], lcfg.rms_eps)
         q, k, v = _qkv(lcfg, p, y, cooked_weights)
         q, k = apply_rope(q, k, cos_all[:t0], sin_all[:t0])
+        # prefill attends over the live full-precision K/V; quantization (if
+        # any) applies only to what the cached decode steps will re-read
         attn = _attend(q, k, v, prefix_bias)
         x = x + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(x.shape), cooked_weights)
         x = _mlp(lcfg, p, x, cooked_weights)
+        if kv8:
+            k, sk_l = _quantize_kv(k)
+            v, sv_l = _quantize_kv(v)
+            sk = jax.lax.dynamic_update_slice(sk, sk_l[None], (li, 0, 0, 0))
+            sv = jax.lax.dynamic_update_slice(sv, sv_l[None], (li, 0, 0, 0))
         ck = jax.lax.dynamic_update_slice(ck, k[None].astype(ck.dtype), (li, 0, 0, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0))
-        return (x, ck, cv), None
+        return (x, ck, cv, sk, sv), None
 
-    (hidden, cache_k, cache_v), _ = jax.lax.scan(
-        prefill_block, (mm_emb, cache_k, cache_v),
+    (hidden, cache_k, cache_v, scale_k, scale_v), _ = jax.lax.scan(
+        prefill_block, (mm_emb, cache_k, cache_v, scale_k, scale_v),
         (p_llm["layers"], jnp.arange(nl)),
     )
     hidden = rms_norm(hidden, p_llm["norm"], lcfg.rms_eps)
@@ -350,7 +406,7 @@ def greedy_decode_actions(
     slot_ids = jnp.arange(total)
 
     def step(carry, i):
-        token, ck, cv = carry
+        token, ck, cv, sk, sv = carry
         pos = num_patches + true_len + i              # [B] rope position of this token
         x = _embed_rows(p_llm, token, dtype)[:, None, :]  # [B, 1, D]
         cos = jnp.take(cos_all, pos, axis=0)[:, None, :]  # [B,1,hd]
@@ -364,25 +420,36 @@ def greedy_decode_actions(
         bias = jnp.where(prefix_valid | decode_valid, 0.0, NEG_INF)[:, None, None, :]
 
         def block(xc, layer):
-            p, ck_l, cv_l = layer
+            p, ck_l, cv_l, sk_l, sv_l = layer
             y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
             q, k, v = _qkv(lcfg, p, y, cooked_weights)
             q, k = apply_rope(q, k, cos, sin)
+            if kv8:
+                k, sk_new = _quantize_kv(k)
+                v, sv_new = _quantize_kv(v)
+                sk_l = jax.lax.dynamic_update_slice(sk_l, sk_new, (0, 0, t0 + i))
+                sv_l = jax.lax.dynamic_update_slice(sv_l, sv_new, (0, 0, t0 + i))
             ck_l = jax.lax.dynamic_update_slice(ck_l, k, (0, 0, t0 + i, 0))
             cv_l = jax.lax.dynamic_update_slice(cv_l, v, (0, 0, t0 + i, 0))
-            attn = _attend(q, ck_l, cv_l, bias)
+            if kv8:
+                attn = _attend_kv8(q, ck_l, sk_l, cv_l, sv_l, bias)
+            else:
+                attn = _attend(q, ck_l, cv_l, bias)
             xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
             xc = _mlp(lcfg, p, xc, cooked_weights)
-            return xc, (ck_l, cv_l)
+            return xc, (ck_l, cv_l, sk_l, sv_l)
 
-        x, (ck, cv) = jax.lax.scan(block, x, (p_llm["layers"], ck, cv))
+        x, (ck, cv, sk, sv) = jax.lax.scan(
+            block, x, (p_llm["layers"], ck, cv, sk, sv)
+        )
         h = rms_norm(x, p_llm["norm"], lcfg.rms_eps)
         logits = _lm_logits(p_llm, h)
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (next_token, ck, cv), token
+        return (next_token, ck, cv, sk, sv), token
 
-    (final_token, _, _), emitted = jax.lax.scan(
-        step, (first_token, cache_k, cache_v), jnp.arange(num_steps - 1)
+    (final_token, _, _, _, _), emitted = jax.lax.scan(
+        step, (first_token, cache_k, cache_v, scale_k, scale_v),
+        jnp.arange(num_steps - 1),
     )
     # emitted = tokens fed at steps 0..num_steps-2 = generated tokens 0..num_steps-2
     tokens = jnp.concatenate([emitted.T, final_token[:, None]], axis=1)  # [B, num_steps]

@@ -200,11 +200,12 @@ def compile_attack_step_7b(mesh: Mesh, batch_size: int = 8, pad_to: int = 32,
 
 
 def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
-                      quantize=False):
+                      quantize=False, kv_cache=None):
     """Lower + compile the FULL 7B TP serving decode (cooked layout) with
     abstract params on `mesh`. `quantize`: True/'int8' or 'int4' weight-only
     stacks (models/quant.py) — the single-chip bs>=8 (int8) / bs>=16 (int4)
-    serving configurations."""
+    serving configurations. `kv_cache='int8'` additionally halves the cache
+    temps (models/decode.py _attend_kv8)."""
     from ..models.decode import greedy_decode_actions
 
     cfg = evidence_7b_config()
@@ -218,7 +219,8 @@ def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
     )
     fn = jax.jit(
         lambda p, i, m, x: greedy_decode_actions(
-            p, cfg, i, m, x, cooked_weights=True, mesh=mesh
+            p, cfg, i, m, x, cooked_weights=True, mesh=mesh,
+            kv_cache=kv_cache,
         )
     )
     return fn.lower(p_abs, ids, msk, px).compile()

@@ -45,6 +45,10 @@ def main():
     # a weight-streaming-bound decode step reads half the HBM bytes. int4
     # (grouped scales, group=128): ~5.0 GB, packed s4 streaming per step
     ap.add_argument("--quantize", default=None, choices=[None, "int8", "int4"])
+    # int8 KV cache with exact per-position dequantization (models/decode.py
+    # _attend_kv8): halves the cache bytes — the next ceiling after weight
+    # quantization at large serving batches
+    ap.add_argument("--kv_cache", default=None, choices=[None, "int8"])
     # shell-env JAX_PLATFORMS is silently ignored on this box (sitecustomize
     # pins the TPU plugin — CLAUDE.md gotcha); this flag is the working override
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -142,7 +146,8 @@ def main():
 
     decode = jax.jit(
         lambda p, i, m, px: greedy_decode_actions(
-            p, cfg, i, m, px, cooked_weights=True, mesh=mesh
+            p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
+            kv_cache=args.kv_cache,
         )
     )
     rng = np.random.default_rng(0)

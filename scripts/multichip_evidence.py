@@ -184,13 +184,22 @@ def main():
                                       chips_per_host_bounds=(1, 1, 1)),
                     batch_size=bs, quantize=True)),
             )
-        # grouped int4: the bs=32 single-chip program (real HBM estimate)
+        # grouped int4: the bs=32 single-chip program (real HBM estimate),
+        # and the same with the int8 KV cache (the cache is a TEMP, so only
+        # these real-TPU estimates — not the CPU legs — can show its saving)
         L["tpu_decode_int4_1chip_bs32"] = run_leg(
             "TPU-AOT decode int4 1-chip bs32",
             lambda: tpu_leg(lambda: compile_decode_7b(
                 tpu_topology_mesh("v5e:1x1", (1, 1),
                                   chips_per_host_bounds=(1, 1, 1)),
                 batch_size=32, quantize="int4")),
+        )
+        L["tpu_decode_int4_kv8_1chip_bs32"] = run_leg(
+            "TPU-AOT decode int4+kv8 1-chip bs32",
+            lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x1", (1, 1),
+                                  chips_per_host_bounds=(1, 1, 1)),
+                batch_size=32, quantize="int4", kv_cache="int8")),
         )
 
         # record the flash-attention topology-AOT limitation explicitly
