@@ -35,6 +35,7 @@ Usage: python bench.py [--tiny] [--iters N] [--inner K] [--bs B] [--objectives u
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -45,6 +46,34 @@ REF_A100_ESTIMATE_RANGE = (0.7, 1.4)  # 35-70% MFU roofline minus host-work disc
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _devices_or_die(jax, timeout_s: float = None):
+    """jax.devices() with a hard timeout: the TPU relay on this box can go
+    fully unresponsive (measured 2026-08-17: device enumeration itself hangs
+    >1 h, not just compiles). The driver must always get its one JSON line,
+    so on timeout emit the error form and hard-exit — the enumeration thread
+    is unkillable while blocked in the PJRT client."""
+    import threading
+
+    if timeout_s is None:  # generous: slow-but-alive init is ~minutes here
+        timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", 900))
+    out = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if not out:
+        log(f"jax.devices() unresponsive after {timeout_s:.0f}s (relay down)")
+        print(json.dumps({
+            "metric": "uada_attack_inner_steps_per_sec_7b_bs8",
+            "value": 0.0,
+            "unit": "fwd+bwd inner steps/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"TPU relay unresponsive: jax.devices() exceeded "
+                     f"{timeout_s:.0f}s",
+        }))
+        os._exit(1)
+    return out[0]
 
 
 def main():
@@ -69,7 +98,7 @@ def main():
     from roboticattack_tpu.models import get_config, init_vla_params
     from roboticattack_tpu.utils import WordStubTokenizer
 
-    platform = jax.devices()[0].platform
+    platform = _devices_or_die(jax)[0].platform
     name = "vla-tiny" if (args.tiny or platform == "cpu") else "openvla-7b"
     cfg = get_config(name)
     log(f"platform={platform} model={name} bs={args.bs} inner={args.inner}")
