@@ -7,5 +7,6 @@ fleet needs on TPU: request coalescing into bucketed batch shapes
 """
 
 from .batcher import DynamicBatcher, default_buckets
+from .http import ActionServer, make_server
 
-__all__ = ["DynamicBatcher", "default_buckets"]
+__all__ = ["ActionServer", "DynamicBatcher", "default_buckets", "make_server"]

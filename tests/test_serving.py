@@ -198,3 +198,120 @@ def test_batcher_end_to_end_tiny_policy():
     for a in results.values():
         assert a.shape == (7,) and np.all(np.isfinite(a))
     assert set(seen_shapes) <= {1, 2, 4}, seen_shapes
+
+
+# -------------------------------------------------------------- HTTP serving
+def _post(url, payload, timeout=60):
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=_json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, _json.loads(r.read())
+    except Exception as e:  # urllib raises on 4xx/5xx
+        if hasattr(e, "read"):
+            return e.code, _json.loads(e.read())
+        raise
+
+
+def test_http_server_end_to_end():
+    """Concurrent POST /act clients with mixed instructions + both image
+    encodings; /healthz exposes the coalescing stats."""
+    import base64
+    import json as _json
+    import urllib.request
+
+    from roboticattack_tpu.serving.http import ActionServer
+
+    pol = load_policy(None, model_name="vla-tiny")
+    with ActionServer(pol, max_batch=4, max_wait_ms=50.0) as srv:
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+        frame = _frames(1)[0]
+
+        def b64_payload(task):
+            return {"task": task,
+                    "image_b64": base64.b64encode(frame.tobytes()).decode(),
+                    "shape": list(frame.shape)}
+
+        results = {}
+
+        def client(i):
+            task = ["pick up the block", "close the drawer"][i % 2]
+            payload = (b64_payload(task) if i % 2 == 0
+                       else {"task": task, "image": frame.tolist()})
+            results[i] = _post(base + "/act", payload, timeout=120)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (code, body) in results.items():
+            assert code == 200, (i, body)
+            assert len(body["action"]) == 7
+            assert all(np.isfinite(body["action"]))
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = _json.loads(r.read())
+        assert health["ok"] and health["stats"]["requests"] == 4
+        assert health["stats"]["batches"] >= 1
+
+
+def test_http_server_rejects_malformed():
+    from roboticattack_tpu.serving.http import ActionServer
+
+    pol = load_policy(None, model_name="vla-tiny")
+    with ActionServer(pol, max_batch=2, max_wait_ms=1.0) as srv:
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+        frame = _frames(1)[0]
+        # missing image
+        code, body = _post(base + "/act", {"task": "x"})
+        assert code == 400 and "image" in body["error"]
+        # shape/bytes mismatch
+        import base64 as _b64
+        code, body = _post(base + "/act", {
+            "task": "x",
+            "image_b64": _b64.b64encode(frame.tobytes()).decode(),
+            "shape": [1, 1, 3],
+        })
+        assert code == 400 and "bytes" in body["error"]
+        # empty task
+        code, body = _post(base + "/act", {"task": "", "image": frame.tolist()})
+        assert code == 400
+        # unknown path
+        code, body = _post(base + "/nope", {"task": "x"})
+        assert code == 404
+
+
+def test_serve_cli_smoke():
+    """The serve CLI builds, binds, and answers one request on the tiny
+    model (port 0 = ephemeral; --no_warmup keeps it fast)."""
+    import threading as _threading
+
+    from roboticattack_tpu.cli import serve as serve_cli
+
+    # drive main() with a shutdown: patch serve_forever via a port-0 server
+    # is awkward from main(); instead exercise the same wiring main() uses
+    args = serve_cli.build_parser().parse_args([
+        "--model", "vla-tiny", "--port", "0", "--max_batch", "2",
+        "--no_warmup",
+    ])
+    assert args.model == "vla-tiny" and args.port == 0
+    from roboticattack_tpu.eval.policy import load_policy as _lp
+    from roboticattack_tpu.serving.http import ActionServer
+
+    pol = _lp(None, model_name=args.model)
+    with ActionServer(pol, port=args.port, max_batch=args.max_batch) as srv:
+        host, port = srv.address
+        code, body = _post(
+            f"http://{host}:{port}/act",
+            {"task": "pick up the block", "image": _frames(1)[0].tolist()},
+            timeout=120,
+        )
+    assert code == 200 and len(body["action"]) == 7
