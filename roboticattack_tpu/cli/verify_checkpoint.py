@@ -15,7 +15,12 @@ dir or HF-Hub download), then
    checkpoint (fp32, CPU; RAM note: the 7B wants ~2x13 GB of host RAM for
    the LLM leg — use --modules to run legs one at a time if constrained),
 3. SMOKE    — a short TMA attack on synthetic frames: loss must descend and
-   a patch artifact is written.
+   a patch artifact is written,
+4. QUANT    — greedy-decode token agreement of the quantized serving
+   configurations (int8 / int4 / +int8-KV-cache, models/quant.py) against
+   the full-precision decode on the same inputs; the int8 row gates at
+   --quant-min-agreement (weight-only int8 is near-lossless on real LLM
+   weights), int4/kv8 rows are informational for the user's own A/B.
 
 Exit code 0 iff every requested step passes; a JSON report and the smoke
 patch land in --output. Offline-tested on tiny synthetic checkpoints in
@@ -40,8 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="registry model ID (see models.registry.available_model_names)")
     p.add_argument("--checkpoint", default=None,
                    help="local checkpoint dir (skips the HF-Hub download)")
-    p.add_argument("--steps", default="manifest,parity,smoke",
-                   help="comma-separated subset of manifest,parity,smoke")
+    p.add_argument("--steps", default="manifest,parity,smoke,quant",
+                   help="comma-separated subset of manifest,parity,smoke,quant")
     p.add_argument("--modules", default="dino,siglip,projector,llm,full",
                    help="parity modules (comma-separated)")
     p.add_argument("--parity-batch", type=int, default=2)
@@ -50,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smoke-iters", type=int, default=20)
     p.add_argument("--smoke-bs", type=int, default=2)
     p.add_argument("--smoke-lr", type=float, default=5e-2)
+    p.add_argument("--quant-modes", default="int8,int4,int8+kv8",
+                   help="quantized serving configs to compare against the "
+                        "full-precision decode (int8 | int4 | +kv8 suffix)")
+    p.add_argument("--quant-min-agreement", type=float, default=0.9,
+                   help="token-agreement gate, applied to the int8 mode "
+                        "(weight-only int8 is near-lossless on real LLM "
+                        "weights; int4/kv8 rows are informational)")
     p.add_argument("--output", default=None,
                    help="report/artifact dir (default: verify_<model>/)")
     p.add_argument("--cache_dir", default=None)
@@ -142,7 +154,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             steps = [s for s in steps if s == "manifest"]
             print("[manifest] failing fast: skipping parity/smoke")
 
-    if "parity" in steps or "smoke" in steps:
+    if any(s in steps for s in ("parity", "smoke", "quant")):
         from ..models.convert import convert_state_dict, read_state_dict
 
         t0 = time.time()
@@ -211,6 +223,42 @@ def main(argv: Optional[List[str]] = None) -> int:
             "patch_artifact": os.path.join(out_dir, "smoke", "patch.pt"),
         }
         ok &= sm["decreased"]
+
+    # --- 4. quantized-serving agreement ---------------------------------------
+    if "quant" in steps:
+        import jax
+
+        import numpy as np
+
+        n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+        if jax.devices()[0].platform == "cpu" and n_params > 1_000_000_000:
+            # each mode is n_batches 7B decodes — hours on host CPU; this leg
+            # belongs on the accelerator like the smoke
+            print(
+                f"[quant] SKIPPED: {n_params/1e9:.1f}B params on the CPU "
+                f"backend; run `--steps quant --device default` for the "
+                f"accelerator comparison"
+            )
+            report["steps"]["quant"] = {"skipped": "cpu backend, model too large"}
+        else:
+            from ..models.verify import quant_decode_report
+
+            t0 = time.time()
+            qr = quant_decode_report(
+                params, cfg,
+                modes=[m.strip() for m in args.quant_modes.split(",") if m.strip()],
+                seed=args.seed, min_agreement=args.quant_min_agreement,
+            )
+            report["steps"]["quant"] = qr
+            for mode, d in qr.items():
+                gate = "PASS" if d.get("ok", True) else "FAIL"
+                tag = gate if "ok" in d else "info"
+                print(f"[quant:{mode}] {tag} token_agreement="
+                      f"{d['token_agreement']:.4f} first_token="
+                      f"{d['first_token_agreement']:.4f} max|dA|="
+                      f"{d['max_abs_action_delta']:.4g}")
+                ok &= d.get("ok", True)
+            print(f"[quant] done in {time.time()-t0:.1f}s")
 
     report["ok"] = ok
     with open(os.path.join(out_dir, "verify_report.json"), "w") as f:

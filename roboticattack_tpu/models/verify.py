@@ -694,3 +694,120 @@ def tma_smoke(
     decreased = float(np.mean(losses[-k:])) < float(np.mean(losses[:k]))
     patch = np.asarray(jax.device_get(state.patch), np.float32)
     return {"losses": losses, "decreased": decreased, "patch": patch}
+
+
+def int4_group_size_for(cfg: VLAConfig) -> int:
+    """Largest standard group size dividing every decode contraction dim
+    (stack contractions: hidden, num_heads*head_dim, intermediate; lm_head:
+    hidden). 7B -> 128 (the GPTQ/AWQ convention); vla-tiny -> 64."""
+    lcfg = cfg.llm
+    dims = (
+        lcfg.hidden_size,
+        lcfg.num_heads * lcfg.head_dim,
+        lcfg.intermediate_size,
+    )
+    for gs in (128, 64, 32, 16, 8, 4):
+        if all(d % gs == 0 for d in dims):
+            return gs
+    return 1
+
+
+def quant_decode_report(
+    params,
+    cfg: VLAConfig,
+    modes: Sequence[str] = ("int8", "int4", "int8+kv8"),
+    batch_size: int = 2,
+    n_batches: int = 2,
+    prompt_pad: int = 32,
+    seed: int = 0,
+    min_agreement: float = 0.9,
+    gate_modes: Sequence[str] = ("int8",),
+) -> Dict:
+    """Quantized-serving acceptance: greedy-decode token agreement of each
+    quantized configuration against the full-precision decode on the SAME
+    synthetic frames/prompts (NEXT.md: "int8 accuracy on REAL released
+    weights should be validated with the acceptance gate before production
+    use"). Mode strings: 'int8' | 'int4' (group size auto via
+    int4_group_size_for) | either + '+kv8' (int8 KV cache).
+
+    `params` is the STORAGE-layout pytree (convert_state_dict output, host
+    numpy preferred). Reference and quantized programs run SEQUENTIALLY and
+    device arrays are dropped between runs, so peak accelerator memory is one
+    configuration's weights — the 7B fits this leg on one 15.75 GB chip.
+
+    Gate: `ok` per mode = all-token agreement >= min_agreement, applied only
+    to `gate_modes` (int8 weight-only is near-lossless on real LLM weights;
+    int4/kv8 entries are reported for the user's own A/B call). Random
+    tiny-model weights produce near-uniform logits where rounding flips
+    argmaxes — offline tests pin structure and gate logic, not agreement.
+    """
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import batch_iterator, dummy_frame_iterator
+    from ..utils import WordStubTokenizer
+    from ..utils.normalization import dual_normalize
+    from .decode import decode_layout_params, greedy_decode_actions
+    from .quant import quantize_decode_params
+
+    host = jax.device_get(params)
+    cooked = decode_layout_params(host, xp=np)
+
+    frames = dummy_frame_iterator(
+        WordStubTokenizer(), image_size=cfg.dino.image_size, seed=seed
+    )
+    inputs = []
+    for b in batch_iterator(frames, batch_size, pad_to=prompt_pad):
+        px = dual_normalize(jnp.asarray(b.images, jnp.float32))
+        inputs.append((
+            jnp.asarray(b.input_ids), jnp.asarray(b.attention_mask),
+            px.astype(jnp.dtype(cfg.dtype)),
+        ))
+        if len(inputs) == n_batches:
+            break
+
+    def run(pytree, kv_cache):
+        dev = jax.tree.map(lambda x: jnp.asarray(x), pytree)
+        fn = jax.jit(
+            lambda p, i, m, x: greedy_decode_actions(
+                p, cfg, i, m, x, cooked_weights=True, kv_cache=kv_cache,
+            )
+        )
+        toks, acts = [], []
+        for ids, mask, px in inputs:
+            r = fn(dev, ids, mask, px)
+            toks.append(np.asarray(jax.device_get(r.tokens)))
+            acts.append(np.asarray(jax.device_get(r.actions)))
+        del dev, fn
+        gc.collect()
+        return np.concatenate(toks), np.concatenate(acts)
+
+    ref_tokens, ref_actions = run(cooked, None)
+    report: Dict = {}
+    for mode in modes:
+        wq, kv = (mode.split("+") + [None])[:2]
+        kv_cache = "int8" if kv == "kv8" else None
+        gs = int4_group_size_for(cfg)
+        qp = quantize_decode_params(
+            cooked, xp=np, mode=wq, group_size=gs
+        ) if wq != "none" else cooked
+        tokens, actions = run(qp, kv_cache)
+        del qp
+        gc.collect()
+        agree = float(np.mean(tokens == ref_tokens))
+        entry = {
+            "token_agreement": round(agree, 4),
+            "first_token_agreement": round(
+                float(np.mean(tokens[:, 0] == ref_tokens[:, 0])), 4
+            ),
+            "max_abs_action_delta": round(
+                float(np.max(np.abs(actions - ref_actions))), 6
+            ),
+            "n_tokens": int(ref_tokens.size),
+        }
+        if mode in gate_modes:
+            entry["ok"] = agree >= min_agreement
+        report[mode] = entry
+    return report

@@ -146,6 +146,10 @@ def test_cli_end_to_end_accepts_and_writes_report(tmp_path):
     rc = main([
         "--model", "vla-tiny", "--checkpoint", str(tmp_path),
         "--output", str(out), "--smoke-iters", "6", "--parity-seq", "16",
+        # random tiny weights give near-uniform logits where int8 rounding
+        # flips argmaxes — gate OFF here; gate LOGIC is pinned separately
+        # (test_cli_quant_gate_rejects)
+        "--quant-min-agreement", "0",
     ])
     assert rc == 0
     report = json.loads((out / "verify_report.json").read_text())
@@ -154,6 +158,12 @@ def test_cli_end_to_end_accepts_and_writes_report(tmp_path):
     assert all(d["ok"] for d in report["steps"]["parity"].values())
     assert report["steps"]["smoke"]["decreased"] is True
     assert os.path.exists(out / "smoke" / "patch.pt")
+    quant = report["steps"]["quant"]
+    assert set(quant) == {"int8", "int4", "int8+kv8"}
+    assert quant["int8"]["ok"] is True  # gate at 0.0
+    for d in quant.values():
+        assert 0.0 <= d["token_agreement"] <= 1.0
+        assert 0.0 <= d["first_token_agreement"] <= 1.0
 
 
 def test_cli_fails_fast_on_bad_manifest(tmp_path, capsys):
@@ -297,9 +307,55 @@ def test_cli_accepts_prismatic_pt_layout(tmp_path):
     rc = main([
         "--model", "vla-tiny", "--checkpoint", str(tmp_path),
         "--output", str(out), "--smoke-iters", "6", "--parity-seq", "16",
+        "--quant-min-agreement", "0",  # random weights; see the HF-layout test
     ])
     assert rc == 0
     report = json.loads((out / "verify_report.json").read_text())
     assert report["layout"] == "prismatic-pt"
     assert report["ok"] is True and report["steps"]["manifest"]["ok"] is True
     assert all(d["ok"] for d in report["steps"]["parity"].values())
+
+
+def test_int4_group_size_selection():
+    from roboticattack_tpu.models.verify import int4_group_size_for
+    from roboticattack_tpu.parallel.evidence import evidence_7b_config
+
+    assert int4_group_size_for(evidence_7b_config()) == 128
+    assert int4_group_size_for(VLA_TINY) == 64  # tiny dims: 64/64/128
+
+
+def test_quant_decode_report_structure():
+    """The quant acceptance leg runs all three serving configurations and
+    reports agreement stats; the gate applies only to gate_modes."""
+    from roboticattack_tpu.models.verify import quant_decode_report
+
+    params = jax.device_get(init_vla_params(jax.random.key(11), VLA_TINY))
+    qr = quant_decode_report(
+        params, VLA_TINY, n_batches=1, min_agreement=0.0,
+    )
+    assert set(qr) == {"int8", "int4", "int8+kv8"}
+    assert "ok" in qr["int8"] and qr["int8"]["ok"] is True
+    assert "ok" not in qr["int4"] and "ok" not in qr["int8+kv8"]
+    for d in qr.values():
+        assert 0.0 <= d["token_agreement"] <= 1.0
+        assert d["n_tokens"] == 2 * 7
+        assert np.isfinite(d["max_abs_action_delta"])
+
+
+def test_cli_quant_gate_rejects(tmp_path):
+    """An unreachable agreement threshold must REJECT the checkpoint through
+    the quant gate (and only through it — the other legs pass)."""
+    from roboticattack_tpu.cli.verify_checkpoint import main
+
+    _write_checkpoint(tmp_path, seed=12)
+    out = tmp_path / "verify_out_q"
+    rc = main([
+        "--model", "vla-tiny", "--checkpoint", str(tmp_path),
+        "--output", str(out), "--steps", "manifest,quant",
+        "--quant-modes", "int8", "--quant-min-agreement", "1.01",
+    ])
+    assert rc == 1
+    report = json.loads((out / "verify_report.json").read_text())
+    assert report["ok"] is False
+    assert report["steps"]["manifest"]["ok"] is True
+    assert report["steps"]["quant"]["int8"]["ok"] is False
