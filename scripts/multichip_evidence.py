@@ -89,7 +89,18 @@ def main():
         return {"memory": memory_summary(comp),
                 "collectives": collective_summary(comp)}
 
+    # merge into an existing artifact: legs are keyed by name, so a CPU-only
+    # refresh keeps previously-compiled TPU legs (and vice versa) instead of
+    # clobbering them
     results = {"hbm_per_chip_gb": HBM_GB, "legs": {}}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prior = json.load(f)
+            results["legs"].update(prior.get("legs", {}))
+            log(f"merging into {args.out} ({len(results['legs'])} prior legs)")
+        except (json.JSONDecodeError, OSError) as e:
+            log(f"ignoring unreadable prior {args.out}: {e}")
     L = results["legs"]
 
     L["cpu_attack_dp4_tp2_bs8_pad32"] = run_leg(
