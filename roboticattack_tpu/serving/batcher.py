@@ -99,6 +99,8 @@ class DynamicBatcher:
             "requests": 0, "batches": 0, "padded_rows": 0, "errors": 0,
         }
         self._bucket_counts: Dict[int, int] = {b: 0 for b in self.buckets}
+        # submit->resolve wall-clock of the last 1024 served requests
+        self._latencies: List[float] = []
         self._closed = False
         self._worker = threading.Thread(
             target=self._run, name="vla-batcher", daemon=True
@@ -115,7 +117,9 @@ class DynamicBatcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("DynamicBatcher is closed")
-            self._q.put((np.asarray(image_u8), str(task_label), fut))
+            self._q.put(
+                (np.asarray(image_u8), str(task_label), fut, time.monotonic())
+            )
             self.stats["requests"] += 1
         return fut
 
@@ -137,6 +141,21 @@ class DynamicBatcher:
     def bucket_counts(self) -> Dict[int, int]:
         with self._lock:
             return dict(self._bucket_counts)
+
+    def latency_quantiles(self) -> Dict[str, float]:
+        """Submit->resolve wall-clock quantiles over the last 1024 served
+        requests (seconds). Empty dict before any request resolves."""
+        with self._lock:
+            lat = list(self._latencies)
+        if not lat:
+            return {}
+        lat.sort()
+
+        def q(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 4)
+
+        return {"p50_s": q(0.50), "p95_s": q(0.95), "p99_s": q(0.99),
+                "n": len(lat)}
 
     def close(self, timeout: Optional[float] = None) -> None:
         """Stop accepting requests, fail everything still queued, stop the
@@ -211,6 +230,7 @@ class DynamicBatcher:
             images = [b[0] for b in batch]
             tasks = [b[1] for b in batch]
             futures = [b[2] for b in batch]
+            submit_ts = [b[3] for b in batch]
             n = len(batch)
             bucket = self._bucket_for(n)
             # pad to the bucket shape with row-0 replicas (outputs dropped):
@@ -226,10 +246,13 @@ class DynamicBatcher:
                 for f in futures:
                     _fail_future(f, e)
                 continue
+            now = time.monotonic()
             with self._lock:
                 self.stats["batches"] += 1
                 self.stats["padded_rows"] += bucket - n
                 self._bucket_counts[bucket] += 1
+                self._latencies.extend(now - t for t in submit_ts)
+                del self._latencies[:-1024]
             for f, a in zip(futures, actions[:n]):
                 try:
                     f.set_result(np.asarray(a))

@@ -81,6 +81,7 @@ class _Handler(BaseHTTPRequestHandler):
             "ok": True,
             "stats": dict(self.batcher.stats),
             "buckets": {str(k): v for k, v in self.batcher.bucket_counts().items()},
+            "latency": self.batcher.latency_quantiles(),
         })
 
     def do_POST(self):

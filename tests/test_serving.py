@@ -315,3 +315,19 @@ def test_serve_cli_smoke():
             timeout=120,
         )
     assert code == 200 and len(body["action"]) == 7
+
+
+def test_batcher_latency_quantiles():
+    """Served requests feed p50/p95/p99 submit->resolve latency (bounded to
+    the last 1024 samples); empty before any request resolves."""
+    stub = StubPolicy(delay_s=0.05)
+    b = DynamicBatcher(stub, max_batch=4, max_wait_ms=5.0)
+    try:
+        assert b.latency_quantiles() == {}
+        for i in range(3):
+            b.get_action(_frames(1)[0], f"task#{i}", timeout=30)
+        q = b.latency_quantiles()
+    finally:
+        b.close()
+    assert q["n"] == 3
+    assert 0.05 <= q["p50_s"] <= q["p95_s"] <= q["p99_s"] < 30.0
