@@ -1,0 +1,143 @@
+"""Serving-throughput sweep -> SERVING_EVIDENCE.json (merged by config).
+
+Runs scripts/bench_decode.py across serving configurations on the attached
+chip and aggregates the per-batch JSON lines into one artifact, so measured
+serving numbers are tracked the same way compiled memory/collective facts
+are (MULTICHIP_EVIDENCE.json). Merge semantics: existing configs in the
+output file are kept unless re-run — a partial sweep (relay flake, OOM)
+never erases prior measurements.
+
+Usage:
+  python scripts/serving_sweep.py                    # default config grid
+  python scripts/serving_sweep.py --configs int4:1,8,16,32 int4+kv8:16,32,48
+  (config syntax: <weights>[+kv8]:<batch,list> with weights bf16|int8|int4)
+
+Each config runs in a FRESH subprocess: a wedged/OOM'd relay compile must
+not take the whole sweep down, and bench_decode's device state dies with
+its process. The relay is probed first (scripts/tpu_probe.py) — a dead
+relay writes nothing and exits 2.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_CONFIGS = [
+    "bf16:1,4",
+    "int8:8,16",
+    "int4:1,8,16,32",
+    "int4+kv8:16,32",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def parse_config(spec):
+    name, batches = spec.split(":", 1)
+    weights, _, kv = name.partition("+")
+    if weights not in ("bf16", "int8", "int4"):
+        raise ValueError(f"weights {weights!r} in {spec!r}")
+    if kv not in ("", "kv8"):
+        raise ValueError(f"kv suffix {kv!r} in {spec!r}")
+    return name, weights, ("int8" if kv == "kv8" else None), batches
+
+
+def run_config(name, weights, kv_cache, batches, iters, timeout_s,
+               platform=None):
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "bench_decode.py"),
+           "--batches", batches, "--iters", str(iters)]
+    if weights != "bf16":
+        cmd += ["--quantize", weights]
+    if kv_cache:
+        cmd += ["--kv_cache", kv_cache]
+    if platform:
+        cmd += ["--platform", platform]
+    log(f"[{name}] {' '.join(cmd[1:])}")
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return {"status": "timeout", "timeout_s": timeout_s}
+    rows = []
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    out = {
+        "status": "ok" if rows else "error",
+        "wall_s": round(time.time() - t0, 1),
+        "rows": rows,
+    }
+    if not rows:
+        out["stderr_tail"] = proc.stderr[-400:]
+    log(f"[{name}] {out['status']} in {out['wall_s']}s: "
+        + ", ".join(
+            f"bs={r.get('batch')} "
+            + (f"{r['actions_per_sec']}/s" if "actions_per_sec" in r
+               else f"ERR {r.get('error', '')[:60]}")
+            for r in rows))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", nargs="*", default=DEFAULT_CONFIGS,
+                    help="<bf16|int8|int4>[+kv8]:<batches>")
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(REPO, "SERVING_EVIDENCE.json"))
+    ap.add_argument("--per_config_timeout_s", type=int, default=3600)
+    ap.add_argument("--skip_probe", action="store_true")
+    # forwarded to bench_decode (CPU smoke: --platform cpu --skip_probe)
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    args = ap.parse_args()
+
+    if not args.skip_probe:
+        probe = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "tpu_probe.py")],
+            capture_output=True, text=True, timeout=600,
+        )
+        log(f"probe: {probe.stdout.strip() or probe.stderr.strip()}")
+        if probe.returncode != 0:
+            log("relay unhealthy; writing nothing")
+            return 2
+
+    results = {"configs": {}}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results["configs"].update(json.load(f).get("configs", {}))
+            log(f"merging into {args.out}")
+        except (json.JSONDecodeError, OSError) as e:
+            log(f"ignoring unreadable prior {args.out}: {e}")
+
+    for spec in args.configs:
+        name, weights, kv, batches = parse_config(spec)
+        results["configs"][name] = run_config(
+            name, weights, kv, batches, args.iters,
+            args.per_config_timeout_s, platform=args.platform,
+        )
+        # write after EVERY config: a later relay death keeps earlier rows
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+    ok = sum(1 for v in results["configs"].values() if v.get("status") == "ok")
+    print(json.dumps({"configs_ok": ok,
+                      "configs_total": len(results["configs"]),
+                      "out": args.out}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
