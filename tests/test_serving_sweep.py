@@ -1,0 +1,55 @@
+"""Pure-logic tests for scripts/serving_sweep.py (config grammar + merge
+durability). The measurement path itself is subprocess/TPU-bound and is
+driven by the script's own CPU smoke (`--platform cpu --skip_probe`)."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "serving_sweep",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "serving_sweep.py"),
+)
+sweep = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(sweep)
+
+
+def test_parse_config_grammar():
+    assert sweep.parse_config("bf16:1,4") == ("bf16", "bf16", None, "1,4")
+    assert sweep.parse_config("int8:8") == ("int8", "int8", None, "8")
+    assert sweep.parse_config("int4+kv8:16,32") == (
+        "int4+kv8", "int4", "int8", "16,32"
+    )
+    with pytest.raises(ValueError, match="weights"):
+        sweep.parse_config("fp8:1")
+    with pytest.raises(ValueError, match="kv suffix"):
+        sweep.parse_config("int4+kv4:1")
+
+
+def test_merge_keeps_prior_configs(tmp_path, monkeypatch):
+    """A sweep re-run must overlay, not clobber: prior configs survive and
+    the file is written after every config (partial-failure durability)."""
+    out = tmp_path / "SERVING_EVIDENCE.json"
+    out.write_text(json.dumps(
+        {"configs": {"int8": {"status": "ok", "rows": [{"batch": 8}]}}}
+    ))
+
+    calls = []
+
+    def fake_run(name, weights, kv, batches, iters, timeout_s, platform=None):
+        calls.append(name)
+        return {"status": "ok", "rows": [{"batch": 1}]}
+
+    monkeypatch.setattr(sweep, "run_config", fake_run)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["sweep", "--configs", "bf16:1", "--skip_probe", "--out", str(out)],
+    )
+    rc = sweep.main()
+    assert rc == 0 and calls == ["bf16"]
+    data = json.loads(out.read_text())
+    assert set(data["configs"]) == {"int8", "bf16"}
+    assert data["configs"]["int8"]["rows"] == [{"batch": 8}]
