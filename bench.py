@@ -58,19 +58,28 @@ def _devices_or_die(jax, timeout_s: float = None):
 
     if timeout_s is None:  # generous: slow-but-alive init is ~minutes here
         timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", 900))
-    out = []
-    t = threading.Thread(target=lambda: out.append(jax.devices()), daemon=True)
+    out, err = [], []
+
+    def enumerate_devices():
+        try:
+            out.append(jax.devices())
+        except Exception as e:  # report the REAL failure, not a fake timeout
+            err.append(f"{type(e).__name__}: {str(e)[:200]}")
+
+    t = threading.Thread(target=enumerate_devices, daemon=True)
     t.start()
     t.join(timeout=timeout_s)
     if not out:
-        log(f"jax.devices() unresponsive after {timeout_s:.0f}s (relay down)")
+        reason = (err[0] if err else
+                  f"TPU relay unresponsive: jax.devices() exceeded "
+                  f"{timeout_s:.0f}s")
+        log(f"jax.devices() failed: {reason}")
         print(json.dumps({
             "metric": "uada_attack_inner_steps_per_sec_7b_bs8",
             "value": 0.0,
             "unit": "fwd+bwd inner steps/s/chip",
             "vs_baseline": 0.0,
-            "error": f"TPU relay unresponsive: jax.devices() exceeded "
-                     f"{timeout_s:.0f}s",
+            "error": reason,
         }))
         os._exit(1)
     return out[0]

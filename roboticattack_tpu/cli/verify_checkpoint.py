@@ -87,6 +87,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.config.update("jax_platforms", "cpu")
     steps = [s.strip() for s in args.steps.split(",") if s.strip()]
     modules = tuple(m.strip() for m in args.modules.split(",") if m.strip())
+    quant_modes = [m.strip() for m in args.quant_modes.split(",") if m.strip()]
+    if "quant" in steps:
+        # validate BEFORE the expensive legs: a typo'd mode must not throw
+        # away a finished manifest/parity/smoke run
+        from ..models.verify import parse_quant_mode
+
+        for m in quant_modes:
+            parse_quant_mode(m)
     out_dir = args.output or f"verify_{args.model.replace('/', '_')}"
     os.makedirs(out_dir, exist_ok=True)
 
@@ -245,8 +253,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             t0 = time.time()
             qr = quant_decode_report(
-                params, cfg,
-                modes=[m.strip() for m in args.quant_modes.split(",") if m.strip()],
+                params, cfg, modes=quant_modes,
                 seed=args.seed, min_agreement=args.quant_min_agreement,
             )
             report["steps"]["quant"] = qr

@@ -712,6 +712,23 @@ def int4_group_size_for(cfg: VLAConfig) -> int:
     return 1
 
 
+def parse_quant_mode(mode: str) -> Tuple[Optional[str], Optional[str]]:
+    """'int8' | 'int4' | 'kv8' | '<weights>+kv8' -> (weights_mode | None,
+    kv_cache | None). Raises ValueError on anything else — callers validate
+    the full mode list BEFORE running expensive legs."""
+    weights, _, kv = mode.partition("+")
+    if weights == "kv8" and not kv:  # bare KV-cache-only config
+        weights, kv = "none", "kv8"
+    if weights not in ("int8", "int4", "none"):
+        raise ValueError(
+            f"quant mode {mode!r}: weights must be int8, int4, or none "
+            f"(for a kv8-only config), got {weights!r}"
+        )
+    if kv not in ("", "kv8"):
+        raise ValueError(f"quant mode {mode!r}: unknown suffix {kv!r}")
+    return (None if weights == "none" else weights), ("int8" if kv else None)
+
+
 def quant_decode_report(
     params,
     cfg: VLAConfig,
@@ -784,15 +801,13 @@ def quant_decode_report(
         gc.collect()
         return np.concatenate(toks), np.concatenate(acts)
 
+    parsed = [(m, parse_quant_mode(m)) for m in modes]  # validate ALL first
     ref_tokens, ref_actions = run(cooked, None)
     report: Dict = {}
-    for mode in modes:
-        wq, kv = (mode.split("+") + [None])[:2]
-        kv_cache = "int8" if kv == "kv8" else None
+    for mode, (wq, kv_cache) in parsed:
         gs = int4_group_size_for(cfg)
-        qp = quantize_decode_params(
-            cooked, xp=np, mode=wq, group_size=gs
-        ) if wq != "none" else cooked
+        qp = (quantize_decode_params(cooked, xp=np, mode=wq, group_size=gs)
+              if wq is not None else cooked)
         tokens, actions = run(qp, kv_cache)
         del qp
         gc.collect()

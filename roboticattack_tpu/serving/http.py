@@ -92,11 +92,15 @@ class _Handler(BaseHTTPRequestHandler):
             if n <= 0 or n > MAX_BODY_BYTES:
                 raise ValueError(f"Content-Length {n} out of range")
             payload = json.loads(self.rfile.read(n))
+            if not isinstance(payload, dict):
+                raise ValueError("body must be a JSON object")
             task = payload["task"]
             if not isinstance(task, str) or not task:
                 raise ValueError("task must be a non-empty string")
             image = _decode_image(payload)
-        except (ValueError, KeyError, json.JSONDecodeError) as e:
+        # TypeError covers malformed nested payloads (float shape entries,
+        # non-subscriptable bodies) — a 400, not a dropped connection
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
             return self._reply(400, {"error": str(e)})
         try:
             action = self.batcher.get_action(

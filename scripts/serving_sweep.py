@@ -75,8 +75,11 @@ def run_config(name, weights, kv_cache, batches, iters, timeout_s,
                 rows.append(json.loads(line))
             except json.JSONDecodeError:
                 pass
+    # 'ok' needs at least one MEASURED row — an all-OOM config emits only
+    # error rows and must not count as a successful measurement
+    measured = any("actions_per_sec" in r for r in rows)
     out = {
-        "status": "ok" if rows else "error",
+        "status": "ok" if measured else "error",
         "wall_s": round(time.time() - t0, 1),
         "rows": rows,
     }
@@ -104,10 +107,17 @@ def main():
     args = ap.parse_args()
 
     if not args.skip_probe:
-        probe = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "tpu_probe.py")],
-            capture_output=True, text=True, timeout=600,
-        )
+        try:
+            probe = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", "tpu_probe.py")],
+                capture_output=True, text=True, timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            # full-outage mode can block the probe INTERPRETER before its own
+            # stage timeouts engage (sitecustomize registers the PJRT plugin
+            # at start) — same clean exit as a failing probe
+            log("probe subprocess itself timed out; relay unhealthy")
+            return 2
         log(f"probe: {probe.stdout.strip() or probe.stderr.strip()}")
         if probe.returncode != 0:
             log("relay unhealthy; writing nothing")
@@ -122,8 +132,10 @@ def main():
         except (json.JSONDecodeError, OSError) as e:
             log(f"ignoring unreadable prior {args.out}: {e}")
 
+    ran = []
     for spec in args.configs:
         name, weights, kv, batches = parse_config(spec)
+        ran.append(name)
         results["configs"][name] = run_config(
             name, weights, kv, batches, args.iters,
             args.per_config_timeout_s, platform=args.platform,
@@ -132,11 +144,13 @@ def main():
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
 
-    ok = sum(1 for v in results["configs"].values() if v.get("status") == "ok")
-    print(json.dumps({"configs_ok": ok,
+    # exit status reflects THIS run only — merged prior configs must not let
+    # a sweep that measured nothing report success
+    ok = sum(1 for n in ran if results["configs"][n].get("status") == "ok")
+    print(json.dumps({"configs_ok": ok, "configs_ran": len(ran),
                       "configs_total": len(results["configs"]),
                       "out": args.out}))
-    return 0 if ok else 1
+    return 0 if ok == len(ran) and ran else 1
 
 
 if __name__ == "__main__":

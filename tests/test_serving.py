@@ -331,3 +331,24 @@ def test_batcher_latency_quantiles():
         b.close()
     assert q["n"] == 3
     assert 0.05 <= q["p50_s"] <= q["p95_s"] <= q["p99_s"] < 30.0
+
+
+def test_http_server_400_on_non_dict_and_bad_shape_types():
+    """Malformed bodies that used to raise TypeError (dropped connection)
+    must come back as clean 400s: non-dict JSON, float shape entries."""
+    from roboticattack_tpu.serving.http import ActionServer
+
+    pol = load_policy(None, model_name="vla-tiny")
+    with ActionServer(pol, max_batch=2, max_wait_ms=1.0) as srv:
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+        code, body = _post(base + "/act", [1, 2, 3])
+        assert code == 400 and "JSON object" in body["error"]
+        import base64 as _b64
+        frame = _frames(1)[0]
+        code, body = _post(base + "/act", {
+            "task": "x",
+            "image_b64": _b64.b64encode(frame.tobytes()).decode(),
+            "shape": [56.0, "56", 3],
+        })
+        assert code == 400

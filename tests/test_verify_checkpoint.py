@@ -359,3 +359,30 @@ def test_cli_quant_gate_rejects(tmp_path):
     assert report["ok"] is False
     assert report["steps"]["manifest"]["ok"] is True
     assert report["steps"]["quant"]["int8"]["ok"] is False
+
+
+def test_parse_quant_mode_grammar():
+    from roboticattack_tpu.models.verify import parse_quant_mode
+
+    assert parse_quant_mode("int8") == ("int8", None)
+    assert parse_quant_mode("int4+kv8") == ("int4", "int8")
+    assert parse_quant_mode("kv8") == (None, "int8")       # KV-only config
+    assert parse_quant_mode("none+kv8") == (None, "int8")
+    with pytest.raises(ValueError, match="weights"):
+        parse_quant_mode("fp8")
+    with pytest.raises(ValueError, match="suffix"):
+        parse_quant_mode("int8+kv4")
+
+
+def test_cli_rejects_bad_quant_mode_before_any_leg(tmp_path):
+    """A typo'd --quant-modes must fail BEFORE manifest/parity/smoke run —
+    not as a traceback after minutes of work."""
+    from roboticattack_tpu.cli.verify_checkpoint import main
+
+    _write_checkpoint(tmp_path, seed=13)
+    with pytest.raises(ValueError, match="quant mode"):
+        main([
+            "--model", "vla-tiny", "--checkpoint", str(tmp_path),
+            "--output", str(tmp_path / "o"), "--quant-modes", "fp8",
+        ])
+    assert not (tmp_path / "o" / "verify_report.json").exists()
