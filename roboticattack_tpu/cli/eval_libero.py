@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV cache (exact per-position dequantization)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel serving over the first N devices")
+    p.add_argument("--jacobi", type=str2bool, default=False,
+                   help="Jacobi self-speculative decode: draft each step "
+                        "with the previous step's tokens (exact greedy; the "
+                        "6-step decode tail usually collapses to one "
+                        "verification pass in a control loop)")
     p.add_argument("--config_path", default=None, type=str,
                    help="YAML/JSON LiberoEvalConfig file (draccus-style; the "
                         "reference's clean eval is config-file driven, "
@@ -104,6 +109,7 @@ def main(argv=None):
         center_crop=args.center_crop, seed=args.seed,
         output_dir=args.output, save_videos=args.save_videos,
         unnorm_key=args.unnorm_key, batch_trials=args.batch_trials,
+        jacobi=args.jacobi,
     )
     successes, episodes = eval_libero(cfg, policy)
     print(f"success rate: {successes}/{episodes}")

@@ -33,6 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[None, "int8", "int4"])
     p.add_argument("--kv_cache", default=None, choices=[None, "int8"])
     p.add_argument("--tp", default=1, type=int)
+    p.add_argument("--drafts", action="store_true",
+                   help="Jacobi self-speculative decode: clients send the "
+                        "previous response's 'tokens' as 'draft_tokens' and "
+                        "a correct draft runs the 6-step decode tail in one "
+                        "weight stream (models/decode.py); responses carry "
+                        "'tokens', /healthz adds verify-pass stats")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip precompiling the bucket ladder at startup")
     # shell-env JAX_PLATFORMS is silently ignored on this box (CLAUDE.md);
@@ -67,6 +73,7 @@ def main(argv=None):
     server = ActionServer(
         policy, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        drafts=args.drafts,
     )
     if not args.no_warmup:
         size = policy.cfg.dino.image_size

@@ -73,6 +73,11 @@ class LiberoEvalConfig:
     # 7B decode is weight-streaming-bound, so N envs cost ~one env's
     # wall-clock. Costs N live simulator instances of host RAM.
     batch_trials: int = 1
+    # Jacobi self-speculative decode: draft each step with the previous
+    # step's tokens (exact greedy, models/decode.py) — consecutive control
+    # steps mostly repeat action tokens, so the 6-step decode tail usually
+    # collapses to one verification pass
+    jacobi: bool = False
 
 
 def get_libero_env(task, resolution: int = 256):
@@ -164,7 +169,12 @@ def eval_libero(cfg: LiberoEvalConfig, policy: VLAPolicy):
                     frame = apply_patch_to_frame(frame, patch, cfg)
                     if cfg.save_videos:
                         frames.append(frame)
-                    action = policy.get_action(frame, task_description)
+                    # kwarg only in jacobi mode: duck-typed policies (mocks,
+                    # recorders) need not know about drafts
+                    action = policy.get_action(
+                        frame, task_description,
+                        **({"draft_tokens": "last"} if cfg.jacobi else {}),
+                    )
                     action = normalize_gripper_action(action, binarize=True)
                     action = invert_gripper_action(action)
                     obs, _, done, _ = env.step(action.tolist())
@@ -269,7 +279,10 @@ def _run_task_batched(cfg: LiberoEvalConfig, policy: VLAPolicy, task,
             if k < bs:  # keep the compiled decode shape
                 stack = np.concatenate([stack, np.repeat(stack[-1:], bs - k, axis=0)])
             try:
-                actions = policy.get_action_batch(stack, task_description)[:k]
+                actions = policy.get_action_batch(
+                    stack, task_description,
+                    **({"draft_tokens": "last"} if cfg.jacobi else {}),
+                )[:k]
             except Exception as e:
                 # a policy failure loses this GROUP (episodes fail), not the
                 # whole suite — mirrors the sequential path's swallow scope

@@ -158,7 +158,22 @@ class VLAPolicy:
                 kv_cache=kv_cache,
             )
         )
+        # Jacobi variant (separate program: the draft arg changes the tail's
+        # control flow — models/decode.py); compiled on first drafted call
+        self._decode_draft = jax.jit(
+            lambda p, ids, mask, px, d: greedy_decode_actions(
+                p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh,
+                kv_cache=kv_cache, draft_tokens=d,
+            )
+        )
         self._prompt_cache: Dict[str, np.ndarray] = {}
+        # [N, 7] token ids of the most recent get_action_multi call — the
+        # natural draft for the NEXT control step (consecutive robot actions
+        # mostly repeat tokens); callers opt in with draft_tokens="last"
+        self.last_tokens: Optional[np.ndarray] = None
+        # verification passes the most recent drafted decode ran (1 = draft
+        # accepted whole); serving observability for draft quality
+        self.last_verify_passes: Optional[int] = None
 
     def _place(self, arr: jnp.ndarray) -> jnp.ndarray:
         """Input placement: batch dim split over 'data' when the mesh has one
@@ -193,24 +208,47 @@ class VLAPolicy:
             self._prompt_cache[key] = (row, mask)
         return self._prompt_cache[key]
 
-    def get_action(self, image_u8: np.ndarray, task_label: str) -> np.ndarray:
+    def get_action(self, image_u8: np.ndarray, task_label: str,
+                   draft_tokens=None) -> np.ndarray:
         """image_u8: model-ready uint8 [224, 224, 3] frame (already patched if
-        attacking). Returns the unnormalized 7-DoF action."""
-        return self.get_action_multi(image_u8[None], [task_label])[0]
+        attacking). Returns the unnormalized 7-DoF action. draft_tokens="last"
+        Jacobi-drafts with the previous call's tokens (exact greedy; one
+        weight stream when the action repeats — the control-loop steady
+        state)."""
+        if draft_tokens is not None and not isinstance(draft_tokens, str):
+            draft_tokens = np.asarray(draft_tokens, np.int32).reshape(1, -1)
+        return self.get_action_multi(
+            image_u8[None], [task_label], draft_tokens=draft_tokens
+        )[0]
 
-    def get_action_batch(self, images_u8: np.ndarray, task_label: str) -> np.ndarray:
+    def get_action_batch(self, images_u8: np.ndarray, task_label: str,
+                         draft_tokens=None) -> np.ndarray:
         """Batched inference for lockstep multi-environment rollouts:
         images_u8 [N, H, W, 3] uint8 (one frame per live env, already patched)
         -> [N, 7] unnormalized actions from ONE decode call (the serving win
         the reference's bs=1 `generate` path can't express,
-        modeling_prismatic.py:325-341)."""
-        return self.get_action_multi(images_u8, [task_label] * len(images_u8))
+        modeling_prismatic.py:325-341). draft_tokens="last": per-env Jacobi
+        drafts from the previous lockstep step (rows keep their env across
+        steps, so the previous action is the natural draft)."""
+        return self.get_action_multi(
+            images_u8, [task_label] * len(images_u8), draft_tokens=draft_tokens
+        )
 
     def get_action_multi(
-        self, images_u8: np.ndarray, task_labels: Sequence[str]
+        self,
+        images_u8: np.ndarray,
+        task_labels: Sequence[str],
+        draft_tokens=None,
     ) -> np.ndarray:
         """Mixed-task batched inference: images_u8 [N, H, W, 3] uint8 with a
         task label PER ROW -> [N, 7] unnormalized actions from ONE decode.
+
+        `draft_tokens`: [N, 7] token ids (or the string "last" for the
+        previous call's tokens, batch widths permitting) switch the decode
+        tail to Jacobi verification passes (models/decode.py) — exact greedy,
+        and a correct draft runs the 6-step tail in ONE weight stream. In a
+        control loop the previous action IS such a draft; pass "last" from
+        the second step on.
 
         greedy_decode_actions handles per-row prompts natively (right-padded
         ids + per-row true lengths, models/decode.py), so N requests for
@@ -237,10 +275,40 @@ class VLAPolicy:
         rows = [self._tokenize(t) for t in task_labels]
         ids = jnp.asarray(np.concatenate([r[0] for r in rows], axis=0))
         mask = jnp.asarray(np.concatenate([r[1] for r in rows], axis=0))
-        res = self._decode(
-            self.params, self._place(ids), self._place(mask), self._place(pixels)
+        if isinstance(draft_tokens, str):
+            if draft_tokens != "last":
+                raise ValueError(f"draft_tokens={draft_tokens!r}; use 'last' "
+                                 "or an [N, 7] token array")
+            # cold start / batch-width change: a ZERO draft, not the plain
+            # decode — zeros are bounded by the sequential tail, and a
+            # "last"-driven control loop then compiles exactly ONE program
+            # (a 7B compile through the relay is minutes)
+            draft_tokens = (
+                self.last_tokens
+                if self.last_tokens is not None
+                and self.last_tokens.shape[0] == len(images_u8)
+                else np.zeros((len(images_u8), 7), np.int32)
+            )
+        if draft_tokens is not None:
+            res = self._decode_draft(
+                self.params, self._place(ids), self._place(mask),
+                self._place(pixels),
+                self._place(jnp.asarray(draft_tokens, jnp.int32)),
+            )
+        else:
+            res = self._decode(
+                self.params, self._place(ids), self._place(mask),
+                self._place(pixels)
+            )
+        # ONE host transfer for everything the caller and the draft loop
+        # need — each extra fetch is a full relay round-trip on the serving
+        # hot path (~ms against a 131 ms decode)
+        tokens, actions, passes = jax.device_get(
+            (res.tokens, res.actions, res.verify_passes)
         )
-        normalized = np.asarray(res.actions, np.float64)
+        self.last_verify_passes = None if passes is None else int(passes)
+        self.last_tokens = np.asarray(tokens)
+        normalized = np.asarray(actions, np.float64)
         return np.stack([
             unnormalize_actions(a, self.norm_stats, self.unnorm_key) for a in normalized
         ])

@@ -91,29 +91,44 @@ def _embed_rows(p_llm, ids, dtype):
     return e
 
 
-def _lm_logits(p_llm, h):
-    """[B, 1, D] hidden -> [B, V] f32 logits via the (possibly int8/int4)
-    lm_head [D, V]. int8 scale: [V] post-matmul; int4 scale: [V, D/gs]
-    grouped over the hidden contraction (always s == 1 here, so the grouped
-    partial tensor [b, 1, G, V] is small)."""
+def _lm_logits_all(p_llm, h):
+    """[B, S, D] hidden -> [B, S, V] f32 logits via the (possibly int8/int4)
+    lm_head [D, V]. int8 scale: [V] post-matmul (exact — constant per output
+    column). int4 scale: [V, D/gs] grouped over the hidden contraction; at
+    S == 1 (the cached decode step) contract per group so HBM streams packed
+    s4 bytes, at S > 1 (the Jacobi verification pass) dequantize the head
+    in-register and run one dense matmul — the [B, S, G, V] grouped partial
+    would be ~S x 28 MB/row while the bf16 dequant temp is a flat 262 MB
+    that streams once (same regime split as _proj's prefill branch)."""
     w = p_llm["lm_head"]
     sc = p_llm.get("lm_head_scale")
     if sc is None:
-        return (h @ w).astype(jnp.float32)[:, 0]
+        return (h @ w).astype(jnp.float32)
     if sc.ndim == 2:  # grouped int4
         d, v = w.shape
         g = sc.shape[-1]
         wg = w.reshape(g, d // g, v)
-        hg = h.reshape(h.shape[0], 1, g, d // g)
-        part = jnp.einsum(
-            "bsgi,giv->bsgv", hg, wg.astype(h.dtype),
+        if h.shape[1] == 1:
+            hg = h.reshape(h.shape[0], 1, g, d // g)
+            part = jnp.einsum(
+                "bsgi,giv->bsgv", hg, wg.astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.einsum("bsgv,vg->bsv", part, sc)
+        wd = (wg.astype(jnp.float32) * sc.T.reshape(g, 1, v)).reshape(d, v)
+        return jnp.einsum(
+            "bsd,dv->bsv", h, wd.astype(h.dtype),
             preferred_element_type=jnp.float32,
         )
-        return jnp.einsum("bsgv,vg->bsv", part, sc)[:, 0]
     out = jnp.einsum(
         "bsd,dv->bsv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
     )
-    return (out * sc)[:, 0]
+    return out * sc
+
+
+def _lm_logits(p_llm, h):
+    """[B, 1, D] hidden -> [B, V] f32 logits (single-position wrapper)."""
+    return _lm_logits_all(p_llm, h)[:, 0]
 
 
 def decode_layout_params(params, xp=np):
@@ -214,6 +229,11 @@ def _mlp(cfg, p, x, cooked=False):
 class DecodeResult(NamedTuple):
     tokens: jnp.ndarray   # [B, ACTION_DIM] generated token ids
     actions: jnp.ndarray  # [B, ACTION_DIM] normalized continuous actions
+    # number of Jacobi verification passes the decode tail ran (scalar int32;
+    # None on the sequential path). 1 = the draft was accepted whole — the
+    # serving observability signal for draft quality (prior-action drafts
+    # degrade when the scene changes fast)
+    verify_passes: Optional[jnp.ndarray] = None
 
 
 def greedy_decode_actions(
@@ -226,6 +246,7 @@ def greedy_decode_actions(
     cooked_weights: bool = False,  # params went through decode_layout_params
     mesh=None,                     # jax.sharding.Mesh with a 'model' axis for TP serving
     kv_cache: Optional[str] = None,  # None (model dtype) or 'int8'
+    draft_tokens: Optional[jnp.ndarray] = None,  # [B, num_steps] Jacobi draft
 ) -> DecodeResult:
     """Greedy multimodal generation of `num_steps` action tokens.
 
@@ -246,7 +267,26 @@ def greedy_decode_actions(
     fidelity cost is only the int8 rounding of each K/V row. Prefill
     attention runs on the full-precision K/V (they are live in registers);
     the first generated token is therefore bit-identical to the unquantized
-    program, and only the 6 cached decode steps see quantized keys."""
+    program, and only the 6 cached decode steps see quantized keys.
+
+    `draft_tokens` [B, num_steps]: run the decode tail as JACOBI fixed-point
+    verification passes instead of num_steps-1 sequential steps
+    (self-speculative decoding — no draft model). Each pass pushes all
+    num_steps draft positions through the stack at once (one s=7 pass costs
+    ~one s=1 step in the weight-streaming-bound regime), reads the greedy
+    token at every position, and feeds the outputs back as the next draft;
+    position i is provably exact after i passes, so the loop converges in
+    <= num_steps-1 passes — never slower than the sequential tail — and a
+    fully-correct draft verifies in ONE pass (~6x fewer weight streams on
+    the 7-token action decode). Robot control loops have exactly such
+    drafts: consecutive control steps mostly repeat the previous action's
+    tokens (pass the prior DecodeResult.tokens; eval/policy.py threads
+    this). Result tokens are the fixed point of the verification pass's own
+    greedy operator — bit-identical to the sequential path up to s=1-vs-s=7
+    matmul accumulation order (tests/test_decode_jacobi.py pins equality on
+    the tiny model). Position 0 ignores the draft (the prefill argmax is
+    already exact). The reference has no speculative path at all — its
+    `generate` is 7 sequential HF steps (modeling_prismatic.py:506-534)."""
     from .config import PhiConfig
 
     if isinstance(cfg.llm, PhiConfig):
@@ -402,9 +442,86 @@ def greedy_decode_actions(
     logits = _lm_logits(p_llm, last_hidden)
     first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
 
-    # --- cached decode steps -------------------------------------------------------
     slot_ids = jnp.arange(total)
+    prefix_valid = jnp.concatenate(
+        [mm_mask.astype(bool), jnp.zeros((b, num_steps), bool)], axis=1
+    )  # [B, total] — real prefix slots (draft/decode slots handled per step)
 
+    # --- Jacobi verification tail (draft_tokens given) ----------------------------
+    if draft_tokens is not None:
+        if tuple(draft_tokens.shape) != (b, num_steps):
+            raise ValueError(
+                f"draft_tokens shape {tuple(draft_tokens.shape)}; expected "
+                f"{(b, num_steps)} (one draft token per decode position)"
+            )
+        n = num_steps
+        d0 = jnp.concatenate(
+            [first_token[:, None], draft_tokens.astype(jnp.int32)[:, 1:]], axis=1
+        )
+        pos = num_patches + true_len[:, None] + jnp.arange(n)[None, :]  # [B, n]
+        cos_j = jnp.take(cos_all, pos, axis=0)  # [B, n, hd]
+        sin_j = jnp.take(sin_all, pos, axis=0)
+        # query i sees the prefix + draft slots t0..t0+i (causal inside the
+        # draft block; later slots hold this pass's k/v too but are masked)
+        draft_visible = (slot_ids[None, :] >= t0) & (
+            slot_ids[None, :] <= t0 + jnp.arange(n)[:, None]
+        )  # [n, total]
+        j_bias = jnp.where(
+            prefix_valid[:, None, :] | draft_visible[None], 0.0, NEG_INF
+        )[:, None]  # [B, 1, n, total]
+
+        def verify_block(xc, layer):
+            p, ck_l, cv_l, sk_l, sv_l = layer
+            y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
+            q, k, v = _qkv(lcfg, p, y, cooked_weights)
+            q, k = apply_rope(q, k, cos_j, sin_j)
+            if kv8:
+                k, sk_new = _quantize_kv(k)
+                v, sv_new = _quantize_kv(v)
+                sk_l = jax.lax.dynamic_update_slice(sk_l, sk_new, (0, 0, t0))
+                sv_l = jax.lax.dynamic_update_slice(sv_l, sv_new, (0, 0, t0))
+            ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype), (0, 0, t0, 0))
+            cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype), (0, 0, t0, 0))
+            if kv8:
+                attn = _attend_kv8(q, ck_l, sk_l, cv_l, sv_l, j_bias)
+            else:
+                attn = _attend(q, ck_l, cv_l, j_bias)
+            xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
+            xc = _mlp(lcfg, p, xc, cooked_weights)
+            return xc, (ck_l, cv_l, sk_l, sv_l)
+
+        def jacobi_body(carry):
+            d, _, it, ck, cv, sk, sv = carry
+            x = _embed_rows(p_llm, d, dtype)  # [B, n, D]
+            x, (ck, cv, sk, sv) = jax.lax.scan(
+                verify_block, x, (p_llm["layers"], ck, cv, sk, sv)
+            )
+            h = rms_norm(x, p_llm["norm"], lcfg.rms_eps)
+            out = jnp.argmax(_lm_logits_all(p_llm, h), axis=-1).astype(jnp.int32)
+            # out[:, i] = greedy token AFTER consuming d[:, :i+1]; position 0
+            # stays the prefill argmax (exact by construction)
+            new_d = jnp.concatenate([d[:, :1], out[:, :-1]], axis=1)
+            return new_d, jnp.any(new_d != d), it + jnp.int32(1), ck, cv, sk, sv
+
+        def jacobi_cond(carry):
+            _, changed, it, *_ = carry
+            # position i is exact after i passes -> all n positions are
+            # provably exact after n-1 passes even if `changed` is still True
+            # (the last pass fixed position n-1); never run a pass the
+            # sequential tail wouldn't have
+            return changed & (it < n - 1)
+
+        init = (d0, jnp.bool_(True), jnp.int32(0),
+                cache_k, cache_v, scale_k, scale_v)
+        if n > 1:
+            d_fix, _, passes, *_ = jax.lax.while_loop(
+                jacobi_cond, jacobi_body, init
+            )
+        else:
+            d_fix, passes = d0, jnp.int32(0)
+        return _detokenize(cfg, d_fix, verify_passes=passes)
+
+    # --- cached decode steps -------------------------------------------------------
     def step(carry, i):
         token, ck, cv, sk, sv = carry
         pos = num_patches + true_len + i              # [B] rope position of this token
@@ -413,9 +530,6 @@ def greedy_decode_actions(
         sin = jnp.take(sin_all, pos, axis=0)[:, None, :]
 
         # keys valid: real prefix slots OR decode slots <= current
-        prefix_valid = jnp.concatenate(
-            [mm_mask.astype(bool), jnp.zeros((b, num_steps), bool)], axis=1
-        )
         decode_valid = (slot_ids[None, :] >= t0) & (slot_ids[None, :] <= t0 + i)
         bias = jnp.where(prefix_valid | decode_valid, 0.0, NEG_INF)[:, None, None, :]
 
@@ -453,13 +567,17 @@ def greedy_decode_actions(
     )
     # emitted = tokens fed at steps 0..num_steps-2 = generated tokens 0..num_steps-2
     tokens = jnp.concatenate([emitted.T, final_token[:, None]], axis=1)  # [B, num_steps]
+    return _detokenize(cfg, tokens)
 
-    # de-tokenize (modeling_prismatic.py:521-524): action vocab excludes pad rows
+
+def _detokenize(cfg, tokens, verify_passes=None):
+    """Tokens -> normalized actions (modeling_prismatic.py:521-524): action
+    vocab excludes pad rows; clip + bin-center lookup."""
     action_vocab = cfg.action_vocab_size
     discretized = jnp.clip(action_vocab - tokens - 1, 0, BIN_CENTERS.shape[0] - 1)
     centers = jnp.asarray(BIN_CENTERS, jnp.float32)
     actions = centers[discretized]
-    return DecodeResult(tokens=tokens, actions=actions)
+    return DecodeResult(tokens=tokens, actions=actions, verify_passes=verify_passes)
 
 
 def ensure_trailing_empty_token(

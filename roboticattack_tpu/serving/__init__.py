@@ -3,7 +3,10 @@
 The reference's serving surface is bs=1 `predict_action`
 (modeling_prismatic.py:506-534); this package adds what a production robot
 fleet needs on TPU: request coalescing into bucketed batch shapes
-(DynamicBatcher) over VLAPolicy.get_action_multi's mixed-task batches.
+(DynamicBatcher) over VLAPolicy.get_action_multi's mixed-task batches, and
+Jacobi self-speculative drafts (drafts=True / submit_full): clients send the
+previous step's tokens back and a correct draft runs the 6-step decode tail
+in ONE weight stream (models/decode.py draft_tokens).
 
 Deliberately NOT here — continuous batching / paged KV (vLLM-style): those
 exist to fill bubbles left by VARIABLE-length generation. `predict_action`
@@ -14,7 +17,8 @@ compute. If a future model family generates variable-length outputs,
 revisit.
 """
 
-from .batcher import DynamicBatcher, default_buckets
+from .batcher import ActResult, DynamicBatcher, default_buckets
 from .http import ActionServer, make_server
 
-__all__ = ["ActionServer", "DynamicBatcher", "default_buckets", "make_server"]
+__all__ = ["ActResult", "ActionServer", "DynamicBatcher", "default_buckets",
+           "make_server"]

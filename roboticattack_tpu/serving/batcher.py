@@ -29,11 +29,21 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
 _SENTINEL = object()
+
+
+class ActResult(NamedTuple):
+    """submit_full() resolution: the action plus the greedy tokens that
+    produced it — the client sends the tokens back as `draft_tokens` on its
+    NEXT request (Jacobi self-speculation, models/decode.py: a correct draft
+    runs the 6-step decode tail in one weight stream)."""
+
+    action: np.ndarray  # [7] unnormalized
+    tokens: Optional[np.ndarray]  # [7] int32 (None if the policy has no tokens)
 
 
 def _fail_future(fut: Future, exc: BaseException) -> None:
@@ -82,8 +92,18 @@ class DynamicBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         buckets: Optional[Sequence[int]] = None,
+        drafts: bool = False,
     ) -> None:
+        """`drafts=True`: every batch runs the policy's Jacobi decode path
+        (get_action_multi draft_tokens=...), with per-request drafts from
+        submit_full and zeros for requests without one — zero drafts are
+        bounded by the sequential tail, correct drafts collapse it to one
+        pass. One compiled program per bucket either way (the draft path is
+        a DIFFERENT program, so mixing drafted and plain batches would
+        double the warmup compiles — minutes each on the 7B relay — which
+        is why this is a constructor mode, not a per-request choice)."""
         self.policy = policy
+        self.drafts = bool(drafts)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.buckets = tuple(sorted(buckets)) if buckets else default_buckets(
@@ -101,6 +121,9 @@ class DynamicBatcher:
         self._bucket_counts: Dict[int, int] = {b: 0 for b in self.buckets}
         # submit->resolve wall-clock of the last 1024 served requests
         self._latencies: List[float] = []
+        # Jacobi verification passes of the last 1024 drafted batches (1 =
+        # drafts accepted whole — the live draft-quality signal)
+        self._verify_passes: List[int] = []
         self._closed = False
         self._worker = threading.Thread(
             target=self._run, name="vla-batcher", daemon=True
@@ -110,6 +133,34 @@ class DynamicBatcher:
     # ------------------------------------------------------------- client API
     def submit(self, image_u8: np.ndarray, task_label: str) -> Future:
         """Enqueue one request; returns a Future resolving to the [7] action."""
+        return self._submit(image_u8, task_label, None, False)
+
+    def submit_full(
+        self,
+        image_u8: np.ndarray,
+        task_label: str,
+        draft_tokens=None,
+    ) -> Future:
+        """Like submit(), but the Future resolves to an ActResult
+        (action + the greedy tokens), and `draft_tokens` [7] from the
+        client's previous step seeds the Jacobi decode. Needs
+        drafts=True on the batcher."""
+        if draft_tokens is not None:
+            draft_tokens = np.asarray(draft_tokens, np.int32)
+            if draft_tokens.shape != (7,):
+                raise ValueError(
+                    f"draft_tokens must be 7 token ids, got shape "
+                    f"{draft_tokens.shape}"
+                )
+            if not self.drafts:
+                raise ValueError(
+                    "draft_tokens needs DynamicBatcher(drafts=True) — the "
+                    "Jacobi decode is a separate compiled program per bucket "
+                    "and must be warmed up, not compiled on a live request"
+                )
+        return self._submit(image_u8, task_label, draft_tokens, True)
+
+    def _submit(self, image_u8, task_label, draft, wants_full) -> Future:
         fut: Future = Future()
         # the closed-check and the put are atomic vs close(): once close()
         # flips _closed under this lock, no request can slip in AFTER its
@@ -118,7 +169,8 @@ class DynamicBatcher:
             if self._closed:
                 raise RuntimeError("DynamicBatcher is closed")
             self._q.put(
-                (np.asarray(image_u8), str(task_label), fut, time.monotonic())
+                (np.asarray(image_u8), str(task_label), fut, time.monotonic(),
+                 draft, wants_full)
             )
             self.stats["requests"] += 1
         return fut
@@ -133,10 +185,17 @@ class DynamicBatcher:
     def warmup(self, image_u8: np.ndarray, task_label: str = "warmup") -> None:
         """Compile every bucket's decode program before traffic (a 7B bucket
         compile through the relay is minutes — do not pay it on a live
-        request)."""
+        request). In drafts mode, warms the Jacobi program — the one the
+        worker will actually run."""
         for b in self.buckets:
             imgs = np.stack([image_u8] * b)
-            self.policy.get_action_multi(imgs, [task_label] * b)
+            if self.drafts:
+                self.policy.get_action_multi(
+                    imgs, [task_label] * b,
+                    draft_tokens=np.zeros((b, 7), np.int32),
+                )
+            else:
+                self.policy.get_action_multi(imgs, [task_label] * b)
 
     def bucket_counts(self) -> Dict[int, int]:
         with self._lock:
@@ -156,6 +215,17 @@ class DynamicBatcher:
 
         return {"p50_s": q(0.50), "p95_s": q(0.95), "p99_s": q(0.99),
                 "n": len(lat)}
+
+    def verify_pass_stats(self) -> Dict[str, float]:
+        """Mean/max Jacobi verification passes over the last 1024 drafted
+        batches (empty before any drafted batch; 1.0 mean = every draft
+        accepted whole)."""
+        with self._lock:
+            vp = list(self._verify_passes)
+        if not vp:
+            return {}
+        return {"mean": round(sum(vp) / len(vp), 2), "max": max(vp),
+                "n": len(vp)}
 
     def close(self, timeout: Optional[float] = None) -> None:
         """Stop accepting requests, fail everything still queued, stop the
@@ -231,6 +301,8 @@ class DynamicBatcher:
             tasks = [b[1] for b in batch]
             futures = [b[2] for b in batch]
             submit_ts = [b[3] for b in batch]
+            drafts = [b[4] for b in batch]
+            wants_full = [b[5] for b in batch]
             n = len(batch)
             bucket = self._bucket_for(n)
             # pad to the bucket shape with row-0 replicas (outputs dropped):
@@ -238,14 +310,30 @@ class DynamicBatcher:
             for _ in range(bucket - n):
                 images.append(images[0])
                 tasks.append(tasks[0])
+                drafts.append(drafts[0])
             try:
-                actions = self.policy.get_action_multi(np.stack(images), tasks)
+                if self.drafts:
+                    # zeros for draftless rows: bounded by the sequential
+                    # tail; ONE program per bucket either way
+                    d = np.stack([
+                        np.zeros(7, np.int32) if x is None else x
+                        for x in drafts
+                    ])
+                    actions = self.policy.get_action_multi(
+                        np.stack(images), tasks, draft_tokens=d
+                    )
+                else:
+                    actions = self.policy.get_action_multi(
+                        np.stack(images), tasks
+                    )
             except Exception as e:  # fail THIS batch; keep serving
                 with self._lock:
                     self.stats["errors"] += 1
                 for f in futures:
                     _fail_future(f, e)
                 continue
+            tokens = getattr(self.policy, "last_tokens", None)
+            passes = getattr(self.policy, "last_verify_passes", None)
             now = time.monotonic()
             with self._lock:
                 self.stats["batches"] += 1
@@ -253,8 +341,15 @@ class DynamicBatcher:
                 self._bucket_counts[bucket] += 1
                 self._latencies.extend(now - t for t in submit_ts)
                 del self._latencies[:-1024]
-            for f, a in zip(futures, actions[:n]):
+                if passes is not None:
+                    self._verify_passes.append(int(passes))
+                    del self._verify_passes[:-1024]
+            for i, (f, a) in enumerate(zip(futures, actions[:n])):
+                a = np.asarray(a)
+                if wants_full[i]:
+                    t = None if tokens is None else np.asarray(tokens[i])
+                    a = ActResult(action=a, tokens=t)
                 try:
-                    f.set_result(np.asarray(a))
+                    f.set_result(a)
                 except Exception:  # belt-and-braces: never kill the worker
                     pass

@@ -11,10 +11,15 @@ Protocol (JSON over HTTP/1.1):
     {"task": "<instruction>",
      "image_b64": "<base64 of raw uint8 H*W*3 bytes>", "shape": [H, W, 3]}
     or {"task": ..., "image": <nested uint8 list [H][W][3]>}
-    -> 200 {"action": [7 floats]}        (unnormalized 7-DoF)
+    optionally + "draft_tokens": [7 ints]  (the previous response's "tokens";
+    needs a drafts-enabled server — Jacobi self-speculative decode,
+    models/decode.py: a correct draft runs the 6-step tail in one pass)
+    -> 200 {"action": [7 floats], "tokens": [7 ints]}   (unnormalized 7-DoF;
+       "tokens" present on drafts-enabled servers — send it back next step)
     -> 400 {"error": ...} on malformed input, 500 on decode failure
   GET /healthz
-    -> 200 {"ok": true, "stats": {...}, "buckets": {...}}
+    -> 200 {"ok": true, "stats": {...}, "buckets": {...}, "latency": {...},
+            "verify_passes": {...}}  (last field on drafts-enabled servers)
 
 Deliberately NOT here: TLS, auth, schema evolution — this is the in-cluster
 data plane; put a real gateway in front for anything public.
@@ -77,12 +82,15 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path != "/healthz":
             return self._reply(404, {"error": "unknown path"})
-        self._reply(200, {
+        body = {
             "ok": True,
             "stats": dict(self.batcher.stats),
             "buckets": {str(k): v for k, v in self.batcher.bucket_counts().items()},
             "latency": self.batcher.latency_quantiles(),
-        })
+        }
+        if self.batcher.drafts:
+            body["verify_passes"] = self.batcher.verify_pass_stats()
+        self._reply(200, body)
 
     def do_POST(self):
         if self.path != "/act":
@@ -98,17 +106,39 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(task, str) or not task:
                 raise ValueError("task must be a non-empty string")
             image = _decode_image(payload)
+            draft = payload.get("draft_tokens")
+            if draft is not None:
+                if not self.batcher.drafts:
+                    raise ValueError(
+                        "this server was not started with drafts enabled "
+                        "(cli.serve --drafts)"
+                    )
+                draft = np.asarray(draft, np.int32)
+                if draft.shape != (7,):
+                    raise ValueError(
+                        f"draft_tokens must be 7 ints, got shape {draft.shape}"
+                    )
         # TypeError covers malformed nested payloads (float shape entries,
         # non-subscriptable bodies) — a 400, not a dropped connection
         except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
             return self._reply(400, {"error": str(e)})
         try:
-            action = self.batcher.get_action(
-                image, task, timeout=self.act_timeout_s
-            )
+            if self.batcher.drafts:
+                res = self.batcher.submit_full(image, task, draft).result(
+                    timeout=self.act_timeout_s
+                )
+                action, tokens = res.action, res.tokens
+            else:
+                action = self.batcher.get_action(
+                    image, task, timeout=self.act_timeout_s
+                )
+                tokens = None
         except Exception as e:  # decode failure / shutdown / timeout
             return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
-        self._reply(200, {"action": [float(x) for x in action]})
+        body = {"action": [float(x) for x in action]}
+        if tokens is not None:
+            body["tokens"] = [int(t) for t in tokens]
+        self._reply(200, body)
 
 
 def make_server(
@@ -137,9 +167,11 @@ class ActionServer:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         act_timeout_s: float = 300.0,
+        drafts: bool = False,
     ) -> None:
         self.batcher = DynamicBatcher(
-            policy, max_batch=max_batch, max_wait_ms=max_wait_ms
+            policy, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            drafts=drafts,
         )
         self.httpd = make_server(self.batcher, host, port, act_timeout_s)
         self._thread: Optional[threading.Thread] = None

@@ -49,6 +49,11 @@ def main():
     # _attend_kv8): halves the cache bytes — the next ceiling after weight
     # quantization at large serving batches
     ap.add_argument("--kv_cache", default=None, choices=[None, "int8"])
+    # Jacobi self-speculative tail (models/decode.py draft_tokens): 'warm'
+    # drafts with the previous identical call's tokens (the control-loop
+    # best case — one verification pass replaces the 6-step tail), 'cold'
+    # drafts zeros (worst case: bounded by the sequential tail's 6 streams)
+    ap.add_argument("--jacobi", default=None, choices=[None, "warm", "cold"])
     # shell-env JAX_PLATFORMS is silently ignored on this box (sitecustomize
     # pins the TPU plugin — CLAUDE.md gotcha); this flag is the working override
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -150,6 +155,12 @@ def main():
             kv_cache=args.kv_cache,
         )
     )
+    decode_draft = jax.jit(
+        lambda p, i, m, px, d: greedy_decode_actions(
+            p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
+            kv_cache=args.kv_cache, draft_tokens=d,
+        )
+    )
     rng = np.random.default_rng(0)
     size = cfg.dino.image_size
     for bs in [int(b) for b in args.batches.split(",")]:
@@ -163,13 +174,33 @@ def main():
         # decode — impossible); device_get of the tiny [B,7] result is the
         # only reliable completion barrier, and its transfer is negligible
         try:
-            t0 = time.time()
-            np.asarray(jax.device_get(decode(params, i_b, m_b, px).actions))
-            compile_s = time.time() - t0
+            verify_passes = None
+            if args.jacobi:
+                # compile the ONE program being measured first (zero draft),
+                # then derive the warm draft from ITS OWN greedy tokens —
+                # compiling the sequential program just for a draft would
+                # double the 7B relay compiles per batch size
+                zero = jnp.zeros((bs, 7), jnp.int32)
+                t0 = time.time()
+                res = decode_draft(params, i_b, m_b, px, zero)
+                tokens = np.asarray(jax.device_get(res.tokens))
+                compile_s = time.time() - t0
+                # warm = the same inputs' own tokens (control-loop best case:
+                # the previous action repeats); cold = zeros (worst case,
+                # bounded by the sequential tail)
+                draft = jnp.asarray(tokens) if args.jacobi == "warm" else zero
+                verify_passes = int(jax.device_get(
+                    decode_draft(params, i_b, m_b, px, draft).verify_passes))
+                run = lambda: decode_draft(params, i_b, m_b, px, draft)
+            else:
+                t0 = time.time()
+                np.asarray(jax.device_get(decode(params, i_b, m_b, px).actions))
+                compile_s = time.time() - t0
+                run = lambda: decode(params, i_b, m_b, px)
             times = []
             for _ in range(args.iters):
                 t0 = time.time()
-                np.asarray(jax.device_get(decode(params, i_b, m_b, px).actions))
+                np.asarray(jax.device_get(run().actions))
                 times.append(time.time() - t0)
         except Exception as e:
             log(f"bs={bs}: FAILED ({type(e).__name__}: {str(e)[:160]})")
@@ -179,13 +210,17 @@ def main():
             }), flush=True)
             continue
         best = min(times)
-        print(json.dumps({
+        row = {
             "metric": "predict_action_throughput",
             "batch": bs,
             "latency_s": round(best, 4),
             "actions_per_sec": round(bs / best, 2),
             "compile_s": round(compile_s, 1),
-        }), flush=True)
+        }
+        if args.jacobi:
+            row["jacobi"] = args.jacobi
+            row["verify_passes"] = verify_passes
+        print(json.dumps(row), flush=True)
         log(f"bs={bs}: {best*1000:.1f} ms/call -> {bs/best:.2f} actions/s")
 
 

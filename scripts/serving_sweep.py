@@ -32,6 +32,13 @@ DEFAULT_CONFIGS = [
     "int8:8,16",
     "int4:1,8,16,32",
     "int4+kv8:16,32",
+    # Jacobi self-speculative decode (models/decode.py draft_tokens): 'jw' =
+    # warm drafts (previous step's tokens — the control-loop steady state;
+    # best case, one verification pass), 'jc' = cold zero drafts (worst
+    # case, bounded by the sequential tail)
+    "int8+jw:1,8",
+    "int8+jc:1,8",
+    "bf16+jw:1",
 ]
 
 
@@ -40,16 +47,25 @@ def log(*a):
 
 
 def parse_config(spec):
+    """'<bf16|int8|int4>[+kv8][+jw|+jc]:<batches>' ->
+    (name, weights, kv_cache, jacobi, batches)."""
     name, batches = spec.split(":", 1)
-    weights, _, kv = name.partition("+")
+    parts = name.split("+")
+    weights, suffixes = parts[0], parts[1:]
     if weights not in ("bf16", "int8", "int4"):
         raise ValueError(f"weights {weights!r} in {spec!r}")
-    if kv not in ("", "kv8"):
-        raise ValueError(f"kv suffix {kv!r} in {spec!r}")
-    return name, weights, ("int8" if kv == "kv8" else None), batches
+    kv = jacobi = None
+    for s in suffixes:
+        if s == "kv8" and kv is None:
+            kv = "int8"
+        elif s in ("jw", "jc") and jacobi is None:
+            jacobi = {"jw": "warm", "jc": "cold"}[s]
+        else:
+            raise ValueError(f"suffix {s!r} in {spec!r} (kv8/jw/jc, once each)")
+    return name, weights, kv, jacobi, batches
 
 
-def run_config(name, weights, kv_cache, batches, iters, timeout_s,
+def run_config(name, weights, kv_cache, jacobi, batches, iters, timeout_s,
                platform=None):
     cmd = [sys.executable, os.path.join(REPO, "scripts", "bench_decode.py"),
            "--batches", batches, "--iters", str(iters)]
@@ -57,6 +73,8 @@ def run_config(name, weights, kv_cache, batches, iters, timeout_s,
         cmd += ["--quantize", weights]
     if kv_cache:
         cmd += ["--kv_cache", kv_cache]
+    if jacobi:
+        cmd += ["--jacobi", jacobi]
     if platform:
         cmd += ["--platform", platform]
     log(f"[{name}] {' '.join(cmd[1:])}")
@@ -97,7 +115,7 @@ def run_config(name, weights, kv_cache, batches, iters, timeout_s,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="*", default=DEFAULT_CONFIGS,
-                    help="<bf16|int8|int4>[+kv8]:<batches>")
+                    help="<bf16|int8|int4>[+kv8][+jw|+jc]:<batches>")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(REPO, "SERVING_EVIDENCE.json"))
     ap.add_argument("--per_config_timeout_s", type=int, default=3600)
@@ -134,10 +152,10 @@ def main():
 
     ran = []
     for spec in args.configs:
-        name, weights, kv, batches = parse_config(spec)
+        name, weights, kv, jacobi, batches = parse_config(spec)
         ran.append(name)
         results["configs"][name] = run_config(
-            name, weights, kv, batches, args.iters,
+            name, weights, kv, jacobi, batches, args.iters,
             args.per_config_timeout_s, platform=args.platform,
         )
         # write after EVERY config: a later relay death keeps earlier rows

@@ -126,3 +126,40 @@ def test_robot_utils_dispatch():
     frame = np.random.default_rng(1).integers(0, 255, (64, 64, 3), dtype=np.uint8)
     a = get_action(policy, {"full_image": frame}, "wipe the table")
     assert a.shape == (7,)
+
+
+def test_policy_jacobi_draft_control_loop():
+    """draft_tokens='last' reuses the previous step's tokens as a Jacobi
+    draft: identical actions (exact greedy fixed point), and a repeated
+    frame verifies in ONE pass (the control-loop steady state)."""
+    policy = load_policy(None, model_name="vla-tiny")
+    frame = np.random.default_rng(1).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    task = "push the plate forward"
+
+    a_plain = policy.get_action_multi(frame[None], [task])
+    assert policy.last_tokens is not None and policy.last_tokens.shape == (1, 7)
+    assert policy.last_verify_passes is None  # plain decode
+
+    a_draft = policy.get_action_multi(frame[None], [task], draft_tokens="last")
+    np.testing.assert_array_equal(a_plain, a_draft)
+    assert policy.last_verify_passes == 1  # the draft was accepted whole
+
+    # cold start semantics: "last" with a batch-width change uses a ZERO
+    # draft (stays on the one compiled Jacobi program; never feeds a
+    # mismatched draft) — still the exact greedy result
+    frames2 = np.stack([frame, frame])
+    a2 = policy.get_action_multi(frames2, [task, task], draft_tokens="last")
+    assert policy.last_verify_passes is not None  # jacobi ran, zero draft
+    np.testing.assert_array_equal(a2[0], a_plain[0])
+
+
+def test_policy_get_action_array_draft():
+    """The single-request convenience wrapper accepts a [7] draft array (the
+    shape its own previous call exposes via last_tokens[0])."""
+    policy = load_policy(None, model_name="vla-tiny")
+    frame = np.random.default_rng(2).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    a1 = policy.get_action(frame, "open the top drawer")
+    a2 = policy.get_action(frame, "open the top drawer",
+                           draft_tokens=policy.last_tokens[0])
+    np.testing.assert_array_equal(a1, a2)
+    assert policy.last_verify_passes == 1

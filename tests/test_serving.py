@@ -352,3 +352,91 @@ def test_http_server_400_on_non_dict_and_bad_shape_types():
             "shape": [56.0, "56", 3],
         })
         assert code == 400
+
+
+# ------------------------------------------------------- Jacobi draft serving
+def test_batcher_drafts_round_trip():
+    """drafts=True: submit_full returns ActResult(action, tokens); feeding
+    the tokens back as the next request's draft gives the same action (exact
+    greedy fixed point) and records verify-pass stats. Plain submit() on a
+    drafts batcher keeps returning the bare action (zero draft internally)."""
+    pol = load_policy(None, model_name="vla-tiny")
+    b = DynamicBatcher(pol, max_batch=2, max_wait_ms=5.0, drafts=True)
+    try:
+        b.warmup(_frames(1)[0])
+        frame = _frames(1, seed=3)[0]
+        first = b.submit_full(frame, "stack the cups").result(timeout=120)
+        assert first.tokens is not None and first.tokens.shape == (7,)
+        second = b.submit_full(
+            frame, "stack the cups", draft_tokens=first.tokens
+        ).result(timeout=120)
+        np.testing.assert_array_equal(first.action, second.action)
+        np.testing.assert_array_equal(first.tokens, second.tokens)
+        stats = b.verify_pass_stats()
+        assert stats and stats["n"] >= 2 and stats["max"] <= 6
+
+        plain = b.get_action(frame, "stack the cups", timeout=120)
+        np.testing.assert_array_equal(plain, first.action)
+    finally:
+        b.close()
+
+
+def test_submit_full_draft_needs_drafts_mode():
+    """A draft on a drafts=False batcher must fail loudly at submit time (the
+    Jacobi program was never warmed — compiling it on a live request is the
+    exact failure mode the batcher exists to prevent); draftless submit_full
+    still resolves to an ActResult."""
+    b = DynamicBatcher(StubPolicy(), max_batch=2, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="drafts=True"):
+            b.submit_full(_frames(1)[0], "task#0", draft_tokens=np.zeros(7))
+        with pytest.raises(ValueError, match="7 token ids"):
+            b.submit_full(_frames(1)[0], "task#0", draft_tokens=np.zeros(3))
+        res = b.submit_full(_frames(1)[0], "task#1").result(timeout=30)
+        np.testing.assert_array_equal(res.action, np.full(7, 1.0))
+        assert res.tokens is None  # StubPolicy has no last_tokens
+    finally:
+        b.close()
+
+
+def test_http_drafts_protocol():
+    """Drafts-enabled server: responses carry 'tokens', the client round-trips
+    them as 'draft_tokens', /healthz exposes verify-pass stats; a plain
+    server 400s on draft_tokens instead of silently ignoring them."""
+    import json as _json
+    import urllib.request
+
+    from roboticattack_tpu.serving.http import ActionServer
+
+    pol = load_policy(None, model_name="vla-tiny")
+    frame = _frames(1, seed=5)[0]
+    with ActionServer(pol, max_batch=2, max_wait_ms=5.0, drafts=True) as srv:
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+        payload = {"task": "wipe the table", "image": frame.tolist()}
+        code, body = _post(base + "/act", payload, timeout=120)
+        assert code == 200 and len(body["tokens"]) == 7
+
+        code, body2 = _post(
+            base + "/act", dict(payload, draft_tokens=body["tokens"]),
+            timeout=120,
+        )
+        assert code == 200
+        assert body2["action"] == body["action"]
+
+        code, bad = _post(
+            base + "/act", dict(payload, draft_tokens=[1, 2, 3]), timeout=60
+        )
+        assert code == 400 and "7 ints" in bad["error"]
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = _json.loads(r.read())
+        assert health["verify_passes"]["n"] >= 2
+
+    with ActionServer(pol, max_batch=2, max_wait_ms=1.0) as srv:
+        host, port = srv.address
+        code, body = _post(
+            f"http://{host}:{port}/act",
+            dict(payload, draft_tokens=[0] * 7), timeout=60,
+        )
+        assert code == 400 and "drafts" in body["error"]

@@ -18,15 +18,25 @@ _SPEC.loader.exec_module(sweep)
 
 
 def test_parse_config_grammar():
-    assert sweep.parse_config("bf16:1,4") == ("bf16", "bf16", None, "1,4")
-    assert sweep.parse_config("int8:8") == ("int8", "int8", None, "8")
+    assert sweep.parse_config("bf16:1,4") == ("bf16", "bf16", None, None, "1,4")
+    assert sweep.parse_config("int8:8") == ("int8", "int8", None, None, "8")
     assert sweep.parse_config("int4+kv8:16,32") == (
-        "int4+kv8", "int4", "int8", "16,32"
+        "int4+kv8", "int4", "int8", None, "16,32"
+    )
+    assert sweep.parse_config("int8+jw:1,8") == (
+        "int8+jw", "int8", None, "warm", "1,8"
+    )
+    assert sweep.parse_config("int4+kv8+jc:16") == (
+        "int4+kv8+jc", "int4", "int8", "cold", "16"
     )
     with pytest.raises(ValueError, match="weights"):
         sweep.parse_config("fp8:1")
-    with pytest.raises(ValueError, match="kv suffix"):
+    with pytest.raises(ValueError, match="suffix"):
         sweep.parse_config("int4+kv4:1")
+    with pytest.raises(ValueError, match="suffix"):
+        sweep.parse_config("int8+jw+jc:1")  # once each
+    with pytest.raises(ValueError, match="suffix"):
+        sweep.parse_config("int8+kv8+kv8:1")
 
 
 def test_merge_keeps_prior_configs(tmp_path, monkeypatch):
@@ -39,7 +49,8 @@ def test_merge_keeps_prior_configs(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_run(name, weights, kv, batches, iters, timeout_s, platform=None):
+    def fake_run(name, weights, kv, jacobi, batches, iters, timeout_s,
+                 platform=None):
         calls.append(name)
         return {"status": "ok", "rows": [{"batch": 1}]}
 
