@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     # mostly wants the int8 latency cut (179 -> 131 ms on one v5e)
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int4"])
-    p.add_argument("--kv_cache", default=None, choices=[None, "int8"])
+    p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--config_path", default=None, type=str,
                    help="YAML/JSON BridgeEvalConfig file; CLI flags override")
     return p

@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     # the first N attached devices (parallel/sharding.py Megatron splits)
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int4"])
-    p.add_argument("--kv_cache", default=None, choices=[None, "int8"],
+    p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"],
                    help="int8 KV cache (exact per-position dequantization)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel serving over the first N devices")

@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_wait_ms", default=5.0, type=float)
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int4"])
-    p.add_argument("--kv_cache", default=None, choices=[None, "int8"])
+    p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--tp", default=1, type=int)
     p.add_argument("--drafts", action="store_true",
                    help="Jacobi self-speculative decode: clients send the "

@@ -100,7 +100,10 @@ class VLAPolicy:
         `kv_cache='int8'`: int8 KV cache with exact per-position
         dequantization around both attention matmuls (models/decode.py
         _attend_kv8) — halves the cache's HBM bill, the next ceiling after
-        weight quantization at large serving batches."""
+        weight quantization at large serving batches. `kv_cache='int4'`:
+        packed-s4 cache (grouped K scales / per-position V scales,
+        _attend_kv4) — quarters it; both keep the first generated token
+        bit-identical (prefill attends full-precision)."""
         quant_mode, quant_gs = _parse_quantize(quantize)
 
         def _host_xp(what):

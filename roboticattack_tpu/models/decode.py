@@ -193,13 +193,41 @@ def _attend(q, k, v, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _quantize_kv(x):
-    """Per-(batch, head, position) symmetric int8 over the head dim:
-    [B, H, T, hd] -> (int8 same shape, f32 scale [B, H, T])."""
+def _quantize_kv(x, qmax: float = 127.0, dtype=jnp.int8):
+    """Per-(batch, head, position) symmetric quantization over the head dim:
+    [B, H, T, hd] -> (int array same shape, f32 scale [B, H, T]). qmax=127
+    int8 (the KV default); qmax=7 int4 (the V side of kv_cache='int4' —
+    per-position V scales stay EXACT at any bit width because they fold into
+    the probs, _attend_kv8/_attend_kv4)."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(absmax / 127.0, 1e-12)
-    q8 = jnp.round(x.astype(jnp.float32) / scale[..., None])
-    return jnp.clip(q8, -127.0, 127.0).astype(jnp.int8), scale
+    scale = jnp.maximum(absmax / qmax, 1e-12)
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    return jnp.clip(q, -qmax, qmax).astype(dtype), scale
+
+
+def _kv4_group_size(hd: int) -> int:
+    """Group size for the K side of the int4 KV cache: 32 channels per scale
+    on the 7B (hd=128 -> 4 groups, the KIVI-style grouping that keeps key
+    outlier channels from poisoning a whole row's scale), clamped to hd//2 on
+    small heads so the grouped math stays exercised."""
+    gs = max(1, min(32, hd // 2))
+    return gs if hd % gs == 0 else hd
+
+
+def _quantize_k4(x, gs: int):
+    """K side of kv_cache='int4': symmetric int4 with GROUPED scales along
+    the head dim — [B, H, T, hd] -> (int4 same shape, f32 scale
+    [B, H, T, hd/gs]). Per-position scales are exact for V but NOT for K
+    (the score contraction runs over hd, so K's scale must be constant per
+    contraction GROUP to dequantize exactly — _attend_kv4 contracts per
+    group); grouping also bounds the fidelity cost of 4-bit keys."""
+    b, h, t, hd = x.shape
+    g = hd // gs
+    xg = x.astype(jnp.float32).reshape(b, h, t, g, gs)
+    absmax = jnp.max(jnp.abs(xg), axis=-1)                    # [B,H,T,G]
+    scale = jnp.maximum(absmax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(xg / scale[..., None]), -7.0, 7.0)
+    return q.reshape(b, h, t, hd).astype(jnp.int4), scale
 
 
 def _attend_kv8(q, k8, sk, v8, sv, bias):
@@ -218,6 +246,31 @@ def _attend_kv8(q, k8, sk, v8, sv, bias):
     probs = jax.nn.softmax(scores, axis=-1)
     probs = (probs * sv[:, :, None, :]).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v8.astype(q.dtype))
+
+
+def _attend_kv4(q, k4, sk, v4, sv, bias):
+    """Attention over an int4 KV cache — exact dequantization of the stored
+    int values, the same zero-extra-matmul trick as _attend_kv8 split by
+    side:
+      K (grouped scales [B,H,T,G] along hd): contract q@k4^T PER GROUP and
+        scale the [B,H,Q,T,G] partials before reducing over G — exact, and
+        the partial is small in the decode regime (Q=1: ~5 MB at 7B bs=32).
+      V (per-position scales [B,H,T]): fold sv into the probs — exact at any
+        bit width since the output contraction runs over T.
+    HBM streams packed s4 cache bytes; scales are f32 noise next to them."""
+    b, h, qlen, hd = q.shape
+    g = sk.shape[-1]
+    gs = hd // g
+    qg = q.reshape(b, h, qlen, g, gs)
+    kg = k4.reshape(b, h, k4.shape[2], g, gs).astype(q.dtype)
+    part = jnp.einsum(
+        "bhqgi,bhtgi->bhqtg", qg, kg, preferred_element_type=jnp.float32
+    )
+    scores = jnp.einsum("bhqtg,bhtg->bhqt", part, sk)
+    scores = scores * (hd ** -0.5) + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = (probs * sv[:, :, None, :]).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v4.astype(q.dtype))
 
 
 def _mlp(cfg, p, x, cooked=False):
@@ -245,7 +298,7 @@ def greedy_decode_actions(
     num_steps: int = ACTION_DIM,
     cooked_weights: bool = False,  # params went through decode_layout_params
     mesh=None,                     # jax.sharding.Mesh with a 'model' axis for TP serving
-    kv_cache: Optional[str] = None,  # None (model dtype) or 'int8'
+    kv_cache: Optional[str] = None,  # None (model dtype), 'int8', or 'int4'
     draft_tokens: Optional[jnp.ndarray] = None,  # [B, num_steps] Jacobi draft
 ) -> DecodeResult:
     """Greedy multimodal generation of `num_steps` action tokens.
@@ -268,6 +321,13 @@ def greedy_decode_actions(
     attention runs on the full-precision K/V (they are live in registers);
     the first generated token is therefore bit-identical to the unquantized
     program, and only the 6 cached decode steps see quantized keys.
+
+    `kv_cache='int4'`: packed-s4 cache, quartering the bf16 cache bytes —
+    K with GROUPED scales along the head dim (32 channels/scale on the 7B,
+    the KIVI-style split that keeps key outliers from poisoning a row;
+    dequantized exactly by per-group contraction, _attend_kv4) and V with
+    per-position scales (exact fold into the probs at any bit width). Same
+    prefill-full-precision property: the first token is bit-identical.
 
     `draft_tokens` [B, num_steps]: run the decode tail as JACOBI fixed-point
     verification passes instead of num_steps-1 sequential steps
@@ -355,20 +415,45 @@ def greedy_decode_actions(
     # concatenating zero pads afterwards made XLA hold the cache in 2-3
     # layouts simultaneously (~590 MB each at bs=6) — the allocation that
     # capped single-chip decode at bs<=4.
-    if kv_cache not in (None, "int8"):
-        raise ValueError(f"kv_cache={kv_cache!r}; supported: None, 'int8'")
+    if kv_cache not in (None, "int8", "int4"):
+        raise ValueError(
+            f"kv_cache={kv_cache!r}; supported: None, 'int8', 'int4'"
+        )
     kv8 = kv_cache == "int8"
+    kv4 = kv_cache == "int4"
+    kvq = kv8 or kv4
+    gs4 = _kv4_group_size(lcfg.head_dim) if kv4 else None
     nl = lcfg.num_layers
     cache_k = jnp.zeros(
         (nl, b, lcfg.num_kv_heads, total, lcfg.head_dim),
-        dtype=jnp.int8 if kv8 else mm_emb.dtype,
+        dtype=jnp.int8 if kv8 else (jnp.int4 if kv4 else mm_emb.dtype),
     )
     cache_v = jnp.zeros_like(cache_k)
-    # per-(batch, head, position) dequantization scales; zero on never-written
-    # slots is safe — those positions are NEG_INF-masked in every bias
-    kv_scale_shape = (nl, b, lcfg.num_kv_heads, total)
-    scale_k = jnp.zeros(kv_scale_shape, jnp.float32) if kv8 else None
-    scale_v = jnp.zeros(kv_scale_shape, jnp.float32) if kv8 else None
+    # dequantization scales — per (batch, head, position), plus a trailing
+    # head-dim GROUP axis on the int4 K side (_quantize_k4); zero on
+    # never-written slots is safe: those positions are NEG_INF-masked in
+    # every bias
+    sv_shape = (nl, b, lcfg.num_kv_heads, total)
+    sk_shape = sv_shape + ((lcfg.head_dim // gs4,) if kv4 else ())
+    scale_k = jnp.zeros(sk_shape, jnp.float32) if kvq else None
+    scale_v = jnp.zeros(sv_shape, jnp.float32) if kvq else None
+
+    def _q_kv(k, v):
+        """Quantize one layer's fresh K/V rows per the cache mode."""
+        if kv8:
+            (k, sk), (v, sv) = _quantize_kv(k), _quantize_kv(v)
+        else:
+            k, sk = _quantize_k4(k, gs4)
+            v, sv = _quantize_kv(v, 7.0, jnp.int4)
+        return k, sk, v, sv
+
+    def _attend_c(q, ck, sk, cv, sv, bias):
+        """Attention over the (possibly quantized) cache."""
+        if kv8:
+            return _attend_kv8(q, ck, sk, cv, sv, bias)
+        if kv4:
+            return _attend_kv4(q, ck, sk, cv, sv, bias)
+        return _attend(q, ck, cv, bias)
     if mesh is not None and "model" in mesh.axis_names:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -408,10 +493,14 @@ def greedy_decode_actions(
             kv_sharding = NamedSharding(mesh, P(None, batch_axis, "model", None, None))
             cache_k = jax.lax.with_sharding_constraint(cache_k, kv_sharding)
             cache_v = jax.lax.with_sharding_constraint(cache_v, kv_sharding)
-            if kv8:  # scales follow their cache slices
-                sc_sharding = NamedSharding(mesh, P(None, batch_axis, "model", None))
-                scale_k = jax.lax.with_sharding_constraint(scale_k, sc_sharding)
-                scale_v = jax.lax.with_sharding_constraint(scale_v, sc_sharding)
+            if kvq:  # scales follow their cache slices (head-sharded)
+                sv_sh = NamedSharding(mesh, P(None, batch_axis, "model", None))
+                sk_sh = (
+                    NamedSharding(mesh, P(None, batch_axis, "model", None, None))
+                    if kv4 else sv_sh
+                )
+                scale_k = jax.lax.with_sharding_constraint(scale_k, sk_sh)
+                scale_v = jax.lax.with_sharding_constraint(scale_v, sv_sh)
 
     def prefill_block(carry, inp):
         x, ck, cv, sk, sv = carry
@@ -424,10 +513,11 @@ def greedy_decode_actions(
         attn = _attend(q, k, v, prefix_bias)
         x = x + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(x.shape), cooked_weights)
         x = _mlp(lcfg, p, x, cooked_weights)
-        if kv8:
-            k, sk_l = _quantize_kv(k)
-            v, sv_l = _quantize_kv(v)
-            sk = jax.lax.dynamic_update_slice(sk, sk_l[None], (li, 0, 0, 0))
+        if kvq:
+            k, sk_l, v, sv_l = _q_kv(k, v)
+            sk = jax.lax.dynamic_update_slice(
+                sk, sk_l[None], (li,) + (0,) * (sk.ndim - 1)
+            )
             sv = jax.lax.dynamic_update_slice(sv, sv_l[None], (li, 0, 0, 0))
         ck = jax.lax.dynamic_update_slice(ck, k[None].astype(ck.dtype), (li, 0, 0, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0))
@@ -475,17 +565,15 @@ def greedy_decode_actions(
             y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
             q, k, v = _qkv(lcfg, p, y, cooked_weights)
             q, k = apply_rope(q, k, cos_j, sin_j)
-            if kv8:
-                k, sk_new = _quantize_kv(k)
-                v, sv_new = _quantize_kv(v)
-                sk_l = jax.lax.dynamic_update_slice(sk_l, sk_new, (0, 0, t0))
+            if kvq:
+                k, sk_new, v, sv_new = _q_kv(k, v)
+                sk_l = jax.lax.dynamic_update_slice(
+                    sk_l, sk_new, (0, 0, t0) + (0,) * (sk_l.ndim - 3)
+                )
                 sv_l = jax.lax.dynamic_update_slice(sv_l, sv_new, (0, 0, t0))
             ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype), (0, 0, t0, 0))
             cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype), (0, 0, t0, 0))
-            if kv8:
-                attn = _attend_kv8(q, ck_l, sk_l, cv_l, sv_l, j_bias)
-            else:
-                attn = _attend(q, ck_l, cv_l, j_bias)
+            attn = _attend_c(q, ck_l, sk_l, cv_l, sv_l, j_bias)
             xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
             xc = _mlp(lcfg, p, xc, cooked_weights)
             return xc, (ck_l, cv_l, sk_l, sv_l)
@@ -538,17 +626,19 @@ def greedy_decode_actions(
             y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
             q, k, v = _qkv(lcfg, p, y, cooked_weights)
             q, k = apply_rope(q, k, cos, sin)
-            if kv8:
-                k, sk_new = _quantize_kv(k)
-                v, sv_new = _quantize_kv(v)
-                sk_l = jax.lax.dynamic_update_slice(sk_l, sk_new, (0, 0, t0 + i))
+            if kvq:
+                k, sk_new, v, sv_new = _q_kv(k, v)
+                sk_l = jax.lax.dynamic_update_slice(
+                    sk_l, sk_new, (0, 0, t0 + i) + (0,) * (sk_l.ndim - 3)
+                )
                 sv_l = jax.lax.dynamic_update_slice(sv_l, sv_new, (0, 0, t0 + i))
-            ck_l = jax.lax.dynamic_update_slice(ck_l, k, (0, 0, t0 + i, 0))
-            cv_l = jax.lax.dynamic_update_slice(cv_l, v, (0, 0, t0 + i, 0))
-            if kv8:
-                attn = _attend_kv8(q, ck_l, sk_l, cv_l, sv_l, bias)
-            else:
-                attn = _attend(q, ck_l, cv_l, bias)
+            ck_l = jax.lax.dynamic_update_slice(
+                ck_l, k.astype(ck_l.dtype), (0, 0, t0 + i, 0)
+            )
+            cv_l = jax.lax.dynamic_update_slice(
+                cv_l, v.astype(cv_l.dtype), (0, 0, t0 + i, 0)
+            )
+            attn = _attend_c(q, ck_l, sk_l, cv_l, sv_l, bias)
             xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
             xc = _mlp(lcfg, p, xc, cooked_weights)
             return xc, (ck_l, cv_l, sk_l, sv_l)

@@ -713,20 +713,22 @@ def int4_group_size_for(cfg: VLAConfig) -> int:
 
 
 def parse_quant_mode(mode: str) -> Tuple[Optional[str], Optional[str]]:
-    """'int8' | 'int4' | 'kv8' | '<weights>+kv8' -> (weights_mode | None,
-    kv_cache | None). Raises ValueError on anything else — callers validate
-    the full mode list BEFORE running expensive legs."""
+    """'int8' | 'int4' | 'kv8' | 'kv4' | '<weights>+kv8|kv4' ->
+    (weights_mode | None, kv_cache | None). Raises ValueError on anything
+    else — callers validate the full mode list BEFORE running expensive
+    legs."""
     weights, _, kv = mode.partition("+")
-    if weights == "kv8" and not kv:  # bare KV-cache-only config
-        weights, kv = "none", "kv8"
+    if weights in ("kv8", "kv4") and not kv:  # bare KV-cache-only config
+        weights, kv = "none", weights
     if weights not in ("int8", "int4", "none"):
         raise ValueError(
             f"quant mode {mode!r}: weights must be int8, int4, or none "
-            f"(for a kv8-only config), got {weights!r}"
+            f"(for a kv8/kv4-only config), got {weights!r}"
         )
-    if kv not in ("", "kv8"):
+    if kv not in ("", "kv8", "kv4"):
         raise ValueError(f"quant mode {mode!r}: unknown suffix {kv!r}")
-    return (None if weights == "none" else weights), ("int8" if kv else None)
+    kv_cache = {"": None, "kv8": "int8", "kv4": "int4"}[kv]
+    return (None if weights == "none" else weights), kv_cache
 
 
 def quant_decode_report(

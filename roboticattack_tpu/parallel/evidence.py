@@ -200,12 +200,16 @@ def compile_attack_step_7b(mesh: Mesh, batch_size: int = 8, pad_to: int = 32,
 
 
 def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
-                      quantize=False, kv_cache=None):
+                      quantize=False, kv_cache=None, jacobi: bool = False):
     """Lower + compile the FULL 7B TP serving decode (cooked layout) with
     abstract params on `mesh`. `quantize`: True/'int8' or 'int4' weight-only
     stacks (models/quant.py) — the single-chip bs>=8 (int8) / bs>=16 (int4)
     serving configurations. `kv_cache='int8'` additionally halves the cache
-    temps (models/decode.py _attend_kv8)."""
+    temps (models/decode.py _attend_kv8). `jacobi=True` compiles the
+    draft-token self-speculative program (the decode tail as a while_loop of
+    s=7 verification passes) — its TP inventory must match the sequential
+    program's shape class ([B,7,D] psums instead of [B,1,D]; still nothing
+    weight- or cache-sized, tests/test_multichip_7b_shapes.py)."""
     from ..models.decode import greedy_decode_actions
 
     cfg = evidence_7b_config()
@@ -217,6 +221,15 @@ def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
         (batch_size, 2, cfg.dino.image_size, cfg.dino.image_size, 3),
         jnp.dtype(cfg.dtype), sharding=rep,
     )
+    if jacobi:
+        draft = jax.ShapeDtypeStruct((batch_size, 7), jnp.int32, sharding=rep)
+        fn = jax.jit(
+            lambda p, i, m, x, d: greedy_decode_actions(
+                p, cfg, i, m, x, cooked_weights=True, mesh=mesh,
+                kv_cache=kv_cache, draft_tokens=d,
+            )
+        )
+        return fn.lower(p_abs, ids, msk, px, draft).compile()
     fn = jax.jit(
         lambda p, i, m, x: greedy_decode_actions(
             p, cfg, i, m, x, cooked_weights=True, mesh=mesh,

@@ -48,7 +48,7 @@ def main():
     # int8 KV cache with exact per-position dequantization (models/decode.py
     # _attend_kv8): halves the cache bytes — the next ceiling after weight
     # quantization at large serving batches
-    ap.add_argument("--kv_cache", default=None, choices=[None, "int8"])
+    ap.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
     # Jacobi self-speculative tail (models/decode.py draft_tokens): 'warm'
     # drafts with the previous identical call's tokens (the control-loop
     # best case — one verification pass replaces the 6-step tail), 'cold'
@@ -87,9 +87,15 @@ def main():
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
     shapes = decode_layout_shapes(shapes)
     if args.quantize:
+        from math import gcd
+
         from roboticattack_tpu.models.quant import quantize_decode_shapes
 
-        shapes = quantize_decode_shapes(shapes, mode=args.quantize)
+        # int4 grouped scales need a group size dividing every contraction
+        # dim; 128 (the 7B default) does not divide the tiny CPU model's dims
+        gs = min(128, gcd(cfg.llm.hidden_size, cfg.llm.intermediate_size))
+        shapes = quantize_decode_shapes(shapes, mode=args.quantize,
+                                        group_size=gs)
     leaves, treedef = jax.tree.flatten(shapes)
 
     mesh = None

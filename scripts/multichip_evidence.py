@@ -144,11 +144,18 @@ def main():
             make_mesh(data=1, model=1, devices=cpu[:1]), batch_size=32,
             quantize="int4")),
     )
+    L["cpu_decode_jacobi_tp2_bs8"] = run_leg(
+        "cpu decode jacobi tp2 bs8",
+        lambda: leg(lambda: compile_decode_7b(
+            make_mesh(data=1, model=2, devices=cpu[:2]), batch_size=8,
+            jacobi=True)),
+    )
     for name in ("cpu_attack_dp4_tp2_bs8_pad32", "cpu_attack_dp8_bs8_pad32",
                  "cpu_attack_dp4_tp2_bs16_pad48", "cpu_decode_tp2_bs8",
                  "cpu_attack_single_chip_bs8_pad32",
                  "cpu_decode_int8_single_chip_bs8",
-                 "cpu_decode_int4_single_chip_bs32"):
+                 "cpu_decode_int4_single_chip_bs32",
+                 "cpu_decode_jacobi_tp2_bs8"):
         if L[name].get("status") == "ok":
             # CPU temp estimates are bf16->f32-upcast-inflated; keep only args
             L[name]["memory"].pop("temp_gb", None)
@@ -211,6 +218,31 @@ def main():
                 tpu_topology_mesh("v5e:1x1", (1, 1),
                                   chips_per_host_bounds=(1, 1, 1)),
                 batch_size=32, quantize="int4", kv_cache="int8")),
+        )
+        L["tpu_decode_int4_kv4_1chip_bs48"] = run_leg(
+            "TPU-AOT decode int4+kv4 1-chip bs48",
+            lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x1", (1, 1),
+                                  chips_per_host_bounds=(1, 1, 1)),
+                batch_size=48, quantize="int4", kv_cache="int4")),
+        )
+        # Jacobi self-speculative decode under TP: the while_loop of s=7
+        # verification passes must lower on real-TPU topology-AOT with the
+        # same inventory shape class as the sequential tail (nothing weight-
+        # or cache-sized across ICI)
+        L["tpu_decode_jacobi_tp2_bs8"] = run_leg(
+            "TPU-AOT decode jacobi tp2 bs8",
+            lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x2", (1, 2),
+                                  chips_per_host_bounds=(1, 2, 1)),
+                batch_size=8, jacobi=True)),
+        )
+        L["tpu_decode_int8_jacobi_1chip_bs8"] = run_leg(
+            "TPU-AOT decode int8 jacobi 1-chip bs8",
+            lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x1", (1, 1),
+                                  chips_per_host_bounds=(1, 1, 1)),
+                batch_size=8, quantize=True, jacobi=True)),
         )
 
         # record the flash-attention topology-AOT limitation explicitly

@@ -39,6 +39,9 @@ DEFAULT_CONFIGS = [
     "int8+jw:1,8",
     "int8+jc:1,8",
     "bf16+jw:1",
+    # int4 KV cache (grouped-K/per-position-V, models/decode.py _attend_kv4):
+    # quarters the cache bytes — the envelope probe past the int4+kv8 bs=32
+    "int4+kv4:32,48",
 ]
 
 
@@ -47,7 +50,7 @@ def log(*a):
 
 
 def parse_config(spec):
-    """'<bf16|int8|int4>[+kv8][+jw|+jc]:<batches>' ->
+    """'<bf16|int8|int4>[+kv8|+kv4][+jw|+jc]:<batches>' ->
     (name, weights, kv_cache, jacobi, batches)."""
     name, batches = spec.split(":", 1)
     parts = name.split("+")
@@ -56,12 +59,14 @@ def parse_config(spec):
         raise ValueError(f"weights {weights!r} in {spec!r}")
     kv = jacobi = None
     for s in suffixes:
-        if s == "kv8" and kv is None:
-            kv = "int8"
+        if s in ("kv8", "kv4") and kv is None:
+            kv = {"kv8": "int8", "kv4": "int4"}[s]
         elif s in ("jw", "jc") and jacobi is None:
             jacobi = {"jw": "warm", "jc": "cold"}[s]
         else:
-            raise ValueError(f"suffix {s!r} in {spec!r} (kv8/jw/jc, once each)")
+            raise ValueError(
+                f"suffix {s!r} in {spec!r} (kv8|kv4 / jw|jc, once each)"
+            )
     return name, weights, kv, jacobi, batches
 
 

@@ -208,3 +208,33 @@ def test_decode_int4_tp2_no_weight_gather():
                 assert tuple(sorted(dims)) in allowed_psums, c.describe()
         else:
             assert c.nbytes < MB, c.describe()
+
+
+def test_decode_jacobi_tp2_inventory_and_memory():
+    """The Jacobi self-speculative decode program (models/decode.py
+    draft_tokens) under tp=2 at FULL 7B shape: identical argument bytes to
+    the sequential program (the draft is 56 ints), and the while_loop's s=7
+    verification passes move only activation-sized row-parallel psums
+    ([8,7,4096] instead of the sequential tail's [8,1,4096]) plus the
+    prefill's [8,320,4096] duals and the [8,7,V] logit gather for the
+    all-position argmax (~7 MB f32) — never a weight stack or the KV cache."""
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    comp = compile_decode_7b(mesh, batch_size=8, prompt_pad=64, jacobi=True)
+
+    mem = memory_summary(comp)
+    assert 7.0 < mem["argument_gb"] < 8.5, mem
+
+    allowed_psums = {(8, 7, 4096), (8, 320, 4096)}
+    colls = collect_collectives(comp.as_text())
+    assert colls, "expected row-parallel psums"
+    for c in colls:
+        assert c.op in ("all-reduce", "all-gather"), c.describe()
+        if c.op == "all-reduce":
+            for _, dims in c.members:
+                assert tuple(sorted(dims)) in {
+                    tuple(sorted(p)) for p in allowed_psums
+                }, c.describe()
+        else:
+            # the [8,7,32064] f32 logit gather is ~7.2 MB; everything else
+            # (argmax indices, convergence flag) is sub-MB
+            assert c.nbytes < 16 * MB, c.describe()

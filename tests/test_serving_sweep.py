@@ -29,10 +29,13 @@ def test_parse_config_grammar():
     assert sweep.parse_config("int4+kv8+jc:16") == (
         "int4+kv8+jc", "int4", "int8", "cold", "16"
     )
+    assert sweep.parse_config("int4+kv4:32,48") == (
+        "int4+kv4", "int4", "int4", None, "32,48"
+    )
     with pytest.raises(ValueError, match="weights"):
         sweep.parse_config("fp8:1")
     with pytest.raises(ValueError, match="suffix"):
-        sweep.parse_config("int4+kv4:1")
+        sweep.parse_config("int4+fp8kv:1")
     with pytest.raises(ValueError, match="suffix"):
         sweep.parse_config("int8+jw+jc:1")  # once each
     with pytest.raises(ValueError, match="suffix"):

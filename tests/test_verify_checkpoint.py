@@ -368,10 +368,12 @@ def test_parse_quant_mode_grammar():
     assert parse_quant_mode("int4+kv8") == ("int4", "int8")
     assert parse_quant_mode("kv8") == (None, "int8")       # KV-only config
     assert parse_quant_mode("none+kv8") == (None, "int8")
+    assert parse_quant_mode("int8+kv4") == ("int8", "int4")
+    assert parse_quant_mode("kv4") == (None, "int4")       # KV-only config
     with pytest.raises(ValueError, match="weights"):
         parse_quant_mode("fp8")
     with pytest.raises(ValueError, match="suffix"):
-        parse_quant_mode("int8+kv4")
+        parse_quant_mode("int8+fp8kv")
 
 
 def test_cli_rejects_bad_quant_mode_before_any_leg(tmp_path):
