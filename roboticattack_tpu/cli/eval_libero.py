@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV cache (exact per-position dequantization)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel serving over the first N devices")
+    p.add_argument("--visual_tokens", default=None, type=int,
+                   help="keep only the k most salient patch tokens before "
+                        "the LLM (LOSSY; run a clean-vs-pruned A/B first)")
     p.add_argument("--jacobi", type=str2bool, default=False,
                    help="Jacobi self-speculative decode: draft each step "
                         "with the previous step's tokens (exact greedy; the "
@@ -100,6 +103,7 @@ def main(argv=None):
         args.checkpoint, model_name=model,
         unnorm_key=args.unnorm_key, center_crop=args.center_crop,
         mesh=mesh, quantize=args.quantize, kv_cache=args.kv_cache,
+        visual_tokens=args.visual_tokens,
     )
     cfg = LiberoEvalConfig(
         task_suite_name=args.task_suite_name,

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[None, "int8", "int4"])
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--tp", default=1, type=int)
+    p.add_argument("--visual_tokens", default=None, type=int,
+                   help="keep only the k most salient patch tokens before "
+                        "the LLM (LOSSY prefill/cache reduction — validate "
+                        "accuracy on real weights before production)")
     p.add_argument("--drafts", action="store_true",
                    help="Jacobi self-speculative decode: clients send the "
                         "previous response's 'tokens' as 'draft_tokens' and "
@@ -68,7 +72,7 @@ def main(argv=None):
     policy = load_policy(
         args.checkpoint, model_name=args.model, unnorm_key=args.unnorm_key,
         center_crop=args.center_crop, mesh=mesh, quantize=args.quantize,
-        kv_cache=args.kv_cache,
+        kv_cache=args.kv_cache, visual_tokens=args.visual_tokens,
     )
     server = ActionServer(
         policy, host=args.host, port=args.port,

@@ -73,6 +73,7 @@ class VLAPolicy:
         mesh=None,
         quantize: Optional[str] = None,
         kv_cache: Optional[str] = None,
+        visual_tokens: Optional[int] = None,
     ) -> None:
         """`cooked_weights=True`: params already went through
         decode_layout_params (the decode always runs the cooked math — an
@@ -158,7 +159,7 @@ class VLAPolicy:
         self._decode = jax.jit(
             lambda p, ids, mask, px: greedy_decode_actions(
                 p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh,
-                kv_cache=kv_cache,
+                kv_cache=kv_cache, visual_tokens=visual_tokens,
             )
         )
         # Jacobi variant (separate program: the draft arg changes the tail's
@@ -166,7 +167,7 @@ class VLAPolicy:
         self._decode_draft = jax.jit(
             lambda p, ids, mask, px, d: greedy_decode_actions(
                 p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh,
-                kv_cache=kv_cache, draft_tokens=d,
+                kv_cache=kv_cache, draft_tokens=d, visual_tokens=visual_tokens,
             )
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
@@ -326,6 +327,7 @@ def load_policy(
     mesh=None,
     quantize: Optional[str] = None,
     kv_cache: Optional[str] = None,
+    visual_tokens: Optional[int] = None,
 ) -> VLAPolicy:
     """Build a policy from a local HF checkpoint dir (or random weights for
     smoke tests when checkpoint is None)."""
@@ -356,7 +358,8 @@ def load_policy(
         }
         unnorm_key = unnorm_key or "synthetic"
     return VLAPolicy(params, cfg, tokenizer, norm_stats, unnorm_key, center_crop,
-                     mesh=mesh, quantize=quantize, kv_cache=kv_cache)
+                     mesh=mesh, quantize=quantize, kv_cache=kv_cache,
+                     visual_tokens=visual_tokens)
 
 
 # --- reference dispatch shims (experiments/robot/robot_utils.py:40-74) --------

@@ -300,6 +300,7 @@ def greedy_decode_actions(
     mesh=None,                     # jax.sharding.Mesh with a 'model' axis for TP serving
     kv_cache: Optional[str] = None,  # None (model dtype), 'int8', or 'int4'
     draft_tokens: Optional[jnp.ndarray] = None,  # [B, num_steps] Jacobi draft
+    visual_tokens: Optional[int] = None,  # keep top-k patch tokens (prefill pruning)
 ) -> DecodeResult:
     """Greedy multimodal generation of `num_steps` action tokens.
 
@@ -346,7 +347,21 @@ def greedy_decode_actions(
     matmul accumulation order (tests/test_decode_jacobi.py pins equality on
     the tiny model). Position 0 ignores the draft (the prefill argmax is
     already exact). The reference has no speculative path at all — its
-    `generate` is 7 sequential HF steps (modeling_prismatic.py:506-534)."""
+    `generate` is 7 sequential HF steps (modeling_prismatic.py:506-534).
+
+    `visual_tokens=k`: keep only the k most salient patch tokens (projected
+    feature norm, training-free) BEFORE the LLM — the multimodal prefill is
+    the FLOP bill at batched serving (256 of ~290 prefill tokens are
+    patches), so k=128 roughly halves LLM prefill compute AND the KV cache
+    length. Pruning pre-LLM keeps the stacked layer scan intact (slicing
+    scan weight stacks materializes multi-GB copies — CLAUDE.md) and
+    compacts positions, so everything downstream (quantized caches, TP,
+    Jacobi drafts) composes unchanged. UNLIKE every other serving lever
+    here this one is LOSSY: the dropped tokens change the computation.
+    k == num_patches is bit-identical to no pruning (pinned in tests);
+    accuracy at k < num_patches is weight-dependent — validate on real
+    checkpoints with the acceptance gate / a LIBERO A/B before production
+    (same stance as quantization accuracy, egress-gated here)."""
     from .config import PhiConfig
 
     if isinstance(cfg.llm, PhiConfig):
@@ -389,6 +404,22 @@ def greedy_decode_actions(
 
     patches = vision_features(params["vision"], cfg, pixel_values)
     projected = projector_apply(params["projector"], patches).astype(dtype)
+    if visual_tokens is not None:
+        nv = projected.shape[1]
+        if not 1 <= visual_tokens <= nv:
+            raise ValueError(
+                f"visual_tokens={visual_tokens} must be in [1, {nv}] "
+                f"(the model produces {nv} patch tokens)"
+            )
+        if visual_tokens < nv:
+            # saliency = projected-embedding norm per patch (training-free;
+            # high-norm tokens carry the signal the LLM attends to). top_k
+            # has a STATIC k, so one compiled program serves any image;
+            # sorting the kept indices preserves raster order, which keeps
+            # visual_tokens == num_patches an identity (bit-parity pinned)
+            sal = jnp.linalg.norm(projected.astype(jnp.float32), axis=-1)
+            idx = jnp.sort(jax.lax.top_k(sal, visual_tokens)[1], axis=-1)
+            projected = jnp.take_along_axis(projected, idx[..., None], axis=1)
     emb = _embed_rows(p_llm, input_ids, dtype)
     mm_emb = jnp.concatenate([emb[:, :1], projected, emb[:, 1:]], axis=1)  # [B, T0, D]
     t0 = mm_emb.shape[1]

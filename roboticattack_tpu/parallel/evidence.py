@@ -200,7 +200,8 @@ def compile_attack_step_7b(mesh: Mesh, batch_size: int = 8, pad_to: int = 32,
 
 
 def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
-                      quantize=False, kv_cache=None, jacobi: bool = False):
+                      quantize=False, kv_cache=None, jacobi: bool = False,
+                      visual_tokens=None):
     """Lower + compile the FULL 7B TP serving decode (cooked layout) with
     abstract params on `mesh`. `quantize`: True/'int8' or 'int4' weight-only
     stacks (models/quant.py) — the single-chip bs>=8 (int8) / bs>=16 (int4)
@@ -227,13 +228,14 @@ def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
             lambda p, i, m, x, d: greedy_decode_actions(
                 p, cfg, i, m, x, cooked_weights=True, mesh=mesh,
                 kv_cache=kv_cache, draft_tokens=d,
+                visual_tokens=visual_tokens,
             )
         )
         return fn.lower(p_abs, ids, msk, px, draft).compile()
     fn = jax.jit(
         lambda p, i, m, x: greedy_decode_actions(
             p, cfg, i, m, x, cooked_weights=True, mesh=mesh,
-            kv_cache=kv_cache,
+            kv_cache=kv_cache, visual_tokens=visual_tokens,
         )
     )
     return fn.lower(p_abs, ids, msk, px).compile()

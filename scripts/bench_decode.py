@@ -54,6 +54,10 @@ def main():
     # best case — one verification pass replaces the 6-step tail), 'cold'
     # drafts zeros (worst case: bounded by the sequential tail's 6 streams)
     ap.add_argument("--jacobi", default=None, choices=[None, "warm", "cold"])
+    # LOSSY prefill/cache reduction: keep only the k most salient patch
+    # tokens before the LLM (models/decode.py visual_tokens) — prefill is
+    # the FLOP bill at bs>=8, so k=128 ~halves it
+    ap.add_argument("--visual_tokens", default=None, type=int)
     # shell-env JAX_PLATFORMS is silently ignored on this box (sitecustomize
     # pins the TPU plugin — CLAUDE.md gotcha); this flag is the working override
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -158,13 +162,14 @@ def main():
     decode = jax.jit(
         lambda p, i, m, px: greedy_decode_actions(
             p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
-            kv_cache=args.kv_cache,
+            kv_cache=args.kv_cache, visual_tokens=args.visual_tokens,
         )
     )
     decode_draft = jax.jit(
         lambda p, i, m, px, d: greedy_decode_actions(
             p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
             kv_cache=args.kv_cache, draft_tokens=d,
+            visual_tokens=args.visual_tokens,
         )
     )
     rng = np.random.default_rng(0)

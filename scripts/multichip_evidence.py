@@ -226,6 +226,15 @@ def main():
                                   chips_per_host_bounds=(1, 1, 1)),
                 batch_size=48, quantize="int4", kv_cache="int4")),
         )
+        # visual-token pruning (LOSSY): real-TPU temp estimate for the
+        # vt=128 program — the cache shrink CPU legs can't show
+        L["tpu_decode_int8_vt128_1chip_bs16"] = run_leg(
+            "TPU-AOT decode int8+vt128 1-chip bs16",
+            lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x1", (1, 1),
+                                  chips_per_host_bounds=(1, 1, 1)),
+                batch_size=16, quantize=True, visual_tokens=128)),
+        )
         # Jacobi self-speculative decode under TP: the while_loop of s=7
         # verification passes must lower on real-TPU topology-AOT with the
         # same inventory shape class as the sequential tail (nothing weight-

@@ -42,6 +42,9 @@ DEFAULT_CONFIGS = [
     # int4 KV cache (grouped-K/per-position-V, models/decode.py _attend_kv4):
     # quarters the cache bytes — the envelope probe past the int4+kv8 bs=32
     "int4+kv4:32,48",
+    # visual-token pruning (LOSSY, models/decode.py visual_tokens): prefill
+    # is the FLOP bill at bs>=8 — vt128 halves the patch tokens
+    "int8+vt128:8,16",
 ]
 
 
@@ -50,28 +53,30 @@ def log(*a):
 
 
 def parse_config(spec):
-    """'<bf16|int8|int4>[+kv8|+kv4][+jw|+jc]:<batches>' ->
-    (name, weights, kv_cache, jacobi, batches)."""
+    """'<bf16|int8|int4>[+kv8|+kv4][+jw|+jc][+vt<k>]:<batches>' ->
+    (name, weights, kv_cache, jacobi, visual_tokens, batches)."""
     name, batches = spec.split(":", 1)
     parts = name.split("+")
     weights, suffixes = parts[0], parts[1:]
     if weights not in ("bf16", "int8", "int4"):
         raise ValueError(f"weights {weights!r} in {spec!r}")
-    kv = jacobi = None
+    kv = jacobi = vt = None
     for s in suffixes:
         if s in ("kv8", "kv4") and kv is None:
             kv = {"kv8": "int8", "kv4": "int4"}[s]
         elif s in ("jw", "jc") and jacobi is None:
             jacobi = {"jw": "warm", "jc": "cold"}[s]
+        elif s.startswith("vt") and s[2:].isdigit() and vt is None:
+            vt = int(s[2:])
         else:
             raise ValueError(
-                f"suffix {s!r} in {spec!r} (kv8|kv4 / jw|jc, once each)"
+                f"suffix {s!r} in {spec!r} (kv8|kv4 / jw|jc / vt<k>, once each)"
             )
-    return name, weights, kv, jacobi, batches
+    return name, weights, kv, jacobi, vt, batches
 
 
-def run_config(name, weights, kv_cache, jacobi, batches, iters, timeout_s,
-               platform=None):
+def run_config(name, weights, kv_cache, jacobi, visual_tokens, batches,
+               iters, timeout_s, platform=None):
     cmd = [sys.executable, os.path.join(REPO, "scripts", "bench_decode.py"),
            "--batches", batches, "--iters", str(iters)]
     if weights != "bf16":
@@ -80,6 +85,8 @@ def run_config(name, weights, kv_cache, jacobi, batches, iters, timeout_s,
         cmd += ["--kv_cache", kv_cache]
     if jacobi:
         cmd += ["--jacobi", jacobi]
+    if visual_tokens:
+        cmd += ["--visual_tokens", str(visual_tokens)]
     if platform:
         cmd += ["--platform", platform]
     log(f"[{name}] {' '.join(cmd[1:])}")
@@ -157,10 +164,10 @@ def main():
 
     ran = []
     for spec in args.configs:
-        name, weights, kv, jacobi, batches = parse_config(spec)
+        name, weights, kv, jacobi, vt, batches = parse_config(spec)
         ran.append(name)
         results["configs"][name] = run_config(
-            name, weights, kv, jacobi, batches, args.iters,
+            name, weights, kv, jacobi, vt, batches, args.iters,
             args.per_config_timeout_s, platform=args.platform,
         )
         # write after EVERY config: a later relay death keeps earlier rows

@@ -18,19 +18,24 @@ _SPEC.loader.exec_module(sweep)
 
 
 def test_parse_config_grammar():
-    assert sweep.parse_config("bf16:1,4") == ("bf16", "bf16", None, None, "1,4")
-    assert sweep.parse_config("int8:8") == ("int8", "int8", None, None, "8")
+    assert sweep.parse_config("bf16:1,4") == (
+        "bf16", "bf16", None, None, None, "1,4"
+    )
+    assert sweep.parse_config("int8:8") == ("int8", "int8", None, None, None, "8")
     assert sweep.parse_config("int4+kv8:16,32") == (
-        "int4+kv8", "int4", "int8", None, "16,32"
+        "int4+kv8", "int4", "int8", None, None, "16,32"
     )
     assert sweep.parse_config("int8+jw:1,8") == (
-        "int8+jw", "int8", None, "warm", "1,8"
+        "int8+jw", "int8", None, "warm", None, "1,8"
     )
     assert sweep.parse_config("int4+kv8+jc:16") == (
-        "int4+kv8+jc", "int4", "int8", "cold", "16"
+        "int4+kv8+jc", "int4", "int8", "cold", None, "16"
     )
     assert sweep.parse_config("int4+kv4:32,48") == (
-        "int4+kv4", "int4", "int4", None, "32,48"
+        "int4+kv4", "int4", "int4", None, None, "32,48"
+    )
+    assert sweep.parse_config("int8+vt128:8,16") == (
+        "int8+vt128", "int8", None, None, 128, "8,16"
     )
     with pytest.raises(ValueError, match="weights"):
         sweep.parse_config("fp8:1")
@@ -40,6 +45,8 @@ def test_parse_config_grammar():
         sweep.parse_config("int8+jw+jc:1")  # once each
     with pytest.raises(ValueError, match="suffix"):
         sweep.parse_config("int8+kv8+kv8:1")
+    with pytest.raises(ValueError, match="suffix"):
+        sweep.parse_config("int8+vtx:1")  # non-numeric vt
 
 
 def test_merge_keeps_prior_configs(tmp_path, monkeypatch):
@@ -52,7 +59,7 @@ def test_merge_keeps_prior_configs(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_run(name, weights, kv, jacobi, batches, iters, timeout_s,
+    def fake_run(name, weights, kv, jacobi, vt, batches, iters, timeout_s,
                  platform=None):
         calls.append(name)
         return {"status": "ok", "rows": [{"batch": 1}]}
