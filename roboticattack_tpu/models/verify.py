@@ -734,7 +734,7 @@ def parse_quant_mode(mode: str) -> Tuple[Optional[str], Optional[str]]:
 def quant_decode_report(
     params,
     cfg: VLAConfig,
-    modes: Sequence[str] = ("int8", "int4", "int8+kv8"),
+    modes: Sequence[str] = ("int8", "int4", "int8+kv8", "int4+kv4"),
     batch_size: int = 2,
     n_batches: int = 2,
     prompt_pad: int = 32,
@@ -747,7 +747,8 @@ def quant_decode_report(
     synthetic frames/prompts (NEXT.md: "int8 accuracy on REAL released
     weights should be validated with the acceptance gate before production
     use"). Mode strings: 'int8' | 'int4' (group size auto via
-    int4_group_size_for) | either + '+kv8' (int8 KV cache).
+    int4_group_size_for) | either + '+kv8' (int8 KV cache) or '+kv4'
+    (packed-s4 cache) | bare 'kv8'/'kv4' for a KV-only configuration.
 
     `params` is the STORAGE-layout pytree (convert_state_dict output, host
     numpy preferred). Reference and quantized programs run SEQUENTIALLY and

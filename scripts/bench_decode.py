@@ -91,15 +91,13 @@ def main():
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
     shapes = decode_layout_shapes(shapes)
     if args.quantize:
-        from math import gcd
-
         from roboticattack_tpu.models.quant import quantize_decode_shapes
+        from roboticattack_tpu.models.verify import int4_group_size_for
 
         # int4 grouped scales need a group size dividing every contraction
         # dim; 128 (the 7B default) does not divide the tiny CPU model's dims
-        gs = min(128, gcd(cfg.llm.hidden_size, cfg.llm.intermediate_size))
         shapes = quantize_decode_shapes(shapes, mode=args.quantize,
-                                        group_size=gs)
+                                        group_size=int4_group_size_for(cfg))
     leaves, treedef = jax.tree.flatten(shapes)
 
     mesh = None

@@ -66,7 +66,8 @@ def parse_config(spec):
             kv = {"kv8": "int8", "kv4": "int4"}[s]
         elif s in ("jw", "jc") and jacobi is None:
             jacobi = {"jw": "warm", "jc": "cold"}[s]
-        elif s.startswith("vt") and s[2:].isdigit() and vt is None:
+        elif s.startswith("vt") and s[2:].isdigit() and int(s[2:]) >= 1 \
+                and vt is None:
             vt = int(s[2:])
         else:
             raise ValueError(
@@ -85,7 +86,7 @@ def run_config(name, weights, kv_cache, jacobi, visual_tokens, batches,
         cmd += ["--kv_cache", kv_cache]
     if jacobi:
         cmd += ["--jacobi", jacobi]
-    if visual_tokens:
+    if visual_tokens is not None:
         cmd += ["--visual_tokens", str(visual_tokens)]
     if platform:
         cmd += ["--platform", platform]

@@ -159,7 +159,7 @@ def test_cli_end_to_end_accepts_and_writes_report(tmp_path):
     assert report["steps"]["smoke"]["decreased"] is True
     assert os.path.exists(out / "smoke" / "patch.pt")
     quant = report["steps"]["quant"]
-    assert set(quant) == {"int8", "int4", "int8+kv8"}
+    assert set(quant) == {"int8", "int4", "int8+kv8", "int4+kv4"}
     assert quant["int8"]["ok"] is True  # gate at 0.0
     for d in quant.values():
         assert 0.0 <= d["token_agreement"] <= 1.0
@@ -325,17 +325,18 @@ def test_int4_group_size_selection():
 
 
 def test_quant_decode_report_structure():
-    """The quant acceptance leg runs all three serving configurations and
-    reports agreement stats; the gate applies only to gate_modes."""
+    """The quant acceptance leg runs every default serving configuration
+    and reports agreement stats; the gate applies only to gate_modes."""
     from roboticattack_tpu.models.verify import quant_decode_report
 
     params = jax.device_get(init_vla_params(jax.random.key(11), VLA_TINY))
     qr = quant_decode_report(
         params, VLA_TINY, n_batches=1, min_agreement=0.0,
     )
-    assert set(qr) == {"int8", "int4", "int8+kv8"}
+    assert set(qr) == {"int8", "int4", "int8+kv8", "int4+kv4"}
     assert "ok" in qr["int8"] and qr["int8"]["ok"] is True
     assert "ok" not in qr["int4"] and "ok" not in qr["int8+kv8"]
+    assert "ok" not in qr["int4+kv4"]
     for d in qr.values():
         assert 0.0 <= d["token_agreement"] <= 1.0
         assert d["n_tokens"] == 2 * 7
