@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int4"])
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
+    p.add_argument("--jacobi", type=str2bool, default=False,
+                   help="draft each control step with the previous step's "
+                        "tokens (exact greedy; one verification pass when "
+                        "the action repeats — the 5 Hz latency lever)")
     p.add_argument("--config_path", default=None, type=str,
                    help="YAML/JSON BridgeEvalConfig file; CLI flags override")
     return p
@@ -78,7 +82,7 @@ def config_from_args(args) -> "BridgeEvalConfig":
         blocking=args.blocking, max_episodes=args.max_episodes,
         max_steps=args.max_steps, control_frequency=args.control_frequency,
         resize_size=args.resize_size, unnorm_key=args.unnorm_key,
-        save_dir=args.save_dir,
+        save_dir=args.save_dir, jacobi=args.jacobi,
     )
 
 

@@ -37,6 +37,11 @@ class BridgeEvalConfig:
     resize_size: int = 224
     unnorm_key: str = "bridge_orig"
     save_dir: str = "./bridge_rollouts"
+    # Jacobi self-speculative decode: draft each control step with the
+    # previous step's tokens (exact greedy, models/decode.py) — at 5 Hz the
+    # step budget is 200 ms and the bf16 bs=1 decode is ~179 ms; a correct
+    # draft replaces the 6-step decode tail with one verification pass
+    jacobi: bool = False
 
 
 class WidowXGym:
@@ -142,7 +147,10 @@ def run_bridge_eval(cfg: BridgeEvalConfig, policy: VLAPolicy, task_label: str):
             frame = resize_bicubic_pil(obs["full_image"], cfg.resize_size)
             frames.append(frame)
             states.append(np.asarray(obs.get("state", np.zeros(7))))
-            action = policy.get_action(frame, task_label)
+            action = policy.get_action(
+                frame, task_label,
+                **({"draft_tokens": "last"} if cfg.jacobi else {}),
+            )
             action = invert_gripper_action(normalize_gripper_action(action, binarize=True))
             actions.append(np.asarray(action))
             obs = env.step(action)
