@@ -56,8 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smoke-bs", type=int, default=2)
     p.add_argument("--smoke-lr", type=float, default=5e-2)
     p.add_argument("--quant-modes", default="int8,int4,int8+kv8,int4+kv4",
-                   help="quantized serving configs to compare against the "
-                        "full-precision decode (int8 | int4 | +kv8 suffix)")
+                   help="serving configs to compare against the full-"
+                        "precision decode: <int8|int4|none>[+kv8|kv4]"
+                        "[+vt<k>] — add e.g. int8+vt128 to A/B visual-token "
+                        "pruning on real weights before serving with it")
     p.add_argument("--quant-min-agreement", type=float, default=0.9,
                    help="token-agreement gate, applied to the int8 mode "
                         "(weight-only int8 is near-lossless on real LLM "

@@ -712,23 +712,38 @@ def int4_group_size_for(cfg: VLAConfig) -> int:
     return 1
 
 
-def parse_quant_mode(mode: str) -> Tuple[Optional[str], Optional[str]]:
-    """'int8' | 'int4' | 'kv8' | 'kv4' | '<weights>+kv8|kv4' ->
-    (weights_mode | None, kv_cache | None). Raises ValueError on anything
-    else — callers validate the full mode list BEFORE running expensive
-    legs."""
-    weights, _, kv = mode.partition("+")
-    if weights in ("kv8", "kv4") and not kv:  # bare KV-cache-only config
-        weights, kv = "none", weights
+def parse_quant_mode(
+    mode: str,
+) -> Tuple[Optional[str], Optional[str], Optional[int]]:
+    """'<int8|int4|none>[+kv8|kv4][+vt<k>]' (or a bare 'kv8'/'kv4'/'vt<k>'
+    for a single-lever config) -> (weights_mode | None, kv_cache | None,
+    visual_tokens | None). Raises ValueError on anything else — callers
+    validate the full mode list BEFORE running expensive legs."""
+    parts = mode.split("+")
+    weights, suffixes = parts[0], parts[1:]
+    if weights in ("kv8", "kv4") or (
+        weights.startswith("vt") and weights[2:].isdigit()
+    ):  # bare single-lever config
+        suffixes = [weights] + suffixes
+        weights = "none"
     if weights not in ("int8", "int4", "none"):
         raise ValueError(
             f"quant mode {mode!r}: weights must be int8, int4, or none "
-            f"(for a kv8/kv4-only config), got {weights!r}"
+            f"(for a kv/vt-only config), got {weights!r}"
         )
-    if kv not in ("", "kv8", "kv4"):
-        raise ValueError(f"quant mode {mode!r}: unknown suffix {kv!r}")
-    kv_cache = {"": None, "kv8": "int8", "kv4": "int4"}[kv]
-    return (None if weights == "none" else weights), kv_cache
+    kv_cache = visual_tokens = None
+    for s in suffixes:
+        if s in ("kv8", "kv4") and kv_cache is None:
+            kv_cache = {"kv8": "int8", "kv4": "int4"}[s]
+        elif (s.startswith("vt") and s[2:].isdigit() and int(s[2:]) >= 1
+              and visual_tokens is None):
+            visual_tokens = int(s[2:])
+        else:
+            raise ValueError(
+                f"quant mode {mode!r}: unknown suffix {s!r} "
+                f"(kv8|kv4 / vt<k>, once each)"
+            )
+    return (None if weights == "none" else weights), kv_cache, visual_tokens
 
 
 def quant_decode_report(
@@ -748,7 +763,10 @@ def quant_decode_report(
     weights should be validated with the acceptance gate before production
     use"). Mode strings: 'int8' | 'int4' (group size auto via
     int4_group_size_for) | either + '+kv8' (int8 KV cache) or '+kv4'
-    (packed-s4 cache) | bare 'kv8'/'kv4' for a KV-only configuration.
+    (packed-s4 cache) | '+vt<k>' (visual-token pruning — the LOSSY lever
+    whose real-weights A/B this leg IS; e.g. 'int8+vt128') | bare
+    'kv8'/'kv4'/'vt<k>' for a single-lever configuration. vt modes are not
+    in the defaults because k must not exceed the model's patch count.
 
     `params` is the STORAGE-layout pytree (convert_state_dict output, host
     numpy preferred). Reference and quantized programs run SEQUENTIALLY and
@@ -788,11 +806,12 @@ def quant_decode_report(
         if len(inputs) == n_batches:
             break
 
-    def run(pytree, kv_cache):
+    def run(pytree, kv_cache, visual_tokens=None):
         dev = jax.tree.map(lambda x: jnp.asarray(x), pytree)
         fn = jax.jit(
             lambda p, i, m, x: greedy_decode_actions(
                 p, cfg, i, m, x, cooked_weights=True, kv_cache=kv_cache,
+                visual_tokens=visual_tokens,
             )
         )
         toks, acts = [], []
@@ -807,11 +826,11 @@ def quant_decode_report(
     parsed = [(m, parse_quant_mode(m)) for m in modes]  # validate ALL first
     ref_tokens, ref_actions = run(cooked, None)
     report: Dict = {}
-    for mode, (wq, kv_cache) in parsed:
+    for mode, (wq, kv_cache, visual_tokens) in parsed:
         gs = int4_group_size_for(cfg)
         qp = (quantize_decode_params(cooked, xp=np, mode=wq, group_size=gs)
               if wq is not None else cooked)
-        tokens, actions = run(qp, kv_cache)
+        tokens, actions = run(qp, kv_cache, visual_tokens)
         del qp
         gc.collect()
         agree = float(np.mean(tokens == ref_tokens))

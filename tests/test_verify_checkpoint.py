@@ -365,16 +365,23 @@ def test_cli_quant_gate_rejects(tmp_path):
 def test_parse_quant_mode_grammar():
     from roboticattack_tpu.models.verify import parse_quant_mode
 
-    assert parse_quant_mode("int8") == ("int8", None)
-    assert parse_quant_mode("int4+kv8") == ("int4", "int8")
-    assert parse_quant_mode("kv8") == (None, "int8")       # KV-only config
-    assert parse_quant_mode("none+kv8") == (None, "int8")
-    assert parse_quant_mode("int8+kv4") == ("int8", "int4")
-    assert parse_quant_mode("kv4") == (None, "int4")       # KV-only config
+    assert parse_quant_mode("int8") == ("int8", None, None)
+    assert parse_quant_mode("int4+kv8") == ("int4", "int8", None)
+    assert parse_quant_mode("kv8") == (None, "int8", None)  # KV-only config
+    assert parse_quant_mode("none+kv8") == (None, "int8", None)
+    assert parse_quant_mode("int8+kv4") == ("int8", "int4", None)
+    assert parse_quant_mode("kv4") == (None, "int4", None)  # KV-only config
+    assert parse_quant_mode("int8+vt128") == ("int8", None, 128)
+    assert parse_quant_mode("vt64") == (None, None, 64)    # prune-only config
+    assert parse_quant_mode("int4+kv4+vt128") == ("int4", "int4", 128)
     with pytest.raises(ValueError, match="weights"):
         parse_quant_mode("fp8")
     with pytest.raises(ValueError, match="suffix"):
         parse_quant_mode("int8+fp8kv")
+    with pytest.raises(ValueError, match="suffix"):
+        parse_quant_mode("int8+vt0")
+    with pytest.raises(ValueError, match="suffix"):
+        parse_quant_mode("int8+kv8+kv4")  # once each
 
 
 def test_cli_rejects_bad_quant_mode_before_any_leg(tmp_path):
@@ -389,3 +396,24 @@ def test_cli_rejects_bad_quant_mode_before_any_leg(tmp_path):
             "--output", str(tmp_path / "o"), "--quant-modes", "fp8",
         ])
     assert not (tmp_path / "o" / "verify_report.json").exists()
+
+
+def test_quant_report_vt_mode_is_the_pruning_ab():
+    """'vt<k>' modes run the visual-token-pruning A/B the docs point users
+    at: token agreement of the pruned decode vs full precision. keep-all is
+    the identity -> agreement exactly 1.0; a heavy prune on the tiny model
+    still produces a well-formed (ungated) entry."""
+    from roboticattack_tpu.models.verify import quant_decode_report
+
+    params = jax.device_get(init_vla_params(jax.random.key(13), VLA_TINY))
+    qr = quant_decode_report(
+        params, VLA_TINY, modes=("vt16", "vt8", "int8+vt8"),
+        n_batches=1, min_agreement=0.0,
+    )
+    assert set(qr) == {"vt16", "vt8", "int8+vt8"}
+    # 16 = the tiny model's full patch count -> bit-identical
+    assert qr["vt16"]["token_agreement"] == 1.0
+    assert qr["vt16"]["max_abs_action_delta"] == 0.0
+    for m in ("vt8", "int8+vt8"):
+        assert "ok" not in qr[m]  # informational, never gated by default
+        assert 0.0 <= qr[m]["token_agreement"] <= 1.0
