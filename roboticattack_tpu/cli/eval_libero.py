@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 
+from ..eval.policy import quantize_arg
 from .attack import str2bool
 
 
@@ -41,8 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     # serving levers for --batch_trials (BASELINE.md): int8 weight-only quant
     # (bs>=8 fits ONE v5e; models/quant.py) and tensor-parallel decode over
     # the first N attached devices (parallel/sharding.py Megatron splits)
-    p.add_argument("--quantize", default=None,
-                   choices=[None, "int8", "int4"])
+    p.add_argument("--quantize", default=None, type=quantize_arg,
+                   help="int8 | int4 | int4:<group_size> (bare int4 resolves "
+                        "the group size per-model)")
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"],
                    help="int8 KV cache (exact per-position dequantization)")
     p.add_argument("--tp", default=1, type=int,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 
+from ..eval.policy import quantize_arg
 from .attack import str2bool
 
 
@@ -29,8 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", default=8000, type=int)
     p.add_argument("--max_batch", default=8, type=int)
     p.add_argument("--max_wait_ms", default=5.0, type=float)
-    p.add_argument("--quantize", default=None,
-                   choices=[None, "int8", "int4"])
+    p.add_argument("--quantize", default=None, type=quantize_arg,
+                   help="int8 | int4 | int4:<group_size> (bare int4 resolves "
+                        "the group size per-model)")
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--tp", default=1, type=int)
     p.add_argument("--visual_tokens", default=None, type=int,

@@ -35,15 +35,13 @@ PROMPT_PAD = 64
 
 def _parse_quantize(quantize: Optional[str]):
     """'int8' | 'int4' | 'int4:<group_size>' | None ->
-    (mode, group_size)."""
-    from ..models.quant import DEFAULT_GROUP_SIZE
-
+    (mode, group_size | None). group_size None = auto: VLAPolicy resolves it
+    per-model via models.quant.int4_group_size_for (bare 'int4' must work on
+    ANY zoo config, not just the ones 128 divides)."""
     if quantize is None:
-        return None, DEFAULT_GROUP_SIZE
-    if quantize == "int8":
-        return "int8", DEFAULT_GROUP_SIZE
-    if quantize == "int4":
-        return "int4", DEFAULT_GROUP_SIZE
+        return None, None
+    if quantize in ("int8", "int4"):
+        return quantize, None
     if quantize.startswith("int4:"):
         try:
             gs = int(quantize.split(":", 1)[1])
@@ -57,6 +55,14 @@ def _parse_quantize(quantize: Optional[str]):
     raise ValueError(
         f"quantize={quantize!r}; supported: 'int8', 'int4', 'int4:<group_size>'"
     )
+
+
+def quantize_arg(s: str) -> str:
+    """argparse `type=` validator for --quantize flags: fail at parse time
+    with the grammar ('int8' | 'int4' | 'int4:<group_size>') instead of deep
+    inside policy construction."""
+    _parse_quantize(s)
+    return s
 
 
 class VLAPolicy:
@@ -93,7 +99,9 @@ class VLAPolicy:
         lm_head/embed (models/quant.py) — ~7 GB of weight arguments instead
         of 13.5, so bs=8..16 batched serving fits on a SINGLE chip, and each
         decode step streams half the bytes. `quantize='int4'` (or
-        'int4:<group_size>', default 128): grouped-scale int4 stacks — ~5 GB
+        'int4:<group_size>'; default auto — the largest standard size
+        dividing every contraction dim, models.quant.int4_group_size_for):
+        grouped-scale int4 stacks — ~5 GB
         total pytree, packed s4 streaming in the decode hot loop. Both
         compose with `mesh` (the scale leaves have TP specs). Host-side,
         like cooking.
@@ -128,8 +136,13 @@ class VLAPolicy:
                 params, xp=_host_xp("cooking the decode weight layout")
             )
         if quant_mode is not None:
-            from ..models.quant import quantize_decode_params
+            from ..models.quant import (
+                int4_group_size_for,
+                quantize_decode_params,
+            )
 
+            if quant_gs is None:
+                quant_gs = int4_group_size_for(cfg)
             params = quantize_decode_params(
                 params,
                 xp=_host_xp(f"{quant_mode} quantization"),
@@ -331,6 +344,7 @@ def load_policy(
 ) -> VLAPolicy:
     """Build a policy from a local HF checkpoint dir (or random weights for
     smoke tests when checkpoint is None)."""
+    _parse_quantize(quantize)  # reject a typo'd mode BEFORE the 15 GB load
     from ..models import get_config, init_vla_params
     from ..models.convert import load_checkpoint_dir, load_norm_stats
     from ..data.rlds import _tokenizer_from_checkpoint

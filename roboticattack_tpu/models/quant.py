@@ -103,6 +103,25 @@ def _quantize_grouped(w, xp, group_size: int, what: str):
     )
 
 
+def int4_group_size_for(cfg) -> int:
+    """Largest standard group size dividing every decode contraction dim of
+    a VLAConfig (stack contractions: hidden, num_heads*head_dim,
+    intermediate; lm_head: hidden). 7B -> 128 (the GPTQ/AWQ convention);
+    vla-tiny -> 64. The ONE group-size policy shared by VLAPolicy, the
+    acceptance gate (models/verify.py), and bench_decode — a hardcoded 128
+    is a dead end on any model 128 doesn't divide."""
+    lcfg = cfg.llm
+    dims = (
+        lcfg.hidden_size,
+        lcfg.num_heads * lcfg.head_dim,
+        lcfg.intermediate_size,
+    )
+    for gs in (128, 64, 32, 16, 8, 4):
+        if all(d % gs == 0 for d in dims):
+            return gs
+    return 1
+
+
 def quant_mode(params: Dict) -> Optional[str]:
     """'int8' / 'int4' if the LLM projection stacks are quantized
     (quantize_decode_params output), else None."""

@@ -696,20 +696,9 @@ def tma_smoke(
     return {"losses": losses, "decreased": decreased, "patch": patch}
 
 
-def int4_group_size_for(cfg: VLAConfig) -> int:
-    """Largest standard group size dividing every decode contraction dim
-    (stack contractions: hidden, num_heads*head_dim, intermediate; lm_head:
-    hidden). 7B -> 128 (the GPTQ/AWQ convention); vla-tiny -> 64."""
-    lcfg = cfg.llm
-    dims = (
-        lcfg.hidden_size,
-        lcfg.num_heads * lcfg.head_dim,
-        lcfg.intermediate_size,
-    )
-    for gs in (128, 64, 32, 16, 8, 4):
-        if all(d % gs == 0 for d in dims):
-            return gs
-    return 1
+# shared int4 group-size policy now lives with the quantizer; re-exported
+# here for its established importers (bench_decode, tests)
+from .quant import int4_group_size_for  # noqa: E402,F401
 
 
 def parse_quant_mode(

@@ -44,7 +44,11 @@ def main():
     # of 13.5 on the 7B, so bs>=8 batched serving fits ONE 15.75 GB v5e, and
     # a weight-streaming-bound decode step reads half the HBM bytes. int4
     # (grouped scales, group=128): ~5.0 GB, packed s4 streaming per step
-    ap.add_argument("--quantize", default=None, choices=[None, "int8", "int4"])
+    # grammar: int8 | int4 | int4:<group_size> (bare int4 resolves the group
+    # size per-model via models.quant.int4_group_size_for)
+    from roboticattack_tpu.eval.policy import quantize_arg
+
+    ap.add_argument("--quantize", default=None, type=quantize_arg)
     # int8 KV cache with exact per-position dequantization (models/decode.py
     # _attend_kv8): halves the cache bytes — the next ceiling after weight
     # quantization at large serving batches
@@ -90,14 +94,20 @@ def main():
     t0 = time.time()
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
     shapes = decode_layout_shapes(shapes)
-    if args.quantize:
-        from roboticattack_tpu.models.quant import quantize_decode_shapes
-        from roboticattack_tpu.models.verify import int4_group_size_for
+    from roboticattack_tpu.eval.policy import _parse_quantize
+
+    quant_mode, quant_gs = _parse_quantize(args.quantize)
+    if quant_mode:
+        from roboticattack_tpu.models.quant import (
+            int4_group_size_for,
+            quantize_decode_shapes,
+        )
 
         # int4 grouped scales need a group size dividing every contraction
         # dim; 128 (the 7B default) does not divide the tiny CPU model's dims
-        shapes = quantize_decode_shapes(shapes, mode=args.quantize,
-                                        group_size=int4_group_size_for(cfg))
+        shapes = quantize_decode_shapes(shapes, mode=quant_mode,
+                                        group_size=quant_gs
+                                        or int4_group_size_for(cfg))
     leaves, treedef = jax.tree.flatten(shapes)
 
     mesh = None
@@ -134,8 +144,8 @@ def main():
             if s.dtype == jnp.dtype(jnp.int4):
                 return jax.random.randint(k, s.shape, -7, 8, jnp.int32).astype(jnp.int4)
             draw = jax.random.normal(k, s.shape, dtype=jnp.float32) * 0.02
-            if args.quantize and s.dtype == jnp.float32:
-                qmax = 127.0 if args.quantize == "int8" else 7.0
+            if quant_mode and s.dtype == jnp.float32:
+                qmax = 127.0 if quant_mode == "int8" else 7.0
                 draw = jnp.abs(draw) / qmax + 1e-6
             return draw.astype(s.dtype)
 
