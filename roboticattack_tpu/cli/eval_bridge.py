@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import argparse
 
-from ..eval.policy import quantize_arg
+from ..utils.quant_args import quantize_arg
 from .attack import str2bool
 
 

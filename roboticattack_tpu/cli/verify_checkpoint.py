@@ -122,6 +122,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         ckpt_dir = _default_download(repo, patterns, args.cache_dir, args.hf_token)
         cfg = build_config(args.model)
     print(f"checkpoint: {ckpt_dir}\nconfig: {cfg.name}")
+    if "quant" in steps:
+        # grammar passed above; bound-check vt<k> against THIS model's patch
+        # count now that cfg is known — still before any expensive leg, so
+        # vt999 can't discard a finished manifest/parity/smoke run by raising
+        # mid-quant-leg (models/decode.py:409)
+        from ..models.verify import parse_quant_mode
+
+        for m in quant_modes:
+            _, _, vt = parse_quant_mode(m)
+            if vt is not None and vt > cfg.num_patches:
+                build_parser().error(
+                    f"--quant-modes {m!r}: vt{vt} exceeds the model's "
+                    f"{cfg.num_patches} patch tokens"
+                )
 
     # prismatic zoo checkpoints are a torch .pt (no safetensors headers):
     # load + rename upfront, validate the manifest over the in-memory state

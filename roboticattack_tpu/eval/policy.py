@@ -33,36 +33,13 @@ from .processing import center_crop_resize_tf, eval_prompt, resize_bicubic_pil
 PROMPT_PAD = 64
 
 
-def _parse_quantize(quantize: Optional[str]):
-    """'int8' | 'int4' | 'int4:<group_size>' | None ->
-    (mode, group_size | None). group_size None = auto: VLAPolicy resolves it
-    per-model via models.quant.int4_group_size_for (bare 'int4' must work on
-    ANY zoo config, not just the ones 128 divides)."""
-    if quantize is None:
-        return None, None
-    if quantize in ("int8", "int4"):
-        return quantize, None
-    if quantize.startswith("int4:"):
-        try:
-            gs = int(quantize.split(":", 1)[1])
-        except ValueError:
-            gs = 0
-        if gs <= 0:
-            raise ValueError(
-                f"quantize={quantize!r}: group size must be a positive int"
-            )
-        return "int4", gs
-    raise ValueError(
-        f"quantize={quantize!r}; supported: 'int8', 'int4', 'int4:<group_size>'"
-    )
-
-
-def quantize_arg(s: str) -> str:
-    """argparse `type=` validator for --quantize flags: fail at parse time
-    with the grammar ('int8' | 'int4' | 'int4:<group_size>') instead of deep
-    inside policy construction."""
-    _parse_quantize(s)
-    return s
+# the shared --quantize grammar lives in the jax-free utils.quant_args (the
+# CLIs validate at parse time without importing this module); re-exported
+# here for established importers
+from ..utils.quant_args import (  # noqa: E402,F401
+    parse_quantize as _parse_quantize,
+    quantize_arg,
+)
 
 
 class VLAPolicy:

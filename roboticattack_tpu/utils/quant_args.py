@@ -1,0 +1,49 @@
+"""The one `--quantize` grammar shared by every serving surface.
+
+'int8' | 'int4' | 'int4:<group_size>' — parsed here so the four CLIs
+(serve, eval_libero, eval_bridge, bench_decode) and `load_policy` agree, and
+deliberately free of jax/model imports: robot hosts drive
+`cli.eval_bridge --help` and config plumbing without paying the ~2 s
+`eval.policy` import (the CLIs defer the heavy stack into main()).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Tuple
+
+
+def parse_quantize(quantize: Optional[str]) -> Tuple[Optional[str], Optional[int]]:
+    """'int8' | 'int4' | 'int4:<group_size>' | None ->
+    (mode, group_size | None). group_size None = auto: VLAPolicy resolves it
+    per-model via models.quant.int4_group_size_for (bare 'int4' must work on
+    ANY zoo config, not just the ones 128 divides)."""
+    if quantize is None:
+        return None, None
+    if quantize in ("int8", "int4"):
+        return quantize, None
+    if quantize.startswith("int4:"):
+        try:
+            gs = int(quantize.split(":", 1)[1])
+        except ValueError:
+            gs = 0
+        if gs <= 0:
+            raise ValueError(
+                f"quantize={quantize!r}: group size must be a positive int"
+            )
+        return "int4", gs
+    raise ValueError(
+        f"quantize={quantize!r}; supported: 'int8', 'int4', 'int4:<group_size>'"
+    )
+
+
+def quantize_arg(s: str) -> str:
+    """argparse `type=` validator for --quantize flags: fail at parse time
+    with the grammar instead of deep inside policy construction.
+    ArgumentTypeError (not ValueError) so argparse PRINTS the grammar
+    message rather than swallowing it into 'invalid quantize_arg value'."""
+    try:
+        parse_quantize(s)
+    except ValueError as e:
+        raise argparse.ArgumentTypeError(str(e)) from None
+    return s

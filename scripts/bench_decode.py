@@ -46,7 +46,7 @@ def main():
     # (grouped scales, group=128): ~5.0 GB, packed s4 streaming per step
     # grammar: int8 | int4 | int4:<group_size> (bare int4 resolves the group
     # size per-model via models.quant.int4_group_size_for)
-    from roboticattack_tpu.eval.policy import quantize_arg
+    from roboticattack_tpu.utils.quant_args import quantize_arg
 
     ap.add_argument("--quantize", default=None, type=quantize_arg)
     # int8 KV cache with exact per-position dequantization (models/decode.py
@@ -94,9 +94,9 @@ def main():
     t0 = time.time()
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
     shapes = decode_layout_shapes(shapes)
-    from roboticattack_tpu.eval.policy import _parse_quantize
+    from roboticattack_tpu.utils.quant_args import parse_quantize
 
-    quant_mode, quant_gs = _parse_quantize(args.quantize)
+    quant_mode, quant_gs = parse_quantize(args.quantize)
     if quant_mode:
         from roboticattack_tpu.models.quant import (
             int4_group_size_for,
@@ -229,7 +229,9 @@ def main():
             }), flush=True)
             continue
         best = min(times)
-        row = {
+        # NOT named `row` — that's the prompt-ids buffer the next batch-size
+        # iteration broadcasts from
+        out = {
             "metric": "predict_action_throughput",
             "batch": bs,
             "latency_s": round(best, 4),
@@ -237,9 +239,9 @@ def main():
             "compile_s": round(compile_s, 1),
         }
         if args.jacobi:
-            row["jacobi"] = args.jacobi
-            row["verify_passes"] = verify_passes
-        print(json.dumps(row), flush=True)
+            out["jacobi"] = args.jacobi
+            out["verify_passes"] = verify_passes
+        print(json.dumps(out), flush=True)
         log(f"bs={bs}: {best*1000:.1f} ms/call -> {bs/best:.2f} actions/s")
 
 

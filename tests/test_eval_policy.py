@@ -163,3 +163,26 @@ def test_policy_get_action_array_draft():
                            draft_tokens=policy.last_tokens[0])
     np.testing.assert_array_equal(a1, a2)
     assert policy.last_verify_passes == 1
+
+
+def test_quantize_grammar():
+    """utils.quant_args is the ONE --quantize grammar: jax-free parse shared
+    by the four CLIs and load_policy (eval/policy.py re-exports it)."""
+    import argparse
+
+    import pytest
+
+    from roboticattack_tpu.utils.quant_args import parse_quantize, quantize_arg
+
+    assert parse_quantize(None) == (None, None)
+    assert parse_quantize("int8") == ("int8", None)  # gs irrelevant for int8
+    assert parse_quantize("int4") == ("int4", None)  # None = per-model auto
+    assert parse_quantize("int4:32") == ("int4", 32)
+    for bad in ("int16", "int4:0", "int4:-8", "int4:x", "fp8"):
+        with pytest.raises(ValueError):
+            parse_quantize(bad)
+        # argparse validator surfaces the grammar message (ArgumentTypeError,
+        # not a swallowed ValueError)
+        with pytest.raises(argparse.ArgumentTypeError, match="quantize"):
+            quantize_arg(bad)
+    assert quantize_arg("int4:64") == "int4:64"

@@ -417,3 +417,18 @@ def test_quant_report_vt_mode_is_the_pruning_ab():
     for m in ("vt8", "int8+vt8"):
         assert "ok" not in qr[m]  # informational, never gated by default
         assert 0.0 <= qr[m]["token_agreement"] <= 1.0
+
+
+def test_cli_rejects_out_of_range_vt_before_any_leg(tmp_path):
+    """vt<k> beyond the model's patch count must fail at startup (parser
+    error), not raise mid-quant-leg after the expensive legs finished
+    (models/decode.py bounds k to [1, num_patches]; vla-tiny has 16)."""
+    from roboticattack_tpu.cli.verify_checkpoint import main
+
+    _write_checkpoint(tmp_path, seed=17)
+    with pytest.raises(SystemExit):
+        main([
+            "--model", "vla-tiny", "--checkpoint", str(tmp_path),
+            "--output", str(tmp_path / "o"), "--quant-modes", "int8+vt999",
+        ])
+    assert not (tmp_path / "o" / "verify_report.json").exists()
