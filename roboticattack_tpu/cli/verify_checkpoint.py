@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smoke-iters", type=int, default=20)
     p.add_argument("--smoke-bs", type=int, default=2)
     p.add_argument("--smoke-lr", type=float, default=5e-2)
-    p.add_argument("--quant-modes", default="int8,int4,int8+kv8,int4+kv4",
+    p.add_argument("--quant-modes", default="int8,w8a8,int4,int8+kv8,int4+kv4",
                    help="serving configs to compare against the full-"
                         "precision decode: <int8|int4|none>[+kv8|kv4]"
                         "[+vt<k>] — add e.g. int8+vt128 to A/B visual-token "

@@ -79,9 +79,12 @@ class VLAPolicy:
         'int4:<group_size>'; default auto — the largest standard size
         dividing every contraction dim, models.quant.int4_group_size_for):
         grouped-scale int4 stacks — ~5 GB
-        total pytree, packed s4 streaming in the decode hot loop. Both
+        total pytree, packed s4 streaming in the decode hot loop. All modes
         compose with `mesh` (the scale leaves have TP specs). Host-side,
-        like cooking.
+        like cooking. `quantize='w8a8'`: int8 weights PLUS dynamic per-token
+        int8 prefill activations — the batched-serving FLOP bill runs the
+        MXU's double-rate integer path (LOSSY: activation rounding; the
+        decode tail stays weight-only int8).
 
         `kv_cache='int8'`: int8 KV cache with exact per-position
         dequantization around both attention matmuls (models/decode.py
@@ -91,6 +94,13 @@ class VLAPolicy:
         _attend_kv4) — quarters it; both keep the first generated token
         bit-identical (prefill attends full-precision)."""
         quant_mode, quant_gs = _parse_quantize(quantize)
+        # 'w8a8' = int8 weights + dynamic int8 PREFILL activations on the
+        # MXU's double-rate integer path (models/decode.py act_quant). The
+        # decode tail stays weight-only int8; LOSSY like visual_tokens —
+        # validate on real weights via the acceptance gate's w8a8 mode.
+        act_quant = "int8" if quant_mode == "w8a8" else None
+        if quant_mode == "w8a8":
+            quant_mode = "int8"
 
         def _host_xp(what):
             # host-side transforms only: an on-ACCELERATOR pass over a large
@@ -150,6 +160,7 @@ class VLAPolicy:
             lambda p, ids, mask, px: greedy_decode_actions(
                 p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh,
                 kv_cache=kv_cache, visual_tokens=visual_tokens,
+                act_quant=act_quant,
             )
         )
         # Jacobi variant (separate program: the draft arg changes the tail's
@@ -158,6 +169,7 @@ class VLAPolicy:
             lambda p, ids, mask, px, d: greedy_decode_actions(
                 p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh,
                 kv_cache=kv_cache, draft_tokens=d, visual_tokens=visual_tokens,
+                act_quant=act_quant,
             )
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}

@@ -32,7 +32,18 @@ from ..ops.attention import NEG_INF
 _COOKED_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 
 
-def _proj(y, w, cooked: bool, scale=None):
+def _quantize_act(y, qmax: float = 127.0):
+    """Dynamic per-token symmetric int8 activation quantization: [b, s, in]
+    -> (int8 same shape, f32 scale [b, s, 1]). The absmax runs over the
+    token's feature row, so under tensor parallelism (contraction dim
+    sharded) GSPMD reduces it with one tiny [b, s, 1] max-collective."""
+    absmax = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=-1, keepdims=True)
+    sy = jnp.maximum(absmax / qmax, 1e-12)
+    q = jnp.clip(jnp.round(y.astype(jnp.float32) / sy), -qmax, qmax)
+    return q.astype(jnp.int8), sy
+
+
+def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
     """y @ W for storage layout [in, out] (cooked=False) or the pre-transposed
     decode layout [out, in] (cooked=True). `scale` is present iff `w` is a
     quantize_decode_params stack:
@@ -41,6 +52,17 @@ def _proj(y, w, cooked: bool, scale=None):
     per-output-channel scale is constant over the contraction dim); XLA fuses
     the int8->activation-dtype convert into the matmul operand read so HBM
     streams int8 bytes (models/quant.py).
+
+    int8 + act8=True (the w8a8 prefill regime) — additionally quantize the
+    ACTIVATIONS per token (dynamic symmetric int8, _quantize_act) and
+    contract int8 x int8 -> int32, the MXU's double-rate integer path (v5e:
+    394 int8 TOPS vs 197 bf16); dequantization is two rank-broadcast
+    multiplies on the int32 accumulator (per-token [b,s,1] x per-channel
+    [out]) — int32 accumulation is exact, so TP partial-sum psums stay
+    bit-identical to the single-chip contraction. Unlike every weight-only
+    mode the activation ROUNDING is lossy; greedy_decode_actions applies it
+    to the FLOP-bound prefill only (decode steps are weight-streaming-bound:
+    int8 activations there would add error and save nothing).
 
     int4 — scale f32 [out, G] is GROUPED over the contraction dim
     (rank dispatch: scale.ndim == w.ndim). Two static-shape regimes:
@@ -66,6 +88,12 @@ def _proj(y, w, cooked: bool, scale=None):
         wd = (wg.astype(jnp.float32) * scale[..., None]).reshape(w.shape)
         return jnp.einsum("bsi,oi->bso", y, wd.astype(y.dtype))
     if scale is not None:  # per-output-channel int8
+        if act8:
+            yq, sy = _quantize_act(y)
+            out = jnp.einsum(
+                "bsi,oi->bso", yq, w, preferred_element_type=jnp.int32
+            )
+            return (out.astype(jnp.float32) * sy * scale).astype(y.dtype)
         out = jnp.einsum(
             "bsi,oi->bso", y, w.astype(y.dtype),
             preferred_element_type=jnp.float32,
@@ -76,10 +104,10 @@ def _proj(y, w, cooked: bool, scale=None):
     return y @ w
 
 
-def _pj(p, key, y, cooked: bool):
+def _pj(p, key, y, cooked: bool, act8: bool = False):
     """Layer-dict projection: dispatches on the presence of the quantization
     scale leaf (scan slices both the int8 stack and its [L, out] scale)."""
-    return _proj(y, p[key], cooked, p.get(key + "_scale"))
+    return _proj(y, p[key], cooked, p.get(key + "_scale"), act8)
 
 
 def _embed_rows(p_llm, ids, dtype):
@@ -177,12 +205,12 @@ def decode_layout_shapes(shapes):
     return decode_layout_params(shapes, xp=_ShapeSwap)
 
 
-def _qkv(cfg, p, y, cooked=False):
+def _qkv(cfg, p, y, cooked=False, act8=False):
     b, s, _ = y.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = _pj(p, "q_w", y, cooked).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-    k = _pj(p, "k_w", y, cooked).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
-    v = _pj(p, "v_w", y, cooked).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    q = _pj(p, "q_w", y, cooked, act8).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = _pj(p, "k_w", y, cooked, act8).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    v = _pj(p, "v_w", y, cooked, act8).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -273,10 +301,14 @@ def _attend_kv4(q, k4, sk, v4, sv, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v4.astype(q.dtype))
 
 
-def _mlp(cfg, p, x, cooked=False):
+def _mlp(cfg, p, x, cooked=False, act8=False):
     y = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-    gate = jax.nn.silu(_pj(p, "gate_w", y, cooked).astype(jnp.float32)).astype(x.dtype)
-    return x + _pj(p, "down_w", gate * _pj(p, "up_w", y, cooked), cooked)
+    gate = jax.nn.silu(
+        _pj(p, "gate_w", y, cooked, act8).astype(jnp.float32)
+    ).astype(x.dtype)
+    return x + _pj(
+        p, "down_w", gate * _pj(p, "up_w", y, cooked, act8), cooked, act8
+    )
 
 
 class DecodeResult(NamedTuple):
@@ -301,6 +333,7 @@ def greedy_decode_actions(
     kv_cache: Optional[str] = None,  # None (model dtype), 'int8', or 'int4'
     draft_tokens: Optional[jnp.ndarray] = None,  # [B, num_steps] Jacobi draft
     visual_tokens: Optional[int] = None,  # keep top-k patch tokens (prefill pruning)
+    act_quant: Optional[str] = None,  # 'int8': w8a8 prefill (needs int8 weights)
 ) -> DecodeResult:
     """Greedy multimodal generation of `num_steps` action tokens.
 
@@ -361,7 +394,23 @@ def greedy_decode_actions(
     k == num_patches is bit-identical to no pruning (pinned in tests);
     accuracy at k < num_patches is weight-dependent — validate on real
     checkpoints with the acceptance gate / a LIBERO A/B before production
-    (same stance as quantization accuracy, egress-gated here)."""
+    (same stance as quantization accuracy, egress-gated here).
+
+    `act_quant='int8'` (the policy-level `quantize='w8a8'`): dynamically
+    quantize the PREFILL projections' activations per token and contract
+    int8 x int8 -> int32 on the MXU's double-rate integer path — the
+    multimodal prefill is the FLOP bill at batched serving (v5e: 394 int8
+    TOPS vs 197 bf16, so w8a8 roughly halves it where weight-only int8 only
+    halves the bytes). Requires per-channel int8 weights
+    (quantize_decode_params mode='int8'); the bandwidth-bound decode tail
+    (cached steps AND Jacobi verification passes) stays weight-only, so
+    everything after the first generated token is the weight-only int8
+    computation. LOSSY like visual_tokens (activation rounding) — validate
+    on real checkpoints via the acceptance gate's w8a8 mode. Composes with
+    TP (int32 partial sums are exact, so w8a8 TP == w8a8 single-chip
+    bit-identically), kv_cache, drafts, and vt pruning. The reference has no
+    quantized path at all (modeling_prismatic.py:506-534 runs bf16 HF
+    generate)."""
     from .config import PhiConfig
 
     if isinstance(cfg.llm, PhiConfig):
@@ -388,6 +437,19 @@ def greedy_decode_actions(
             "int8/int4-quantized params (quantize_decode_params output) are "
             "always in the cooked layout; pass cooked_weights=True"
         )
+    if act_quant not in (None, "int8"):
+        raise ValueError(f"act_quant={act_quant!r}; supported: None, 'int8'")
+    act8 = act_quant == "int8"
+    if act8:
+        qsc = p_llm["layers"].get("q_w_scale")
+        if jnp.dtype(p_llm["layers"]["q_w"].dtype) != jnp.int8 or (
+            qsc is not None and qsc.ndim != 2
+        ):
+            raise ValueError(
+                "act_quant='int8' (w8a8) needs per-channel int8 weights — "
+                "run quantize_decode_params(mode='int8') first (int4's "
+                "grouped scales have no int8 x int8 contraction form)"
+            )
     gw = p_llm["layers"]["gate_w"].shape
     want = (
         (lcfg.intermediate_size, lcfg.hidden_size)
@@ -537,13 +599,16 @@ def greedy_decode_actions(
         x, ck, cv, sk, sv = carry
         p, li = inp
         y = rms_norm(x, p["attn_norm"], lcfg.rms_eps)
-        q, k, v = _qkv(lcfg, p, y, cooked_weights)
+        # act8: the prefill is the one FLOP-bound phase — its 7 projections
+        # run the MXU's double-rate int8 path under w8a8
+        q, k, v = _qkv(lcfg, p, y, cooked_weights, act8)
         q, k = apply_rope(q, k, cos_all[:t0], sin_all[:t0])
         # prefill attends over the live full-precision K/V; quantization (if
         # any) applies only to what the cached decode steps will re-read
         attn = _attend(q, k, v, prefix_bias)
-        x = x + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(x.shape), cooked_weights)
-        x = _mlp(lcfg, p, x, cooked_weights)
+        x = x + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(x.shape),
+                    cooked_weights, act8)
+        x = _mlp(lcfg, p, x, cooked_weights, act8)
         if kvq:
             k, sk_l, v, sv_l = _q_kv(k, v)
             sk = jax.lax.dynamic_update_slice(

@@ -704,10 +704,12 @@ from .quant import int4_group_size_for  # noqa: E402,F401
 def parse_quant_mode(
     mode: str,
 ) -> Tuple[Optional[str], Optional[str], Optional[int]]:
-    """'<int8|int4|none>[+kv8|kv4][+vt<k>]' (or a bare 'kv8'/'kv4'/'vt<k>'
-    for a single-lever config) -> (weights_mode | None, kv_cache | None,
-    visual_tokens | None). Raises ValueError on anything else — callers
-    validate the full mode list BEFORE running expensive legs."""
+    """'<int8|w8a8|int4|none>[+kv8|kv4][+vt<k>]' (or a bare 'kv8'/'kv4'/
+    'vt<k>' for a single-lever config) -> (weights_mode | None, kv_cache |
+    None, visual_tokens | None). 'w8a8' = int8 weights + dynamic int8
+    prefill activations (models/decode.py act_quant). Raises ValueError on
+    anything else — callers validate the full mode list BEFORE running
+    expensive legs."""
     parts = mode.split("+")
     weights, suffixes = parts[0], parts[1:]
     if weights in ("kv8", "kv4") or (
@@ -715,10 +717,10 @@ def parse_quant_mode(
     ):  # bare single-lever config
         suffixes = [weights] + suffixes
         weights = "none"
-    if weights not in ("int8", "int4", "none"):
+    if weights not in ("int8", "w8a8", "int4", "none"):
         raise ValueError(
-            f"quant mode {mode!r}: weights must be int8, int4, or none "
-            f"(for a kv/vt-only config), got {weights!r}"
+            f"quant mode {mode!r}: weights must be int8, w8a8, int4, or "
+            f"none (for a kv/vt-only config), got {weights!r}"
         )
     kv_cache = visual_tokens = None
     for s in suffixes:
@@ -738,7 +740,7 @@ def parse_quant_mode(
 def quant_decode_report(
     params,
     cfg: VLAConfig,
-    modes: Sequence[str] = ("int8", "int4", "int8+kv8", "int4+kv4"),
+    modes: Sequence[str] = ("int8", "w8a8", "int4", "int8+kv8", "int4+kv4"),
     batch_size: int = 2,
     n_batches: int = 2,
     prompt_pad: int = 32,
@@ -750,7 +752,9 @@ def quant_decode_report(
     quantized configuration against the full-precision decode on the SAME
     synthetic frames/prompts (NEXT.md: "int8 accuracy on REAL released
     weights should be validated with the acceptance gate before production
-    use"). Mode strings: 'int8' | 'int4' (group size auto via
+    use"). Mode strings: 'int8' | 'w8a8' (int8 weights + dynamic int8
+    prefill activations — its agreement number IS the w8a8 accuracy A/B) |
+    'int4' (group size auto via
     int4_group_size_for) | either + '+kv8' (int8 KV cache) or '+kv4'
     (packed-s4 cache) | '+vt<k>' (visual-token pruning — the LOSSY lever
     whose real-weights A/B this leg IS; e.g. 'int8+vt128') | bare
@@ -795,12 +799,12 @@ def quant_decode_report(
         if len(inputs) == n_batches:
             break
 
-    def run(pytree, kv_cache, visual_tokens=None):
+    def run(pytree, kv_cache, visual_tokens=None, act_quant=None):
         dev = jax.tree.map(lambda x: jnp.asarray(x), pytree)
         fn = jax.jit(
             lambda p, i, m, x: greedy_decode_actions(
                 p, cfg, i, m, x, cooked_weights=True, kv_cache=kv_cache,
-                visual_tokens=visual_tokens,
+                visual_tokens=visual_tokens, act_quant=act_quant,
             )
         )
         toks, acts = [], []
@@ -816,10 +820,12 @@ def quant_decode_report(
     ref_tokens, ref_actions = run(cooked, None)
     report: Dict = {}
     for mode, (wq, kv_cache, visual_tokens) in parsed:
+        act = "int8" if wq == "w8a8" else None
+        wq = "int8" if wq == "w8a8" else wq
         gs = int4_group_size_for(cfg)
         qp = (quantize_decode_params(cooked, xp=np, mode=wq, group_size=gs)
               if wq is not None else cooked)
-        tokens, actions = run(qp, kv_cache, visual_tokens)
+        tokens, actions = run(qp, kv_cache, visual_tokens, act)
         del qp
         gc.collect()
         agree = float(np.mean(tokens == ref_tokens))

@@ -1,6 +1,6 @@
 """The one `--quantize` grammar shared by every serving surface.
 
-'int8' | 'int4' | 'int4:<group_size>' — parsed here so the four CLIs
+'int8' | 'w8a8' | 'int4' | 'int4:<group_size>' — parsed here so the four CLIs
 (serve, eval_libero, eval_bridge, bench_decode) and `load_policy` agree, and
 deliberately free of jax/model imports: robot hosts drive
 `cli.eval_bridge --help` and config plumbing without paying the ~2 s
@@ -14,13 +14,15 @@ from typing import Optional, Tuple
 
 
 def parse_quantize(quantize: Optional[str]) -> Tuple[Optional[str], Optional[int]]:
-    """'int8' | 'int4' | 'int4:<group_size>' | None ->
+    """'int8' | 'w8a8' | 'int4' | 'int4:<group_size>' | None ->
     (mode, group_size | None). group_size None = auto: VLAPolicy resolves it
     per-model via models.quant.int4_group_size_for (bare 'int4' must work on
-    ANY zoo config, not just the ones 128 divides)."""
+    ANY zoo config, not just the ones 128 divides). 'w8a8' = int8 weights +
+    dynamic per-token int8 PREFILL activations (the MXU's double-rate
+    integer path; lossy — models/decode.py act_quant)."""
     if quantize is None:
         return None, None
-    if quantize in ("int8", "int4"):
+    if quantize in ("int8", "w8a8", "int4"):
         return quantize, None
     if quantize.startswith("int4:"):
         try:
@@ -33,7 +35,8 @@ def parse_quantize(quantize: Optional[str]) -> Tuple[Optional[str], Optional[int
             )
         return "int4", gs
     raise ValueError(
-        f"quantize={quantize!r}; supported: 'int8', 'int4', 'int4:<group_size>'"
+        f"quantize={quantize!r}; supported: 'int8', 'w8a8', 'int4', "
+        f"'int4:<group_size>'"
     )
 
 

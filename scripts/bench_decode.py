@@ -97,6 +97,10 @@ def main():
     from roboticattack_tpu.utils.quant_args import parse_quantize
 
     quant_mode, quant_gs = parse_quantize(args.quantize)
+    # w8a8 = int8 weight storage + dynamic int8 prefill activations
+    act_quant = "int8" if quant_mode == "w8a8" else None
+    if quant_mode == "w8a8":
+        quant_mode = "int8"
     if quant_mode:
         from roboticattack_tpu.models.quant import (
             int4_group_size_for,
@@ -171,13 +175,14 @@ def main():
         lambda p, i, m, px: greedy_decode_actions(
             p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
             kv_cache=args.kv_cache, visual_tokens=args.visual_tokens,
+            act_quant=act_quant,
         )
     )
     decode_draft = jax.jit(
         lambda p, i, m, px, d: greedy_decode_actions(
             p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
             kv_cache=args.kv_cache, draft_tokens=d,
-            visual_tokens=args.visual_tokens,
+            visual_tokens=args.visual_tokens, act_quant=act_quant,
         )
     )
     rng = np.random.default_rng(0)

@@ -45,6 +45,11 @@ DEFAULT_CONFIGS = [
     # visual-token pruning (LOSSY, models/decode.py visual_tokens): prefill
     # is the FLOP bill at bs>=8 — vt128 halves the patch tokens
     "int8+vt128:8,16",
+    # w8a8 (LOSSY, models/decode.py act_quant): the prefill projections run
+    # the MXU's double-rate int8 path — the FLOP-bill lever on top of int8's
+    # bytes lever; vs int8 rows isolates the prefill speedup
+    "w8a8:8,16",
+    "w8a8+vt128:16",
 ]
 
 
@@ -53,12 +58,12 @@ def log(*a):
 
 
 def parse_config(spec):
-    """'<bf16|int8|int4>[+kv8|+kv4][+jw|+jc][+vt<k>]:<batches>' ->
+    """'<bf16|int8|w8a8|int4>[+kv8|+kv4][+jw|+jc][+vt<k>]:<batches>' ->
     (name, weights, kv_cache, jacobi, visual_tokens, batches)."""
     name, batches = spec.split(":", 1)
     parts = name.split("+")
     weights, suffixes = parts[0], parts[1:]
-    if weights not in ("bf16", "int8", "int4"):
+    if weights not in ("bf16", "int8", "w8a8", "int4"):
         raise ValueError(f"weights {weights!r} in {spec!r}")
     kv = jacobi = vt = None
     for s in suffixes:

@@ -487,3 +487,102 @@ def test_quant_7b_shape_budget_int4():
         for k, s in q4["llm"]["layers"].items() if k.endswith("_scale")
     ) / 1024**3
     assert 0.1 < scale_gb < 0.25, scale_gb
+
+
+# --- w8a8: int8 weights + dynamic int8 PREFILL activations --------------------
+# (models/decode.py act_quant — the MXU double-rate integer path; activation
+# rounding is lossy, so exactness is pinned on grid-valued activations and
+# TP bit-identity, not on agreement with the bf16 program)
+
+
+def test_w8a8_proj_exact_on_grid_activations():
+    """_proj(act8=True) against the weight-only int8 path on activations
+    already representable on the per-token int8 grid (power-of-two token
+    scales): both contractions are exact integer sums, so the outputs must
+    be bit-equal — any difference is a w8a8 math bug, not rounding."""
+    from roboticattack_tpu.models.decode import _proj
+
+    rng = np.random.default_rng(11)
+    out_dim, in_dim = 24, 32
+    w8 = rng.integers(-127, 128, (out_dim, in_dim)).astype(np.int8)
+    scale = np.exp2(rng.integers(-8, -2, out_dim)).astype(np.float32)
+    # y rows: integer grids times a power-of-two token scale, with absmax
+    # exactly 127*2^e so _quantize_act recovers the same grid
+    e = rng.integers(-3, 3, (3, 5, 1)).astype(np.float32)
+    grid = rng.integers(-127, 128, (3, 5, in_dim)).astype(np.float32)
+    grid[..., 0] = 127.0  # pin the absmax so sy = 2^e exactly
+    y = grid * np.exp2(e)
+
+    ref = np.asarray(_proj(jnp.asarray(y), jnp.asarray(w8), cooked=True,
+                           scale=jnp.asarray(scale)))
+    got = np.asarray(_proj(jnp.asarray(y), jnp.asarray(w8), cooked=True,
+                           scale=jnp.asarray(scale), act8=True))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_w8a8_requires_int8_weights():
+    """act_quant='int8' on unquantized or int4 params must fail loudly (the
+    int8 x int8 contraction has no grouped-int4 form)."""
+    cooked = jax.tree.map(jnp.asarray, _cooked_tiny())
+    ids_np, mask_np, px = _prompt(batch=1, seed=6)
+    with pytest.raises(ValueError, match="w8a8"):
+        greedy_decode_actions(
+            cooked, VLA_TINY, jnp.asarray(ids_np), jnp.asarray(mask_np), px,
+            cooked_weights=True, act_quant="int8",
+        )
+    q4 = jax.tree.map(jnp.asarray, quantize_decode_params(
+        _cooked_tiny(), xp=np, mode="int4", group_size=16))
+    with pytest.raises(ValueError, match="w8a8"):
+        greedy_decode_actions(
+            q4, VLA_TINY, jnp.asarray(ids_np), jnp.asarray(mask_np), px,
+            cooked_weights=True, act_quant="int8",
+        )
+    with pytest.raises(ValueError, match="act_quant"):
+        greedy_decode_actions(
+            cooked, VLA_TINY, jnp.asarray(ids_np), jnp.asarray(mask_np), px,
+            cooked_weights=True, act_quant="int4",
+        )
+
+
+def test_w8a8_tp_matches_single_device():
+    """w8a8 + tensor parallelism is BIT-identical to single-device w8a8: the
+    per-token absmax reduces exactly over the sharded contraction dim and
+    the int32 partial sums psum exactly (integer addition is associative) —
+    the TP-composition guarantee the docstring claims."""
+    from roboticattack_tpu.parallel import make_mesh
+    from roboticattack_tpu.parallel.sharding import shard_decode_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    qp = jax.tree.map(jnp.asarray, quantize_decode_params(_cooked_tiny(), xp=np))
+    ids_np, mask_np, px = _prompt(batch=2, seed=7)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    ref = greedy_decode_actions(qp, VLA_TINY, ids, mask, px,
+                                cooked_weights=True, act_quant="int8")
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    p_tp = shard_decode_params(qp, mesh)
+    bsh = NamedSharding(mesh, P("data"))
+    got = jax.jit(
+        lambda p, i, m, x: greedy_decode_actions(
+            p, VLA_TINY, i, m, x, cooked_weights=True, mesh=mesh,
+            act_quant="int8",
+        )
+    )(p_tp, *(jax.device_put(x, bsh) for x in (ids, mask, px)))
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+
+def test_policy_w8a8_end_to_end():
+    """load_policy(quantize='w8a8') serves batched actions; the resident
+    pytree is the int8-quantized one (w8a8 changes the program, not the
+    stored weights)."""
+    from roboticattack_tpu.eval.policy import load_policy
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (2, 56, 56, 3), dtype=np.uint8)
+    w8a8 = load_policy(None, model_name="vla-tiny", quantize="w8a8")
+    acts = w8a8.get_action_batch(frames, "pick up the block")
+    assert acts.shape == (2, 7) and np.all(np.isfinite(acts))
+    lt = w8a8.params["llm"]["layers"]
+    assert jnp.dtype(lt["q_w"].dtype) == jnp.int8
+    assert lt["q_w_scale"].ndim == 2  # per-channel, not grouped

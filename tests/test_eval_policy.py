@@ -178,7 +178,8 @@ def test_quantize_grammar():
     assert parse_quantize("int8") == ("int8", None)  # gs irrelevant for int8
     assert parse_quantize("int4") == ("int4", None)  # None = per-model auto
     assert parse_quantize("int4:32") == ("int4", 32)
-    for bad in ("int16", "int4:0", "int4:-8", "int4:x", "fp8"):
+    assert parse_quantize("w8a8") == ("w8a8", None)
+    for bad in ("int16", "int4:0", "int4:-8", "int4:x", "fp8", "w4a8"):
         with pytest.raises(ValueError):
             parse_quantize(bad)
         # argparse validator surfaces the grammar message (ArgumentTypeError,

@@ -37,6 +37,12 @@ def test_parse_config_grammar():
     assert sweep.parse_config("int8+vt128:8,16") == (
         "int8+vt128", "int8", None, None, 128, "8,16"
     )
+    assert sweep.parse_config("w8a8:8,16") == (
+        "w8a8", "w8a8", None, None, None, "8,16"
+    )
+    assert sweep.parse_config("w8a8+vt128:16") == (
+        "w8a8+vt128", "w8a8", None, None, 128, "16"
+    )
     with pytest.raises(ValueError, match="weights"):
         sweep.parse_config("fp8:1")
     with pytest.raises(ValueError, match="suffix"):

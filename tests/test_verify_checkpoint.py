@@ -159,7 +159,7 @@ def test_cli_end_to_end_accepts_and_writes_report(tmp_path):
     assert report["steps"]["smoke"]["decreased"] is True
     assert os.path.exists(out / "smoke" / "patch.pt")
     quant = report["steps"]["quant"]
-    assert set(quant) == {"int8", "int4", "int8+kv8", "int4+kv4"}
+    assert set(quant) == {"int8", "w8a8", "int4", "int8+kv8", "int4+kv4"}
     assert quant["int8"]["ok"] is True  # gate at 0.0
     for d in quant.values():
         assert 0.0 <= d["token_agreement"] <= 1.0
@@ -333,9 +333,10 @@ def test_quant_decode_report_structure():
     qr = quant_decode_report(
         params, VLA_TINY, n_batches=1, min_agreement=0.0,
     )
-    assert set(qr) == {"int8", "int4", "int8+kv8", "int4+kv4"}
+    assert set(qr) == {"int8", "w8a8", "int4", "int8+kv8", "int4+kv4"}
     assert "ok" in qr["int8"] and qr["int8"]["ok"] is True
     assert "ok" not in qr["int4"] and "ok" not in qr["int8+kv8"]
+    assert "ok" not in qr["w8a8"]  # lossy — informational, not gated
     assert "ok" not in qr["int4+kv4"]
     for d in qr.values():
         assert 0.0 <= d["token_agreement"] <= 1.0
@@ -366,6 +367,8 @@ def test_parse_quant_mode_grammar():
     from roboticattack_tpu.models.verify import parse_quant_mode
 
     assert parse_quant_mode("int8") == ("int8", None, None)
+    assert parse_quant_mode("w8a8") == ("w8a8", None, None)
+    assert parse_quant_mode("w8a8+kv8+vt128") == ("w8a8", "int8", 128)
     assert parse_quant_mode("int4+kv8") == ("int4", "int8", None)
     assert parse_quant_mode("kv8") == (None, "int8", None)  # KV-only config
     assert parse_quant_mode("none+kv8") == (None, "int8", None)
