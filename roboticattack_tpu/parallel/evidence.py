@@ -201,7 +201,7 @@ def compile_attack_step_7b(mesh: Mesh, batch_size: int = 8, pad_to: int = 32,
 
 def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
                       quantize=False, kv_cache=None, jacobi: bool = False,
-                      visual_tokens=None):
+                      visual_tokens=None, act_quant=None):
     """Lower + compile the FULL 7B TP serving decode (cooked layout) with
     abstract params on `mesh`. `quantize`: True/'int8' or 'int4' weight-only
     stacks (models/quant.py) — the single-chip bs>=8 (int8) / bs>=16 (int4)
@@ -210,7 +210,11 @@ def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
     draft-token self-speculative program (the decode tail as a while_loop of
     s=7 verification passes) — its TP inventory must match the sequential
     program's shape class ([B,7,D] psums instead of [B,1,D]; still nothing
-    weight- or cache-sized, tests/test_multichip_7b_shapes.py)."""
+    weight- or cache-sized, tests/test_multichip_7b_shapes.py).
+    `act_quant='int8'` (with quantize int8): the w8a8 prefill — same weight
+    arguments, int8 x int8 -> int32 prefill contractions; under TP the
+    row-parallel partial sums cross ICI as the same [B,S,D]-class
+    activations (int32/f32), still nothing tensor-sized."""
     from ..models.decode import greedy_decode_actions
 
     cfg = evidence_7b_config()
@@ -228,7 +232,7 @@ def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
             lambda p, i, m, x, d: greedy_decode_actions(
                 p, cfg, i, m, x, cooked_weights=True, mesh=mesh,
                 kv_cache=kv_cache, draft_tokens=d,
-                visual_tokens=visual_tokens,
+                visual_tokens=visual_tokens, act_quant=act_quant,
             )
         )
         return fn.lower(p_abs, ids, msk, px, draft).compile()
@@ -236,6 +240,7 @@ def compile_decode_7b(mesh: Mesh, batch_size: int = 8, prompt_pad: int = 64,
         lambda p, i, m, x: greedy_decode_actions(
             p, cfg, i, m, x, cooked_weights=True, mesh=mesh,
             kv_cache=kv_cache, visual_tokens=visual_tokens,
+            act_quant=act_quant,
         )
     )
     return fn.lower(p_abs, ids, msk, px).compile()

@@ -12,6 +12,7 @@ bytes are exact, CPU temp numbers are discarded as f32-upcast-inflated):
   * attack step single-chip                 — the 14.9 GB comparison point
   * serving decode int8 single-chip, bs=8   — weight-only quant args (7.7 GB)
   * serving decode int4 single-chip, bs=32  — grouped-int4 args (~5.0 GB)
+  * serving decode w8a8 tp=2, bs=16         — int8-activation prefill inventory
 
 TPU legs (--tpu; topology-AOT through the compile relay,
 jax.experimental.topologies 'v5e:2x2' — real HBM temp estimates, ~3 min
@@ -21,6 +22,7 @@ relay compile each):
   * serving decode tp=2 (data axis unused), bs=8
   * serving decode int8 single-chip (v5e:1x1), bs=8 and bs=16
   * serving decode int4 single-chip (v5e:1x1), bs=32
+  * serving decode w8a8 single-chip (v5e:1x1), bs=16
   * a flash-attention attempt, recording the known topology-AOT limitation
 
 Usage: python scripts/multichip_evidence.py [--tpu] [--out MULTICHIP_EVIDENCE.json]
@@ -150,12 +152,22 @@ def main():
             make_mesh(data=1, model=2, devices=cpu[:2]), batch_size=8,
             jacobi=True)),
     )
+    # w8a8 under TP (act_quant='int8'): same int8 weight arguments; the
+    # inventory pin is that the int8 x int8 prefill's row-parallel partial
+    # sums still cross ICI as [B,S,D]-class activations, nothing tensor-sized
+    L["cpu_decode_w8a8_tp2_bs16"] = run_leg(
+        "cpu decode w8a8 tp2 bs16",
+        lambda: leg(lambda: compile_decode_7b(
+            make_mesh(data=1, model=2, devices=cpu[:2]), batch_size=16,
+            quantize=True, act_quant="int8")),
+    )
     for name in ("cpu_attack_dp4_tp2_bs8_pad32", "cpu_attack_dp8_bs8_pad32",
                  "cpu_attack_dp4_tp2_bs16_pad48", "cpu_decode_tp2_bs8",
                  "cpu_attack_single_chip_bs8_pad32",
                  "cpu_decode_int8_single_chip_bs8",
                  "cpu_decode_int4_single_chip_bs32",
-                 "cpu_decode_jacobi_tp2_bs8"):
+                 "cpu_decode_jacobi_tp2_bs8",
+                 "cpu_decode_w8a8_tp2_bs16"):
         if L[name].get("status") == "ok":
             # CPU temp estimates are bf16->f32-upcast-inflated; keep only args
             L[name]["memory"].pop("temp_gb", None)
@@ -252,6 +264,15 @@ def main():
                 tpu_topology_mesh("v5e:1x1", (1, 1),
                                   chips_per_host_bounds=(1, 1, 1)),
                 batch_size=8, quantize=True, jacobi=True)),
+        )
+        # w8a8 prefill (act_quant='int8'): real HBM estimate for the int32
+        # prefill-partial temps on top of the int8 weight arguments
+        L["tpu_decode_w8a8_1chip_bs16"] = run_leg(
+            "TPU-AOT decode w8a8 1-chip bs16",
+            lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x1", (1, 1),
+                                  chips_per_host_bounds=(1, 1, 1)),
+                batch_size=16, quantize=True, act_quant="int8")),
         )
 
         # record the flash-attention topology-AOT limitation explicitly

@@ -238,3 +238,37 @@ def test_decode_jacobi_tp2_inventory_and_memory():
             # the [8,7,32064] f32 logit gather is ~7.2 MB; everything else
             # (argmax indices, convergence flag) is sub-MB
             assert c.nbytes < 16 * MB, c.describe()
+
+
+def test_decode_w8a8_tp2_inventory_and_memory():
+    """w8a8 (act_quant='int8') under tp=2 at FULL 7B shape, bs=16: identical
+    int8 weight arguments to weight-only int8 (~3.9 GB/chip at tp=2 — w8a8
+    changes the program, not the stored weights), and the int8 x int8
+    prefill's row-parallel partial sums still cross ICI as [16,S,4096]-class
+    activations (int32 or f32 — XLA's choice, both exact) plus the
+    [16,1,4096] decode-step psums and sub-MB argmax gathers. Nothing weight-
+    or cache-sized. (4.63 GB/chip = the ~7.7 GB int8 pytree with LLM stacks
+    halved and vision/projector/embed replicated.)"""
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    comp = compile_decode_7b(mesh, batch_size=16, prompt_pad=64,
+                             quantize=True, act_quant="int8")
+
+    mem = memory_summary(comp)
+    assert 3.5 < mem["argument_gb"] < 5.0, mem
+
+    allowed_psums = {(16, 1, 4096), (16, 320, 4096)}
+    colls = collect_collectives(comp.as_text())
+    assert colls, "expected row-parallel psums"
+    for c in colls:
+        assert c.op in ("all-reduce", "all-gather"), c.describe()
+        if c.op == "all-reduce":
+            # sub-MB all-reduces are the per-token absmax MAX-collectives
+            # _quantize_act's docstring promises ([16,320] f32 = 20 KB)
+            if c.nbytes < MB:
+                continue
+            for _, dims in c.members:
+                assert tuple(sorted(dims)) in {
+                    tuple(sorted(p)) for p in allowed_psums
+                }, c.describe()
+        else:
+            assert c.nbytes < MB, c.describe()
