@@ -42,8 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     # serving levers (models/quant.py, models/decode.py): bs=1 robot control
     # mostly wants the int8 latency cut (179 -> 131 ms on one v5e)
     p.add_argument("--quantize", default=None, type=quantize_arg,
-                   help="int8 | int4 | int4:<group_size> (bare int4 resolves "
-                        "the group size per-model)")
+                   help="int8 | w8a8 | int4 | int4:<group_size> (w8a8 = int8 "
+                        "weights + int8 prefill activations; bare int4 "
+                        "resolves the group size per-model)")
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--jacobi", type=str2bool, default=False,
                    help="draft each control step with the previous step's "

@@ -43,8 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     # (bs>=8 fits ONE v5e; models/quant.py) and tensor-parallel decode over
     # the first N attached devices (parallel/sharding.py Megatron splits)
     p.add_argument("--quantize", default=None, type=quantize_arg,
-                   help="int8 | int4 | int4:<group_size> (bare int4 resolves "
-                        "the group size per-model)")
+                   help="int8 | w8a8 | int4 | int4:<group_size> (w8a8 = int8 "
+                        "weights + int8 prefill activations; bare int4 "
+                        "resolves the group size per-model)")
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"],
                    help="int8 KV cache (exact per-position dequantization)")
     p.add_argument("--tp", default=1, type=int,

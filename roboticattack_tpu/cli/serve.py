@@ -31,8 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch", default=8, type=int)
     p.add_argument("--max_wait_ms", default=5.0, type=float)
     p.add_argument("--quantize", default=None, type=quantize_arg,
-                   help="int8 | int4 | int4:<group_size> (bare int4 resolves "
-                        "the group size per-model)")
+                   help="int8 | w8a8 | int4 | int4:<group_size> (w8a8 = int8 "
+                        "weights + int8 prefill activations; bare int4 "
+                        "resolves the group size per-model)")
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--tp", default=1, type=int)
     p.add_argument("--visual_tokens", default=None, type=int,

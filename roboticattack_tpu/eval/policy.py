@@ -39,6 +39,7 @@ PROMPT_PAD = 64
 from ..utils.quant_args import (  # noqa: E402,F401
     parse_quantize as _parse_quantize,
     quantize_arg,
+    resolve_quantize,
 )
 
 
@@ -93,14 +94,11 @@ class VLAPolicy:
         packed-s4 cache (grouped K scales / per-position V scales,
         _attend_kv4) — quarters it; both keep the first generated token
         bit-identical (prefill attends full-precision)."""
-        quant_mode, quant_gs = _parse_quantize(quantize)
-        # 'w8a8' = int8 weights + dynamic int8 PREFILL activations on the
-        # MXU's double-rate integer path (models/decode.py act_quant). The
-        # decode tail stays weight-only int8; LOSSY like visual_tokens —
+        # 'w8a8' resolves to int8 weights + dynamic int8 PREFILL activations
+        # on the MXU's double-rate integer path (models/decode.py act_quant).
+        # The decode tail stays weight-only int8; LOSSY like visual_tokens —
         # validate on real weights via the acceptance gate's w8a8 mode.
-        act_quant = "int8" if quant_mode == "w8a8" else None
-        if quant_mode == "w8a8":
-            quant_mode = "int8"
+        quant_mode, act_quant, quant_gs = resolve_quantize(quantize)
 
         def _host_xp(what):
             # host-side transforms only: an on-ACCELERATOR pass over a large

@@ -407,10 +407,13 @@ def greedy_decode_actions(
     everything after the first generated token is the weight-only int8
     computation. LOSSY like visual_tokens (activation rounding) — validate
     on real checkpoints via the acceptance gate's w8a8 mode. Composes with
-    TP (int32 partial sums are exact, so w8a8 TP == w8a8 single-chip
-    bit-identically), kv_cache, drafts, and vt pruning. The reference has no
-    quantized path at all (modeling_prismatic.py:506-534 runs bf16 HF
-    generate)."""
+    TP: as long as XLA all-reduces the INTEGER partials, int32 addition is
+    exact and w8a8 TP == w8a8 single-chip bit-identically — the virtual-mesh
+    lowering does (s32 psums pinned in tests/test_multichip_7b_shapes.py;
+    an f32 lowering would round partials > 2^24) and the topology-AOT
+    evidence leg records the real-TPU psum dtype. Also composes with
+    kv_cache, drafts, and vt pruning. The reference has no quantized path at
+    all (modeling_prismatic.py:506-534 runs bf16 HF generate)."""
     from .config import PhiConfig
 
     if isinstance(cfg.llm, PhiConfig):

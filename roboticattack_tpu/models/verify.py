@@ -820,8 +820,9 @@ def quant_decode_report(
     ref_tokens, ref_actions = run(cooked, None)
     report: Dict = {}
     for mode, (wq, kv_cache, visual_tokens) in parsed:
-        act = "int8" if wq == "w8a8" else None
-        wq = "int8" if wq == "w8a8" else wq
+        from ..utils.quant_args import resolve_quantize
+
+        wq, act, _ = resolve_quantize(wq)
         gs = int4_group_size_for(cfg)
         qp = (quantize_decode_params(cooked, xp=np, mode=wq, group_size=gs)
               if wq is not None else cooked)

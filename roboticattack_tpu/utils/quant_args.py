@@ -40,6 +40,23 @@ def parse_quantize(quantize: Optional[str]) -> Tuple[Optional[str], Optional[int
     )
 
 
+def resolve_quantize(
+    quantize: Optional[str],
+) -> Tuple[Optional[str], Optional[str], Optional[int]]:
+    """parse_quantize plus the w8a8 split, in ONE place: ->
+    (weights_mode | None, act_quant | None, group_size | None), where
+    weights_mode is what quantize_decode_params takes ('int8' | 'int4') and
+    act_quant is what greedy_decode_actions takes ('int8' for the w8a8
+    prefill). Every surface that EXECUTES a --quantize value (VLAPolicy,
+    bench_decode, the acceptance gate) resolves through here so a future
+    mode can't be half-wired — silently serving weight-only while reporting
+    w8a8."""
+    mode, gs = parse_quantize(quantize)
+    if mode == "w8a8":
+        return "int8", "int8", gs
+    return mode, None, gs
+
+
 def quantize_arg(s: str) -> str:
     """argparse `type=` validator for --quantize flags: fail at parse time
     with the grammar instead of deep inside policy construction.

@@ -94,13 +94,10 @@ def main():
     t0 = time.time()
     shapes = jax.eval_shape(lambda k: init_vla_params(k, cfg), jax.random.key(0))
     shapes = decode_layout_shapes(shapes)
-    from roboticattack_tpu.utils.quant_args import parse_quantize
+    from roboticattack_tpu.utils.quant_args import resolve_quantize
 
-    quant_mode, quant_gs = parse_quantize(args.quantize)
-    # w8a8 = int8 weight storage + dynamic int8 prefill activations
-    act_quant = "int8" if quant_mode == "w8a8" else None
-    if quant_mode == "w8a8":
-        quant_mode = "int8"
+    # w8a8 resolves to int8 weight storage + dynamic int8 prefill activations
+    quant_mode, act_quant, quant_gs = resolve_quantize(args.quantize)
     if quant_mode:
         from roboticattack_tpu.models.quant import (
             int4_group_size_for,

@@ -172,7 +172,11 @@ def test_quantize_grammar():
 
     import pytest
 
-    from roboticattack_tpu.utils.quant_args import parse_quantize, quantize_arg
+    from roboticattack_tpu.utils.quant_args import (
+        parse_quantize,
+        quantize_arg,
+        resolve_quantize,
+    )
 
     assert parse_quantize(None) == (None, None)
     assert parse_quantize("int8") == ("int8", None)  # gs irrelevant for int8
@@ -187,3 +191,8 @@ def test_quantize_grammar():
         with pytest.raises(argparse.ArgumentTypeError, match="quantize"):
             quantize_arg(bad)
     assert quantize_arg("int4:64") == "int4:64"
+    # resolve_quantize = parse + the ONE w8a8 -> (weights, act) split
+    assert resolve_quantize(None) == (None, None, None)
+    assert resolve_quantize("int8") == ("int8", None, None)
+    assert resolve_quantize("w8a8") == ("int8", "int8", None)
+    assert resolve_quantize("int4:32") == ("int4", None, 32)
