@@ -50,6 +50,9 @@ DEFAULT_CONFIGS = [
     # bytes lever; vs int8 rows isolates the prefill speedup
     "w8a8:8,16",
     "w8a8+vt128:16",
+    # envelope probe: int8 weights (7.7 GB) + halved cache at bs=32 — may
+    # OOM on one chip (the sweep records error rows honestly)
+    "w8a8+kv8:32",
 ]
 
 

@@ -586,3 +586,21 @@ def test_policy_w8a8_end_to_end():
     lt = w8a8.params["llm"]["layers"]
     assert jnp.dtype(lt["q_w"].dtype) == jnp.int8
     assert lt["q_w_scale"].ndim == 2  # per-channel, not grouped
+
+
+def test_w8a8_jacobi_matches_sequential():
+    """w8a8 composes with Jacobi drafts: the drafted tail's fixed point on a
+    w8a8 program equals the sequential w8a8 decode bit-exactly on the tiny
+    model (same pin as tests/test_decode_jacobi.py for bf16/int8), and a
+    self-draft verifies in one pass."""
+    qp = jax.tree.map(jnp.asarray, quantize_decode_params(_cooked_tiny(), xp=np))
+    ids_np, mask_np, px = _prompt(batch=2, seed=9)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    seq = greedy_decode_actions(qp, VLA_TINY, ids, mask, px,
+                                cooked_weights=True, act_quant="int8")
+    jac = greedy_decode_actions(qp, VLA_TINY, ids, mask, px,
+                                cooked_weights=True, act_quant="int8",
+                                draft_tokens=seq.tokens)
+    np.testing.assert_array_equal(np.asarray(seq.tokens), np.asarray(jac.tokens))
+    assert int(jax.device_get(jac.verify_passes)) == 1
