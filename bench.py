@@ -43,6 +43,12 @@ import time
 REF_A100_INNER_STEPS_PER_SEC = 1.0  # bracket midpoint, see module docstring
 REF_A100_ESTIMATE_RANGE = (0.7, 1.4)  # 35-70% MFU roofline minus host-work discount
 
+# the metric name BOTH error paths emit — main() updates it from --objectives
+# /--tiny as soon as args are parsed, so a failed `--objectives tma` run
+# reports its error under tma's series instead of planting a spurious 0.0 in
+# uada's (and leaving tma's looking like a missing run)
+_ERROR_METRIC = ["uada_attack_inner_steps_per_sec_7b_bs8"]
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -75,7 +81,7 @@ def _devices_or_die(jax, timeout_s: float = None):
                   f"{timeout_s:.0f}s")
         log(f"jax.devices() failed: {reason}")
         print(json.dumps({
-            "metric": "uada_attack_inner_steps_per_sec_7b_bs8",
+            "metric": _ERROR_METRIC[0],
             "value": 0.0,
             "unit": "fwd+bwd inner steps/s/chip",
             "vs_baseline": 0.0,
@@ -97,6 +103,11 @@ def main():
     ap.add_argument("--objectives", default="uada,tma,upa",
                     help="first is the primary metric; the rest go in `extra`")
     args = ap.parse_args()
+    primary_guess = args.objectives.split(",")[0].strip() or "uada"
+    _ERROR_METRIC[0] = (
+        f"{primary_guess}_attack_inner_steps_per_sec_"
+        f"{'tiny' if args.tiny else '7b_bs8'}"
+    )
 
     import jax
     import jax.numpy as jnp
@@ -109,6 +120,10 @@ def main():
 
     platform = _devices_or_die(jax)[0].platform
     name = "vla-tiny" if (args.tiny or platform == "cpu") else "openvla-7b"
+    _ERROR_METRIC[0] = (
+        f"{primary_guess}_attack_inner_steps_per_sec_"
+        f"{'7b_bs8' if name == 'openvla-7b' else 'tiny'}"
+    )
     cfg = get_config(name)
     log(f"platform={platform} model={name} bs={args.bs} inner={args.inner}")
 
@@ -246,7 +261,7 @@ if __name__ == "__main__":
     except Exception as e:  # always emit a parseable line for the driver
         log(f"bench failed: {type(e).__name__}: {e}")
         print(json.dumps({
-            "metric": "uada_attack_inner_steps_per_sec_7b_bs8",
+            "metric": _ERROR_METRIC[0],
             "value": 0.0,
             "unit": "fwd+bwd inner steps/s/chip",
             "vs_baseline": 0.0,

@@ -138,9 +138,12 @@ class VLAPolicy:
         if mesh is not None:
             from ..parallel.sharding import shard_decode_params
 
-            self.params = shard_decode_params(
-                jax.tree.map(jnp.asarray, params), mesh
-            )
+            # feed the HOST pytree straight to device_put-with-sharding: a
+            # jnp.asarray pass first would commit the FULL model to chip 0
+            # and only then reshard — transiently full-model + shard HBM on
+            # one chip, an OOM at tp=2 on the 7B (the very configuration TP
+            # exists for). device_put shards host->chips directly.
+            self.params = shard_decode_params(params, mesh)
         else:
             # place on the default backend device (host/CPU-cooked pytrees
             # would otherwise stay — and decode — on the CPU even with a TPU

@@ -66,20 +66,27 @@ def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
 
     int4 — scale f32 [out, G] is GROUPED over the contraction dim
     (rank dispatch: scale.ndim == w.ndim). Two static-shape regimes:
-      * decode steps (s == 1): contract per group, scale the f32 [b,1,out,G]
-        partials, reduce over G — exact, and HBM streams packed s4 bytes in
-        the bandwidth-bound phase where it matters.
-      * prefill (s > 1): the per-group partial tensor would be [b,s,out,G]
-        (~1.3 GB at 7B bs=8), so dequantize the layer's weights in-register
-        and run one dense matmul — prefill is FLOP-bound, the bf16 temp is
-        ~90 MB/stack under the layer scan and streams once.
+      * the decode tail (s <= 8: the s=1 cached steps AND the s=7 Jacobi
+        verification pass): contract per group, scale the f32 [b,s,out,G]
+        partials, reduce over G — EXACT, so the drafted tail computes the
+        same math as the sequential tail (dense bf16-rounded dequant here
+        would make the Jacobi fixed point diverge from the sequential
+        tokens on any non-grid scale), and HBM streams packed s4 bytes in
+        the bandwidth-bound phase where it matters. The partial is bounded
+        (~315 MB worst stack at 7B bs=32 s=7, under the layer scan).
+      * prefill (s > 8): the per-group partial tensor would be [b,s,out,G]
+        (~1.3 GB at 7B bs=8, s=288), so dequantize the layer's weights
+        in-register and run one dense matmul — prefill is FLOP-bound, the
+        bf16 temp is ~90 MB/stack under the layer scan and streams once.
+        The bf16 rounding of the dequantized weights only perturbs the
+        prefill (first-token) logits.
     """
     if scale is not None and scale.ndim == w.ndim:  # grouped int4
         out_dim, in_dim = w.shape[-2:]
         g = scale.shape[-1]
         wg = w.reshape(w.shape[:-1] + (g, in_dim // g))
-        if y.shape[1] == 1:
-            yg = y.reshape(y.shape[0], 1, g, in_dim // g)
+        if y.shape[1] <= 8:
+            yg = y.reshape(y.shape[0], y.shape[1], g, in_dim // g)
             part = jnp.einsum(
                 "bsgi,ogi->bsog", yg, wg.astype(y.dtype),
                 preferred_element_type=jnp.float32,
@@ -124,10 +131,13 @@ def _lm_logits_all(p_llm, h):
     lm_head [D, V]. int8 scale: [V] post-matmul (exact — constant per output
     column). int4 scale: [V, D/gs] grouped over the hidden contraction; at
     S == 1 (the cached decode step) contract per group so HBM streams packed
-    s4 bytes, at S > 1 (the Jacobi verification pass) dequantize the head
-    in-register and run one dense matmul — the [B, S, G, V] grouped partial
-    would be ~S x 28 MB/row while the bf16 dequant temp is a flat 262 MB
-    that streams once (same regime split as _proj's prefill branch)."""
+    s4 bytes; at 1 < S <= 8 (the Jacobi verification pass) accumulate the
+    scaled group partials with a lax.scan over groups — EXACT like the S=1
+    path (the drafted tail must compute the sequential tail's math; a dense
+    bf16-rounded dequant would shift verify-pass logits off the sequential
+    ones on non-grid scales) with a bounded [B, S, V] f32 carry instead of
+    the ~S x 28 MB/row [B, S, G, V] partial. At S > 8 (no current caller)
+    dequantize in-register and run one dense matmul."""
     w = p_llm["lm_head"]
     sc = p_llm.get("lm_head_scale")
     if sc is None:
@@ -143,6 +153,25 @@ def _lm_logits_all(p_llm, h):
                 preferred_element_type=jnp.float32,
             )
             return jnp.einsum("bsgv,vg->bsv", part, sc)
+        if h.shape[1] <= 8:
+            hg = jnp.moveaxis(  # [G, B, S, D/gs]
+                h.reshape(h.shape[0], h.shape[1], g, d // g), 2, 0
+            )
+
+            def gstep(acc, xs):
+                hgi, wgi, sci = xs  # [B,S,D/gs], [D/gs,V], [V]
+                p = jnp.einsum(
+                    "bsi,iv->bsv", hgi, wgi.astype(h.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                return acc + p * sci, None
+
+            out, _ = jax.lax.scan(
+                gstep,
+                jnp.zeros(h.shape[:2] + (v,), jnp.float32),
+                (hg, wg, sc.T),
+            )
+            return out
         wd = (wg.astype(jnp.float32) * sc.T.reshape(g, 1, v)).reshape(d, v)
         return jnp.einsum(
             "bsd,dv->bsv", h, wd.astype(h.dtype),

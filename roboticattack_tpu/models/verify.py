@@ -710,6 +710,8 @@ def parse_quant_mode(
     prefill activations (models/decode.py act_quant). Raises ValueError on
     anything else — callers validate the full mode list BEFORE running
     expensive legs."""
+    from ..utils.quant_args import parse_suffixes
+
     parts = mode.split("+")
     weights, suffixes = parts[0], parts[1:]
     if weights in ("kv8", "kv4") or (
@@ -722,18 +724,9 @@ def parse_quant_mode(
             f"quant mode {mode!r}: weights must be int8, w8a8, int4, or "
             f"none (for a kv/vt-only config), got {weights!r}"
         )
-    kv_cache = visual_tokens = None
-    for s in suffixes:
-        if s in ("kv8", "kv4") and kv_cache is None:
-            kv_cache = {"kv8": "int8", "kv4": "int4"}[s]
-        elif (s.startswith("vt") and s[2:].isdigit() and int(s[2:]) >= 1
-              and visual_tokens is None):
-            visual_tokens = int(s[2:])
-        else:
-            raise ValueError(
-                f"quant mode {mode!r}: unknown suffix {s!r} "
-                f"(kv8|kv4 / vt<k>, once each)"
-            )
+    kv_cache, visual_tokens, _ = parse_suffixes(
+        suffixes, context=f"quant mode {mode!r}: "
+    )
     return (None if weights == "none" else weights), kv_cache, visual_tokens
 
 

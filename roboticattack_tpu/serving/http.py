@@ -122,18 +122,20 @@ class _Handler(BaseHTTPRequestHandler):
         # non-subscriptable bodies) — a 400, not a dropped connection
         except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
             return self._reply(400, {"error": str(e)})
+        fut = (self.batcher.submit_full(image, task, draft)
+               if self.batcher.drafts else self.batcher.submit(image, task))
         try:
+            res = fut.result(timeout=self.act_timeout_s)
             if self.batcher.drafts:
-                res = self.batcher.submit_full(image, task, draft).result(
-                    timeout=self.act_timeout_s
-                )
                 action, tokens = res.action, res.tokens
             else:
-                action = self.batcher.get_action(
-                    image, task, timeout=self.act_timeout_s
-                )
-                tokens = None
+                action, tokens = res, None
         except Exception as e:  # decode failure / shutdown / timeout
+            # cancel so the worker drops the abandoned request at claim time
+            # (the client already got its 500 and will retry; leaving the
+            # stale entry queued would double device load under sustained
+            # timeouts — each stale decode occupies live batch slots)
+            fut.cancel()
             return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
         body = {"action": [float(x) for x in action]}
         if tokens is not None:

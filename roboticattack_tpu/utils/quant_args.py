@@ -57,6 +57,35 @@ def resolve_quantize(
     return mode, None, gs
 
 
+def parse_suffixes(
+    suffixes,
+    context: str = "",
+    jacobi: bool = False,
+):
+    """The once-each serving-lever suffix grammar shared by the acceptance
+    gate's quant-mode strings (models/verify.py parse_quant_mode) and the
+    sweep's config strings (scripts/serving_sweep.py parse_config):
+    kv8|kv4 (KV-cache quantization), vt<k> (visual-token pruning), and —
+    when `jacobi=True` — jw|jc (warm/cold drafts). -> (kv_cache | None,
+    visual_tokens | None, jacobi_mode | None). One grammar so the next
+    lever is wired everywhere at once instead of drifting across parsers."""
+    kv = vt = jac = None
+    menu = "kv8|kv4 / vt<k>" + (" / jw|jc" if jacobi else "")
+    for s in suffixes:
+        if s in ("kv8", "kv4") and kv is None:
+            kv = {"kv8": "int8", "kv4": "int4"}[s]
+        elif (s.startswith("vt") and s[2:].isdigit() and int(s[2:]) >= 1
+              and vt is None):
+            vt = int(s[2:])
+        elif jacobi and s in ("jw", "jc") and jac is None:
+            jac = {"jw": "warm", "jc": "cold"}[s]
+        else:
+            raise ValueError(
+                f"{context}unknown suffix {s!r} ({menu}, once each)"
+            )
+    return kv, vt, jac
+
+
 def quantize_arg(s: str) -> str:
     """argparse `type=` validator for --quantize flags: fail at parse time
     with the grammar instead of deep inside policy construction.

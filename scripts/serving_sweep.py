@@ -63,24 +63,16 @@ def log(*a):
 def parse_config(spec):
     """'<bf16|int8|w8a8|int4>[+kv8|+kv4][+jw|+jc][+vt<k>]:<batches>' ->
     (name, weights, kv_cache, jacobi, visual_tokens, batches)."""
+    from roboticattack_tpu.utils.quant_args import parse_suffixes
+
     name, batches = spec.split(":", 1)
     parts = name.split("+")
     weights, suffixes = parts[0], parts[1:]
     if weights not in ("bf16", "int8", "w8a8", "int4"):
         raise ValueError(f"weights {weights!r} in {spec!r}")
-    kv = jacobi = vt = None
-    for s in suffixes:
-        if s in ("kv8", "kv4") and kv is None:
-            kv = {"kv8": "int8", "kv4": "int4"}[s]
-        elif s in ("jw", "jc") and jacobi is None:
-            jacobi = {"jw": "warm", "jc": "cold"}[s]
-        elif s.startswith("vt") and s[2:].isdigit() and int(s[2:]) >= 1 \
-                and vt is None:
-            vt = int(s[2:])
-        else:
-            raise ValueError(
-                f"suffix {s!r} in {spec!r} (kv8|kv4 / jw|jc / vt<k>, once each)"
-            )
+    kv, vt, jacobi = parse_suffixes(
+        suffixes, context=f"{spec!r}: ", jacobi=True
+    )
     return name, weights, kv, jacobi, vt, batches
 
 
@@ -136,7 +128,8 @@ def run_config(name, weights, kv_cache, jacobi, visual_tokens, batches,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="*", default=DEFAULT_CONFIGS,
-                    help="<bf16|int8|int4>[+kv8][+jw|+jc]:<batches>")
+                    help="<bf16|int8|w8a8|int4>[+kv8|+kv4][+jw|+jc]"
+                         "[+vt<k>]:<batches>")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(REPO, "SERVING_EVIDENCE.json"))
     ap.add_argument("--per_config_timeout_s", type=int, default=3600)

@@ -604,3 +604,24 @@ def test_w8a8_jacobi_matches_sequential():
                                 draft_tokens=seq.tokens)
     np.testing.assert_array_equal(np.asarray(seq.tokens), np.asarray(jac.tokens))
     assert int(jax.device_get(jac.verify_passes)) == 1
+
+
+def test_int4_jacobi_matches_sequential_nongrid():
+    """int4 + Jacobi on NON-grid scales (the production case — real
+    checkpoints' scales are not powers of two): the s<=8 grouped-exact
+    branches in _proj/_lm_logits_all make the verification pass compute the
+    sequential tail's math, so the drafted fixed point reproduces the
+    sequential tokens and a self-draft verifies in one pass. Before this
+    regime split the s>1 branch rounded dequantized weights to bf16 and the
+    fixed point could diverge silently."""
+    qp = jax.tree.map(jnp.asarray, quantize_decode_params(
+        _cooked_tiny(seed=5), xp=np, mode="int4", group_size=16))
+    ids_np, mask_np, px = _prompt(batch=2, seed=10)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    seq = greedy_decode_actions(qp, VLA_TINY, ids, mask, px,
+                                cooked_weights=True)
+    jac = greedy_decode_actions(qp, VLA_TINY, ids, mask, px,
+                                cooked_weights=True, draft_tokens=seq.tokens)
+    np.testing.assert_array_equal(np.asarray(seq.tokens), np.asarray(jac.tokens))
+    assert int(jax.device_get(jac.verify_passes)) == 1
