@@ -53,6 +53,9 @@ DEFAULT_CONFIGS = [
     # envelope probe: int8 weights (7.7 GB) + halved cache at bs=32 — may
     # OOM on one chip (the sweep records error rows honestly)
     "w8a8+kv8:32",
+    # the bs=1 robot-control latency candidate: once a warm draft collapses
+    # the tail to one pass, PREFILL dominates — w8a8 halves its FLOP bill
+    "w8a8+jw:1,8",
 ]
 
 
