@@ -625,3 +625,34 @@ def test_int4_jacobi_matches_sequential_nongrid():
                                 cooked_weights=True, draft_tokens=seq.tokens)
     np.testing.assert_array_equal(np.asarray(seq.tokens), np.asarray(jac.tokens))
     assert int(jax.device_get(jac.verify_passes)) == 1
+
+
+def test_all_serving_levers_compose():
+    """Capstone: every serving lever at once — w8a8 weights/activations,
+    int8 KV cache, visual-token pruning, tensor parallelism, and a Jacobi
+    draft — compiles and decodes finite actions on the virtual mesh. Pins
+    that no pair of levers has a hidden incompatibility (each pairwise
+    composition is pinned exactly elsewhere; this is the N-way smoke)."""
+    from roboticattack_tpu.parallel import make_mesh
+    from roboticattack_tpu.parallel.sharding import shard_decode_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    qp = jax.tree.map(jnp.asarray, quantize_decode_params(_cooked_tiny(), xp=np))
+    ids_np, mask_np, px = _prompt(batch=2, seed=12)
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    p_tp = shard_decode_params(qp, mesh)
+    rep = NamedSharding(mesh, P())
+    ids, mask, px = (jax.device_put(x, rep) for x in (ids, mask, px))
+    draft = jax.device_put(jnp.zeros((2, 7), jnp.int32), rep)
+    res = jax.jit(
+        lambda p, i, m, x, d: greedy_decode_actions(
+            p, VLA_TINY, i, m, x, cooked_weights=True, mesh=mesh,
+            act_quant="int8", kv_cache="int8", visual_tokens=8,
+            draft_tokens=d,
+        )
+    )(p_tp, ids, mask, px, draft)
+    acts = np.asarray(jax.device_get(res.actions))
+    assert acts.shape == (2, 7) and np.all(np.isfinite(acts))
+    assert 1 <= int(jax.device_get(res.verify_passes)) <= 6
