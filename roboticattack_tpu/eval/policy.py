@@ -127,7 +127,10 @@ class VLAPolicy:
             )
 
             if quant_gs is None:
-                quant_gs = int4_group_size_for(cfg)
+                # with a TP mesh in hand, pick a group size whose groups
+                # never straddle a row-parallel shard boundary
+                tp = (mesh.shape.get("model", 1) if mesh is not None else 1)
+                quant_gs = int4_group_size_for(cfg, tp=tp)
             params = quantize_decode_params(
                 params,
                 xp=_host_xp(f"{quant_mode} quantization"),

@@ -103,18 +103,29 @@ def _quantize_grouped(w, xp, group_size: int, what: str):
     )
 
 
-def int4_group_size_for(cfg) -> int:
+def int4_group_size_for(cfg, tp: int = 1) -> int:
     """Largest standard group size dividing every decode contraction dim of
     a VLAConfig (stack contractions: hidden, num_heads*head_dim,
     intermediate; lm_head: hidden). 7B -> 128 (the GPTQ/AWQ convention);
     vla-tiny -> 64. The ONE group-size policy shared by VLAPolicy, the
     acceptance gate (models/verify.py), and bench_decode — a hardcoded 128
-    is a dead end on any model 128 doesn't divide."""
+    is a dead end on any model 128 doesn't divide.
+
+    `tp` > 1: additionally require gs to divide the PER-CHIP contraction of
+    the row-parallel stacks (o_w: num_heads*head_dim/tp, down_w:
+    intermediate/tp) — a quantization group straddling a shard boundary
+    makes GSPMD gather the whole stack (the loud guard in
+    models/decode.py); resolving with the mesh in hand means bare
+    quantize='int4' composes with TP out of the box (7B tp=2 -> 128 still;
+    tp=4 -> 64, since 11008/4 is not a multiple of 128; vla-tiny tp=2 ->
+    32)."""
     lcfg = cfg.llm
     dims = (
         lcfg.hidden_size,
         lcfg.num_heads * lcfg.head_dim,
         lcfg.intermediate_size,
+        (lcfg.num_heads * lcfg.head_dim) // tp,
+        lcfg.intermediate_size // tp,
     )
     for gs in (128, 64, 32, 16, 8, 4):
         if all(d % gs == 0 for d in dims):

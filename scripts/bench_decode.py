@@ -105,10 +105,11 @@ def main():
         )
 
         # int4 grouped scales need a group size dividing every contraction
-        # dim; 128 (the 7B default) does not divide the tiny CPU model's dims
+        # dim; 128 (the 7B default) does not divide the tiny CPU model's
+        # dims. tp-aware so groups never straddle row-parallel shards.
         shapes = quantize_decode_shapes(shapes, mode=quant_mode,
                                         group_size=quant_gs
-                                        or int4_group_size_for(cfg))
+                                        or int4_group_size_for(cfg, tp=args.tp))
     leaves, treedef = jax.tree.flatten(shapes)
 
     mesh = None

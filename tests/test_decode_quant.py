@@ -656,3 +656,20 @@ def test_all_serving_levers_compose():
     acts = np.asarray(jax.device_get(res.actions))
     assert acts.shape == (2, 7) and np.all(np.isfinite(acts))
     assert 1 <= int(jax.device_get(res.verify_passes)) <= 6
+
+
+def test_policy_bare_int4_composes_with_tp():
+    """Bare quantize='int4' under a TP mesh auto-resolves a group size whose
+    groups never straddle a row-parallel shard (int4_group_size_for tp
+    awareness) — previously the tiny model's auto gs=64 tripped the
+    straddle guard at tp=2 (per-chip contraction 32)."""
+    from roboticattack_tpu.eval.policy import load_policy
+    from roboticattack_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    pol = load_policy(None, model_name="vla-tiny", quantize="int4", mesh=mesh)
+    frame = np.random.default_rng(3).integers(0, 255, (56, 56, 3), dtype=np.uint8)
+    acts = pol.get_action_batch(np.stack([frame, frame]), "push the lever")
+    assert acts.shape == (2, 7) and np.all(np.isfinite(acts))
+    sc = pol.params["llm"]["layers"]["down_w_scale"]
+    assert sc.shape[-1] == pol.cfg.llm.intermediate_size // 32  # gs=32

@@ -322,6 +322,13 @@ def test_int4_group_size_selection():
 
     assert int4_group_size_for(evidence_7b_config()) == 128
     assert int4_group_size_for(VLA_TINY) == 64  # tiny dims: 64/64/128
+    # tp-aware: groups must also divide the PER-CHIP row-parallel
+    # contractions (o_w/down_w) so bare int4 composes with TP
+    assert int4_group_size_for(evidence_7b_config(), tp=2) == 128
+    # 7B intermediate 11008/4 = 2752 = 64*43: gs=128 would straddle shards
+    # at tp=4 — exactly what models/decode.py's guard rejects; auto -> 64
+    assert int4_group_size_for(evidence_7b_config(), tp=4) == 64
+    assert int4_group_size_for(VLA_TINY, tp=2) == 32  # 64/2=32 caps it
 
 
 def test_quant_decode_report_structure():
