@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "resolves the group size per-model)")
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--tp", default=1, type=int)
+    p.add_argument("--dp", default=1, type=int,
+                   help="data-parallel serving: batch rows (and the KV "
+                        "cache) shard over a 'data' mesh axis; composes "
+                        "with --tp as a dp x tp grid — the throughput axis "
+                        "once weights fit per chip")
     p.add_argument("--visual_tokens", default=None, type=int,
                    help="keep only the k most salient patch tokens before "
                         "the LLM (LOSSY prefill/cache reduction — validate "
@@ -66,10 +71,12 @@ def main(argv=None):
     from ..serving.http import ActionServer
 
     mesh = None
-    if args.tp > 1:
+    if args.tp > 1 or args.dp > 1:
         from ..parallel import make_mesh
 
-        mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
+        need = args.tp * args.dp
+        mesh = make_mesh(data=args.dp, model=args.tp,
+                         devices=jax.devices()[:need])
     if args.checkpoint is None and args.model == "openvla-7b":
         print("WARNING: no --checkpoint; random weights (smoke mode)")
     policy = load_policy(

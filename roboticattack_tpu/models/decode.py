@@ -583,6 +583,23 @@ def greedy_decode_actions(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         tp = mesh.shape["model"]
+        dp = mesh.shape.get("data", 1)
+        if tp == 1 and dp > 1:
+            # pure data-parallel serving: no weight splits, but the cache's
+            # BATCH axis must still be pinned to the data axis — an unpinned
+            # zeros-initialized cache can propagate to replicated and
+            # silently hold (and all-gather) the full batch on every chip
+            kv_sharding = NamedSharding(mesh, P(None, "data", None, None, None))
+            cache_k = jax.lax.with_sharding_constraint(cache_k, kv_sharding)
+            cache_v = jax.lax.with_sharding_constraint(cache_v, kv_sharding)
+            if kvq:
+                sv_sh = NamedSharding(mesh, P(None, "data", None, None))
+                sk_sh = (
+                    NamedSharding(mesh, P(None, "data", None, None, None))
+                    if kv4 else sv_sh
+                )
+                scale_k = jax.lax.with_sharding_constraint(scale_k, sk_sh)
+                scale_v = jax.lax.with_sharding_constraint(scale_v, sv_sh)
         if tp > 1:
             if lcfg.num_kv_heads % tp:
                 raise ValueError(

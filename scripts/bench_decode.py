@@ -40,6 +40,11 @@ def main():
     # tp=2 fits bs=8 in 2x 15.75 GB (compiled per-chip numbers pinned in
     # tests/test_decode_tp.py). Needs >=tp devices — ready for multi-chip.
     ap.add_argument("--tp", type=int, default=1)
+    # data-parallel serving: batch rows shard over a 'data' mesh axis (the
+    # KV cache and activations shard with them, models/decode.py pins it);
+    # composes with --tp as a dp x tp grid over the first dp*tp devices —
+    # the throughput-scaling axis once weights fit per chip
+    ap.add_argument("--dp", type=int, default=1)
     # weight-only int8 (models/quant.py): ~7.7 GB of weight arguments instead
     # of 13.5 on the 7B, so bs>=8 batched serving fits ONE 15.75 GB v5e, and
     # a weight-streaming-bound decode step reads half the HBM bytes. int4
@@ -114,22 +119,25 @@ def main():
 
     mesh = None
     out_shardings = None
-    if args.tp > 1:
+    if args.tp > 1 or args.dp > 1:
         from jax.sharding import NamedSharding
         from roboticattack_tpu.parallel import make_mesh
         from roboticattack_tpu.parallel.sharding import decode_param_specs
 
-        if len(jax.devices()) < args.tp:
-            log(f"--tp {args.tp} needs >= {args.tp} devices; attached: "
-                f"{len(jax.devices())}")
+        need = args.tp * args.dp
+        if len(jax.devices()) < need:
+            log(f"--dp {args.dp} x --tp {args.tp} needs >= {need} devices; "
+                f"attached: {len(jax.devices())}")
             sys.exit(2)
-        mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
+        mesh = make_mesh(data=args.dp, model=args.tp,
+                         devices=jax.devices()[:need])
         # generate the weights DIRECTLY into their shards (out_shardings on
         # the init jit) — no chip ever holds the full 13.5 GB
         out_shardings = jax.tree.map(
             lambda sp: NamedSharding(mesh, sp), decode_param_specs(shapes)
         )
-        log(f"tp={args.tp} mesh over {mesh.devices.ravel().tolist()}")
+        log(f"dp={args.dp} x tp={args.tp} mesh over "
+            f"{mesh.devices.ravel().tolist()}")
 
     @(jax.jit if out_shardings is None else
       (lambda f: jax.jit(f, out_shardings=out_shardings)))
@@ -191,6 +199,16 @@ def main():
         )
         i_b = jnp.broadcast_to(jnp.asarray(row), (bs, args.prompt_pad))
         m_b = jnp.broadcast_to(jnp.asarray(mask), (bs, args.prompt_pad))
+        if mesh is not None and args.dp > 1:
+            if bs % args.dp:
+                log(f"bs={bs}: skipped (not divisible by dp={args.dp})")
+                continue
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsh = NamedSharding(mesh, P("data"))
+            px = jax.device_put(px, bsh)
+            i_b = jax.device_put(i_b, bsh)
+            m_b = jax.device_put(m_b, bsh)
         # time to HOST materialization: through the remote-TPU relay,
         # block_until_ready returns without waiting (measured 0.1 ms for a 7B
         # decode — impossible); device_get of the tiny [B,7] result is the
