@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV cache (exact per-position dequantization)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel serving over the first N devices")
+    p.add_argument("--dp", default=1, type=int,
+                   help="data-parallel serving: --batch_trials rows shard "
+                        "over a 'data' mesh axis (composes with --tp)")
     p.add_argument("--visual_tokens", default=None, type=int,
                    help="keep only the k most salient patch tokens before "
                         "the LLM (LOSSY; run a clean-vs-pruned A/B first)")
@@ -96,12 +99,14 @@ def main(argv=None):
     if args.checkpoint is None and model == "openvla-7b":
         print("WARNING: no --checkpoint; random weights (smoke mode)")
     mesh = None
-    if args.tp > 1:
+    if args.tp > 1 or args.dp > 1:
         import jax
 
         from ..parallel import make_mesh
 
-        mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
+        need = args.tp * args.dp
+        mesh = make_mesh(data=args.dp, model=args.tp,
+                         devices=jax.devices()[:need])
     policy = load_policy(
         args.checkpoint, model_name=model,
         unnorm_key=args.unnorm_key, center_crop=args.center_crop,
