@@ -98,15 +98,13 @@ def main(argv=None):
     model = args.model
     if args.checkpoint is None and model == "openvla-7b":
         print("WARNING: no --checkpoint; random weights (smoke mode)")
-    mesh = None
-    if args.tp > 1 or args.dp > 1:
-        import jax
+    from ..parallel import make_serving_mesh
 
-        from ..parallel import make_mesh
-
-        need = args.tp * args.dp
-        mesh = make_mesh(data=args.dp, model=args.tp,
-                         devices=jax.devices()[:need])
+    mesh = make_serving_mesh(tp=args.tp, dp=args.dp)
+    if args.dp > 1 and args.batch_trials % args.dp:
+        print(f"WARNING: --dp {args.dp} does not divide --batch_trials "
+              f"{args.batch_trials}; policy calls serve replicated "
+              f"(no dp speedup)", flush=True)
     policy = load_policy(
         args.checkpoint, model_name=model,
         unnorm_key=args.unnorm_key, center_crop=args.center_crop,

@@ -70,13 +70,16 @@ def main(argv=None):
     from ..eval.policy import load_policy
     from ..serving.http import ActionServer
 
-    mesh = None
-    if args.tp > 1 or args.dp > 1:
-        from ..parallel import make_mesh
+    from ..parallel import make_serving_mesh
+    from ..serving.batcher import default_buckets
 
-        need = args.tp * args.dp
-        mesh = make_mesh(data=args.dp, model=args.tp,
-                         devices=jax.devices()[:need])
+    mesh = make_serving_mesh(tp=args.tp, dp=args.dp)
+    if mesh is not None and args.dp > 1:
+        bad = [b for b in default_buckets(args.max_batch) if b % args.dp]
+        if bad:
+            print(f"WARNING: --dp {args.dp} does not divide buckets {bad}; "
+                  f"those batches serve replicated (no dp speedup)",
+                  flush=True)
     if args.checkpoint is None and args.model == "openvla-7b":
         print("WARNING: no --checkpoint; random weights (smoke mode)")
     policy = load_policy(

@@ -57,9 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smoke-lr", type=float, default=5e-2)
     p.add_argument("--quant-modes", default="int8,w8a8,int4,int8+kv8,int4+kv4",
                    help="serving configs to compare against the full-"
-                        "precision decode: <int8|int4|none>[+kv8|kv4]"
+                        "precision decode: <int8|w8a8|int4|none>[+kv8|kv4]"
                         "[+vt<k>] — add e.g. int8+vt128 to A/B visual-token "
                         "pruning on real weights before serving with it")
+    p.add_argument("--quant-tp", type=int, default=1,
+                   help="the tensor-parallel degree you will DEPLOY with: "
+                        "int4's auto group size is tp-dependent (7B tp=4 "
+                        "serves gs=64, not 128), and the gate must test the "
+                        "quantization production actually serves")
     p.add_argument("--quant-min-agreement", type=float, default=0.9,
                    help="token-agreement gate, applied to the int8 mode "
                         "(weight-only int8 is near-lossless on real LLM "
@@ -271,6 +276,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             qr = quant_decode_report(
                 params, cfg, modes=quant_modes,
                 seed=args.seed, min_agreement=args.quant_min_agreement,
+                tp=args.quant_tp,
             )
             report["steps"]["quant"] = qr
             for mode, d in qr.items():

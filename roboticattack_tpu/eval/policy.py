@@ -12,6 +12,7 @@ instruction; the env-side gripper sign conventions stay with the caller
 
 from __future__ import annotations
 
+import sys
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -177,6 +178,7 @@ class VLAPolicy:
             )
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
+        self._dp_warned: set = set()
         # [N, 7] token ids of the most recent get_action_multi call — the
         # natural draft for the NEXT control step (consecutive robot actions
         # mostly repeat tokens); callers opt in with draft_tokens="last"
@@ -187,13 +189,24 @@ class VLAPolicy:
 
     def _place(self, arr: jnp.ndarray) -> jnp.ndarray:
         """Input placement: batch dim split over 'data' when the mesh has one
-        and it divides the batch; otherwise replicated (pure-TP serving)."""
+        and it divides the batch; otherwise replicated (pure-TP serving) —
+        with a once-per-batch-size warning, because a dp mesh silently
+        serving every batch replicated is paid-for hardware doing nothing."""
         if self.mesh is None:
             return arr
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         d = self.mesh.shape.get("data", 1)
-        spec = P("data") if d > 1 and arr.shape[0] % d == 0 else P()
+        divisible = arr.shape[0] % d == 0
+        if d > 1 and not divisible and arr.shape[0] not in self._dp_warned:
+            self._dp_warned.add(arr.shape[0])
+            print(
+                f"WARNING: batch {arr.shape[0]} not divisible by the mesh's "
+                f"data axis ({d}); serving this batch size replicated "
+                f"(no dp speedup)",
+                file=sys.stderr, flush=True,
+            )
+        spec = P("data") if d > 1 and divisible else P()
         return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _tokenize(self, task_label: str):

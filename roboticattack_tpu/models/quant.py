@@ -120,6 +120,17 @@ def int4_group_size_for(cfg, tp: int = 1) -> int:
     tp=4 -> 64, since 11008/4 is not a multiple of 128; vla-tiny tp=2 ->
     32)."""
     lcfg = cfg.llm
+    row_parallel = (lcfg.num_heads * lcfg.head_dim, lcfg.intermediate_size)
+    if tp > 1 and any(d % tp for d in row_parallel):
+        # floor-dividing would compute a group size for per-chip dims that
+        # don't exist and can degrade to gs=1 (per-element f32 scales — a
+        # pytree LARGER than bf16) with no error; the decode guard only
+        # checks num_kv_heads % tp, so fail here with the real reason
+        raise ValueError(
+            f"int4 decode TP: tp={tp} does not divide the row-parallel "
+            f"contractions {row_parallel} of {cfg.name!r}; pick a tp that "
+            f"divides both"
+        )
     dims = (
         lcfg.hidden_size,
         lcfg.num_heads * lcfg.head_dim,

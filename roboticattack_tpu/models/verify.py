@@ -740,6 +740,7 @@ def quant_decode_report(
     seed: int = 0,
     min_agreement: float = 0.9,
     gate_modes: Sequence[str] = ("int8",),
+    tp: int = 1,
 ) -> Dict:
     """Quantized-serving acceptance: greedy-decode token agreement of each
     quantized configuration against the full-precision decode on the SAME
@@ -764,6 +765,14 @@ def quant_decode_report(
     int4/kv8 entries are reported for the user's own A/B call). Random
     tiny-model weights produce near-uniform logits where rounding flips
     argmaxes — offline tests pin structure and gate logic, not agreement.
+
+    `tp`: the DEPLOYMENT tensor-parallel degree (cli --quant-tp). int4's
+    auto group size is tp-dependent (int4_group_size_for: 7B tp=4 serves
+    gs=64, not the tp=1 gs=128) — the gate must agreement-test the
+    quantization production will actually serve, so pass the tp you will
+    deploy with. The decode itself still runs single-device here (TP is
+    bit-identical to single-device by construction, pinned in
+    tests/test_decode_quant.py — only the GROUP SIZE changes the numbers).
     """
     import gc
 
@@ -816,7 +825,7 @@ def quant_decode_report(
         from ..utils.quant_args import resolve_quantize
 
         wq, act, _ = resolve_quantize(wq)
-        gs = int4_group_size_for(cfg)
+        gs = int4_group_size_for(cfg, tp=tp)
         qp = (quantize_decode_params(cooked, xp=np, mode=wq, group_size=gs)
               if wq is not None else cooked)
         tokens, actions = run(qp, kv_cache, visual_tokens, act)

@@ -1,6 +1,7 @@
 from .mesh import (
     batch_sharding,
     make_mesh,
+    make_serving_mesh,
     process_zero,
     replicate,
     replicated,

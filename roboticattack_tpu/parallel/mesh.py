@@ -36,6 +36,24 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+def make_serving_mesh(tp: int = 1, dp: int = 1) -> Optional[Mesh]:
+    """The ONE dp x tp serving-mesh constructor behind `--tp/--dp` on
+    cli.serve, cli.eval_libero, and scripts/bench_decode (three CLIs, one
+    error behavior): grids the first dp*tp attached devices, returns None
+    for the 1x1 case, and raises a clear error — not make_mesh's bare
+    AssertionError — when the box has too few devices."""
+    if tp <= 1 and dp <= 1:
+        return None
+    need = tp * dp
+    have = len(jax.devices())
+    if have < need:
+        raise ValueError(
+            f"--dp {dp} x --tp {tp} needs >= {need} devices; this process "
+            f"has {have} attached"
+        )
+    return make_mesh(data=dp, model=tp, devices=jax.devices()[:need])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim split over 'data'; everything else replicated."""
     return NamedSharding(mesh, P("data"))

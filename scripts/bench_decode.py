@@ -121,16 +121,14 @@ def main():
     out_shardings = None
     if args.tp > 1 or args.dp > 1:
         from jax.sharding import NamedSharding
-        from roboticattack_tpu.parallel import make_mesh
+        from roboticattack_tpu.parallel import make_serving_mesh
         from roboticattack_tpu.parallel.sharding import decode_param_specs
 
-        need = args.tp * args.dp
-        if len(jax.devices()) < need:
-            log(f"--dp {args.dp} x --tp {args.tp} needs >= {need} devices; "
-                f"attached: {len(jax.devices())}")
+        try:
+            mesh = make_serving_mesh(tp=args.tp, dp=args.dp)
+        except ValueError as e:
+            log(str(e))
             sys.exit(2)
-        mesh = make_mesh(data=args.dp, model=args.tp,
-                         devices=jax.devices()[:need])
         # generate the weights DIRECTLY into their shards (out_shardings on
         # the init jit) — no chip ever holds the full 13.5 GB
         out_shardings = jax.tree.map(

@@ -442,3 +442,26 @@ def test_cli_rejects_out_of_range_vt_before_any_leg(tmp_path):
             "--output", str(tmp_path / "o"), "--quant-modes", "int8+vt999",
         ])
     assert not (tmp_path / "o" / "verify_report.json").exists()
+
+
+def test_int4_group_size_rejects_nondividing_tp():
+    """tp that doesn't divide the row-parallel contractions must raise (a
+    floor-divided candidate list can degrade to gs=1 — per-element f32
+    scales, a pytree LARGER than bf16 — with no error)."""
+    from roboticattack_tpu.models.verify import int4_group_size_for
+
+    with pytest.raises(ValueError, match="row-parallel"):
+        int4_group_size_for(VLA_TINY, tp=3)
+
+
+def test_quant_report_tp_changes_int4_group_size():
+    """The gate quantizes int4 at the DEPLOYMENT group size (--quant-tp):
+    vla-tiny tp=2 -> gs=32 instead of the tp=1 gs=64."""
+    from roboticattack_tpu.models.verify import quant_decode_report
+
+    params = jax.device_get(init_vla_params(jax.random.key(21), VLA_TINY))
+    qr = quant_decode_report(
+        params, VLA_TINY, modes=("int4",), n_batches=1, min_agreement=0.0,
+        tp=2,
+    )
+    assert set(qr) == {"int4"}  # structure; gs=32 exercised without error
