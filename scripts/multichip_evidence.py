@@ -152,6 +152,16 @@ def main():
             make_mesh(data=1, model=2, devices=cpu[:2]), batch_size=8,
             jacobi=True)),
     )
+    # pure data-parallel serving (dp=2, tp=1, int8 weights): every batch row
+    # is independent and the cache's batch axis is pinned — the compiled
+    # program must move ZERO bytes across ICI (linear dp scaling as a
+    # compiled fact); the collectives list below must stay empty
+    L["cpu_decode_dp2_bs8"] = run_leg(
+        "cpu decode dp2 bs8",
+        lambda: leg(lambda: compile_decode_7b(
+            make_mesh(data=2, model=1, devices=cpu[:2]), batch_size=8,
+            quantize=True)),
+    )
     # w8a8 under TP (act_quant='int8'): same int8 weight arguments; the
     # inventory pin is that the int8 x int8 prefill's row-parallel partial
     # sums still cross ICI as [B,S,D]-class activations, nothing tensor-sized
@@ -167,6 +177,7 @@ def main():
                  "cpu_decode_int8_single_chip_bs8",
                  "cpu_decode_int4_single_chip_bs32",
                  "cpu_decode_jacobi_tp2_bs8",
+                 "cpu_decode_dp2_bs8",
                  "cpu_decode_w8a8_tp2_bs16"):
         if L[name].get("status") == "ok":
             # CPU temp estimates are bf16->f32-upcast-inflated; keep only args

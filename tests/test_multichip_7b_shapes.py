@@ -280,3 +280,16 @@ def test_decode_w8a8_tp2_inventory_and_memory():
                     assert dt == "s32", c.describe()
         else:
             assert c.nbytes < MB, c.describe()
+
+
+def test_decode_pure_dp2_no_collectives():
+    """Pure data-parallel serving decode at FULL 7B shape (dp=2, tp=1):
+    every batch row is independent, so the compiled program must move ZERO
+    bytes across ICI — no all-reduce, no all-gather, nothing. (The cache's
+    pinned batch axis makes this hold; an unpinned cache propagating to
+    replicated would all-gather it every step.) Linear dp throughput
+    scaling is then a compiled fact, not an assumption."""
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    comp = compile_decode_7b(mesh, batch_size=8, prompt_pad=64, quantize=True)
+    colls = collect_collectives(comp.as_text())
+    assert colls == [], [c.describe() for c in colls]
