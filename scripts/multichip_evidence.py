@@ -285,6 +285,18 @@ def main():
                                   chips_per_host_bounds=(1, 1, 1)),
                 batch_size=16, quantize=True, act_quant="int8")),
         )
+        # w8a8 under TP on REAL-TPU lowering: the bit-identity guarantee
+        # rides on the prefill partial-sum all-reduces staying s32 (pinned
+        # s32 on the CPU lowering, tests/test_multichip_7b_shapes.py); this
+        # leg records the dtype the real backend actually emits — if it
+        # shows f32 psums, soften the docstring claim in models/decode.py
+        L["tpu_decode_w8a8_tp2_bs16"] = run_leg(
+            "TPU-AOT decode w8a8 tp2 bs16",
+            lambda: tpu_leg(lambda: compile_decode_7b(
+                tpu_topology_mesh("v5e:1x2", (1, 2),
+                                  chips_per_host_bounds=(1, 2, 1)),
+                batch_size=16, quantize=True, act_quant="int8")),
+        )
 
         # record the flash-attention topology-AOT limitation explicitly
         def flash_leg():
