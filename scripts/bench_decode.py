@@ -63,6 +63,11 @@ def main():
     # best case — one verification pass replaces the 6-step tail), 'cold'
     # drafts zeros (worst case: bounded by the sequential tail's 6 streams)
     ap.add_argument("--jacobi", default=None, choices=[None, "warm", "cold"])
+    # phase attribution: ALSO time a num_steps=1 program (prefill + argmax,
+    # no decode tail) and report prefill_s / tail_s per row — the breakdown
+    # that attributes a w8a8 or vt speedup to the prefill and a jacobi/kv
+    # speedup to the tail. Costs one extra compile per batch size.
+    ap.add_argument("--split_phases", action="store_true")
     # LOSSY prefill/cache reduction: keep only the k most salient patch
     # tokens before the LLM (models/decode.py visual_tokens) — prefill is
     # the FLOP bill at bs>=8, so k=128 ~halves it
@@ -189,6 +194,13 @@ def main():
             visual_tokens=args.visual_tokens, act_quant=act_quant,
         )
     )
+    decode_prefill = jax.jit(
+        lambda p, i, m, px: greedy_decode_actions(
+            p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
+            kv_cache=args.kv_cache, visual_tokens=args.visual_tokens,
+            act_quant=act_quant, num_steps=1,
+        )
+    )
     rng = np.random.default_rng(0)
     size = cfg.dino.image_size
     for bs in [int(b) for b in args.batches.split(",")]:
@@ -240,6 +252,17 @@ def main():
                 t0 = time.time()
                 np.asarray(jax.device_get(run().actions))
                 times.append(time.time() - t0)
+            prefill_best = None
+            if args.split_phases:
+                np.asarray(jax.device_get(  # compile the prefill-only program
+                    decode_prefill(params, i_b, m_b, px).actions))
+                pf = []
+                for _ in range(args.iters):
+                    t0 = time.time()
+                    np.asarray(jax.device_get(
+                        decode_prefill(params, i_b, m_b, px).actions))
+                    pf.append(time.time() - t0)
+                prefill_best = min(pf)
         except Exception as e:
             log(f"bs={bs}: FAILED ({type(e).__name__}: {str(e)[:160]})")
             print(json.dumps({
@@ -260,6 +283,12 @@ def main():
         if args.jacobi:
             out["jacobi"] = args.jacobi
             out["verify_passes"] = verify_passes
+        if prefill_best is not None:
+            # tail = full program minus the num_steps=1 (prefill + argmax)
+            # program — attributes a w8a8/vt win to the prefill and a
+            # jacobi/kv win to the tail
+            out["prefill_s"] = round(prefill_best, 4)
+            out["tail_s"] = round(max(0.0, best - prefill_best), 4)
         print(json.dumps(out), flush=True)
         log(f"bs={bs}: {best*1000:.1f} ms/call -> {bs/best:.2f} actions/s")
 
