@@ -61,16 +61,21 @@ def parse_suffixes(
     suffixes,
     context: str = "",
     jacobi: bool = False,
+    phases: bool = False,
 ):
     """The once-each serving-lever suffix grammar shared by the acceptance
     gate's quant-mode strings (models/verify.py parse_quant_mode) and the
     sweep's config strings (scripts/serving_sweep.py parse_config):
     kv8|kv4 (KV-cache quantization), vt<k> (visual-token pruning), and —
-    when `jacobi=True` — jw|jc (warm/cold drafts). -> (kv_cache | None,
-    visual_tokens | None, jacobi_mode | None). One grammar so the next
-    lever is wired everywhere at once instead of drifting across parsers."""
+    when enabled by the caller — jw|jc (warm/cold drafts, `jacobi=True`)
+    and ph (prefill/tail phase attribution, `phases=True`). ->
+    (kv_cache | None, visual_tokens | None, jacobi_mode | None, ph: bool).
+    One grammar so the next lever is wired everywhere at once instead of
+    drifting across parsers."""
     kv = vt = jac = None
-    menu = "kv8|kv4 / vt<k>" + (" / jw|jc" if jacobi else "")
+    ph = False
+    menu = ("kv8|kv4 / vt<k>" + (" / jw|jc" if jacobi else "")
+            + (" / ph" if phases else ""))
     for s in suffixes:
         if s in ("kv8", "kv4") and kv is None:
             kv = {"kv8": "int8", "kv4": "int4"}[s]
@@ -79,11 +84,13 @@ def parse_suffixes(
             vt = int(s[2:])
         elif jacobi and s in ("jw", "jc") and jac is None:
             jac = {"jw": "warm", "jc": "cold"}[s]
+        elif phases and s == "ph" and not ph:
+            ph = True
         else:
             raise ValueError(
                 f"{context}unknown suffix {s!r} ({menu}, once each)"
             )
-    return kv, vt, jac
+    return kv, vt, jac, ph
 
 
 def quantize_arg(s: str) -> str:

@@ -56,6 +56,10 @@ DEFAULT_CONFIGS = [
     # the bs=1 robot-control latency candidate: once a warm draft collapses
     # the tail to one pass, PREFILL dominates — w8a8 halves its FLOP bill
     "w8a8+jw:1,8",
+    # phase attribution A/B: prefill_s/tail_s for int8 vs w8a8 at bs=8 —
+    # the direct measurement of the w8a8 prefill claim
+    "int8+ph:8",
+    "w8a8+ph:8",
 ]
 
 
@@ -64,8 +68,11 @@ def log(*a):
 
 
 def parse_config(spec):
-    """'<bf16|int8|w8a8|int4>[+kv8|+kv4][+jw|+jc][+vt<k>]:<batches>' ->
-    (name, weights, kv_cache, jacobi, visual_tokens, batches)."""
+    """'<bf16|int8|w8a8|int4>[+kv8|+kv4][+jw|+jc][+vt<k>][+ph]:<batches>' ->
+    (name, weights, kv_cache, jacobi, visual_tokens, batches, split_phases).
+    '+ph' rows also report prefill_s/tail_s (bench_decode --split_phases;
+    one extra relay compile per batch size, so mark only the rows whose
+    attribution you need)."""
     from roboticattack_tpu.utils.quant_args import parse_suffixes
 
     name, batches = spec.split(":", 1)
@@ -73,14 +80,14 @@ def parse_config(spec):
     weights, suffixes = parts[0], parts[1:]
     if weights not in ("bf16", "int8", "w8a8", "int4"):
         raise ValueError(f"weights {weights!r} in {spec!r}")
-    kv, vt, jacobi = parse_suffixes(
-        suffixes, context=f"{spec!r}: ", jacobi=True
+    kv, vt, jacobi, ph = parse_suffixes(
+        suffixes, context=f"{spec!r}: ", jacobi=True, phases=True
     )
-    return name, weights, kv, jacobi, vt, batches
+    return name, weights, kv, jacobi, vt, batches, ph
 
 
 def run_config(name, weights, kv_cache, jacobi, visual_tokens, batches,
-               iters, timeout_s, platform=None):
+               iters, timeout_s, platform=None, split_phases=False):
     cmd = [sys.executable, os.path.join(REPO, "scripts", "bench_decode.py"),
            "--batches", batches, "--iters", str(iters)]
     if weights != "bf16":
@@ -91,6 +98,8 @@ def run_config(name, weights, kv_cache, jacobi, visual_tokens, batches,
         cmd += ["--jacobi", jacobi]
     if visual_tokens is not None:
         cmd += ["--visual_tokens", str(visual_tokens)]
+    if split_phases:
+        cmd += ["--split_phases"]
     if platform:
         cmd += ["--platform", platform]
     log(f"[{name}] {' '.join(cmd[1:])}")
@@ -132,7 +141,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="*", default=DEFAULT_CONFIGS,
                     help="<bf16|int8|w8a8|int4>[+kv8|+kv4][+jw|+jc]"
-                         "[+vt<k>]:<batches>")
+                         "[+vt<k>][+ph]:<batches>")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(REPO, "SERVING_EVIDENCE.json"))
     ap.add_argument("--per_config_timeout_s", type=int, default=3600)
@@ -169,11 +178,12 @@ def main():
 
     ran = []
     for spec in args.configs:
-        name, weights, kv, jacobi, vt, batches = parse_config(spec)
+        name, weights, kv, jacobi, vt, batches, ph = parse_config(spec)
         ran.append(name)
         results["configs"][name] = run_config(
             name, weights, kv, jacobi, vt, batches, args.iters,
             args.per_config_timeout_s, platform=args.platform,
+            split_phases=ph,
         )
         # write after EVERY config: a later relay death keeps earlier rows
         with open(args.out, "w") as f:
