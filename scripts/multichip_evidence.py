@@ -43,7 +43,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_leg(name, fn):
+def _run_leg_now(name, fn):
     t0 = time.time()
     try:
         out = fn()
@@ -58,11 +58,37 @@ def run_leg(name, fn):
     return out
 
 
+def run_leg(name, fn):
+    """Deferred leg: compiles at assignment time so LegStore can skip
+    already-green legs under --skip_ok without paying the compile."""
+    return ("__leg__", name, fn)
+
+
+class LegStore(dict):
+    """Legs dict that, with skip_ok set, keeps a prior status=='ok' entry
+    instead of re-running its (minutes-long) relay compile. Non-ok priors
+    (error / timeout) always re-run."""
+
+    skip_ok = False
+
+    def __setitem__(self, key, value):
+        if isinstance(value, tuple) and value and value[0] == "__leg__":
+            _, pretty, fn = value
+            if self.skip_ok and self.get(key, {}).get("status") == "ok":
+                log(f"[{pretty}] skipped (prior leg ok; --skip_ok)")
+                return
+            value = _run_leg_now(pretty, fn)
+        super().__setitem__(key, value)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true",
                     help="also run the v5e:2x2 topology-AOT legs on the relay")
     ap.add_argument("--out", default="MULTICHIP_EVIDENCE.json")
+    ap.add_argument("--skip_ok", action="store_true",
+                    help="keep prior status=='ok' legs instead of recompiling "
+                         "them (incremental refresh after adding new legs)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +120,8 @@ def main():
     # merge into an existing artifact: legs are keyed by name, so a CPU-only
     # refresh keeps previously-compiled TPU legs (and vice versa) instead of
     # clobbering them
-    results = {"hbm_per_chip_gb": HBM_GB, "legs": {}}
+    results = {"hbm_per_chip_gb": HBM_GB, "legs": LegStore()}
+    results["legs"].skip_ok = args.skip_ok
     if os.path.exists(args.out):
         try:
             with open(args.out) as f:
