@@ -26,6 +26,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # parse_config imports roboticattack_tpu.utils
 
 DEFAULT_CONFIGS = [
     "bf16:1,4",
