@@ -705,29 +705,49 @@ def greedy_decode_actions(
             prefix_valid[:, None, :] | draft_visible[None], 0.0, NEG_INF
         )[:, None]  # [B, 1, n, total]
 
-        def verify_block(xc, layer):
-            p, ck_l, cv_l, sk_l, sv_l = layer
+        def verify_block(inner, inp):
+            # The FULL cache rides the layer-scan CARRY and is updated in
+            # place at (layer, t0) — passing per-layer cache slices as scan
+            # xs and re-stacking them as ys (the round-4 form) made XLA hold
+            # the whole [L,B,Hkv,total,hd] cache in ~3 simultaneous buffers
+            # (input stack + output stack + loop double-buffer): the measured
+            # ~2.9x-cache-size temp bill that capped single-chip decode
+            # (MULTICHIP_EVIDENCE tpu_decode_int4_kv8_1chip_bs32 temps
+            # 11.7 GB vs 2.5 GB of cache). A carry DUS aliases in place;
+            # the per-layer read is a [B,Hkv,total,hd] dynamic slice that
+            # fuses into the attention operand reads.
+            xc, ck, cv, sk, sv = inner
+            p, li = inp
             y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
             q, k, v = _qkv(lcfg, p, y, cooked_weights)
             q, k = apply_rope(q, k, cos_j, sin_j)
             if kvq:
                 k, sk_new, v, sv_new = _q_kv(k, v)
-                sk_l = jax.lax.dynamic_update_slice(
-                    sk_l, sk_new, (0, 0, t0) + (0,) * (sk_l.ndim - 3)
+                sk = jax.lax.dynamic_update_slice(
+                    sk, sk_new[None], (li, 0, 0, t0) + (0,) * (sk.ndim - 4)
                 )
-                sv_l = jax.lax.dynamic_update_slice(sv_l, sv_new, (0, 0, t0))
-            ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype), (0, 0, t0, 0))
-            cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype), (0, 0, t0, 0))
+                sv = jax.lax.dynamic_update_slice(sv, sv_new[None], (li, 0, 0, t0))
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (li, 0, 0, t0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (li, 0, 0, t0, 0)
+            )
+            ck_l = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+            cv_l = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
+            sk_l = jax.lax.dynamic_index_in_dim(sk, li, 0, keepdims=False) if kvq else None
+            sv_l = jax.lax.dynamic_index_in_dim(sv, li, 0, keepdims=False) if kvq else None
             attn = _attend_c(q, ck_l, sk_l, cv_l, sv_l, j_bias)
             xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
             xc = _mlp(lcfg, p, xc, cooked_weights)
-            return xc, (ck_l, cv_l, sk_l, sv_l)
+            return (xc, ck, cv, sk, sv), None
 
         def jacobi_body(carry):
             d, _, it, ck, cv, sk, sv = carry
             x = _embed_rows(p_llm, d, dtype)  # [B, n, D]
-            x, (ck, cv, sk, sv) = jax.lax.scan(
-                verify_block, x, (p_llm["layers"], ck, cv, sk, sv)
+            (x, ck, cv, sk, sv), _ = jax.lax.scan(
+                verify_block, (x, ck, cv, sk, sv),
+                (p_llm["layers"], jnp.arange(nl)),
             )
             h = rms_norm(x, p_llm["norm"], lcfg.rms_eps)
             out = jnp.argmax(_lm_logits_all(p_llm, h), axis=-1).astype(jnp.int32)
@@ -766,30 +786,39 @@ def greedy_decode_actions(
         decode_valid = (slot_ids[None, :] >= t0) & (slot_ids[None, :] <= t0 + i)
         bias = jnp.where(prefix_valid | decode_valid, 0.0, NEG_INF)[:, None, None, :]
 
-        def block(xc, layer):
-            p, ck_l, cv_l, sk_l, sv_l = layer
+        def block(inner, inp):
+            # full cache in the CARRY, in-place (layer, position) DUS — see
+            # verify_block for why (the ys-restack form tripled cache temps)
+            xc, ck, cv, sk, sv = inner
+            p, li = inp
             y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
             q, k, v = _qkv(lcfg, p, y, cooked_weights)
             q, k = apply_rope(q, k, cos, sin)
             if kvq:
                 k, sk_new, v, sv_new = _q_kv(k, v)
-                sk_l = jax.lax.dynamic_update_slice(
-                    sk_l, sk_new, (0, 0, t0 + i) + (0,) * (sk_l.ndim - 3)
+                sk = jax.lax.dynamic_update_slice(
+                    sk, sk_new[None], (li, 0, 0, t0 + i) + (0,) * (sk.ndim - 4)
                 )
-                sv_l = jax.lax.dynamic_update_slice(sv_l, sv_new, (0, 0, t0 + i))
-            ck_l = jax.lax.dynamic_update_slice(
-                ck_l, k.astype(ck_l.dtype), (0, 0, t0 + i, 0)
+                sv = jax.lax.dynamic_update_slice(
+                    sv, sv_new[None], (li, 0, 0, t0 + i)
+                )
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (li, 0, 0, t0 + i, 0)
             )
-            cv_l = jax.lax.dynamic_update_slice(
-                cv_l, v.astype(cv_l.dtype), (0, 0, t0 + i, 0)
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (li, 0, 0, t0 + i, 0)
             )
+            ck_l = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+            cv_l = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
+            sk_l = jax.lax.dynamic_index_in_dim(sk, li, 0, keepdims=False) if kvq else None
+            sv_l = jax.lax.dynamic_index_in_dim(sv, li, 0, keepdims=False) if kvq else None
             attn = _attend_c(q, ck_l, sk_l, cv_l, sv_l, bias)
             xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
             xc = _mlp(lcfg, p, xc, cooked_weights)
-            return xc, (ck_l, cv_l, sk_l, sv_l)
+            return (xc, ck, cv, sk, sv), None
 
-        x, (ck, cv, sk, sv) = jax.lax.scan(
-            block, x, (p_llm["layers"], ck, cv, sk, sv)
+        (x, ck, cv, sk, sv), _ = jax.lax.scan(
+            block, (x, ck, cv, sk, sv), (p_llm["layers"], jnp.arange(nl))
         )
         h = rms_norm(x, p_llm["norm"], lcfg.rms_eps)
         logits = _lm_logits(p_llm, h)

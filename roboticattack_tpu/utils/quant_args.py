@@ -67,14 +67,15 @@ def parse_suffixes(
     gate's quant-mode strings (models/verify.py parse_quant_mode) and the
     sweep's config strings (scripts/serving_sweep.py parse_config):
     kv8|kv4 (KV-cache quantization), vt<k> (visual-token pruning), and —
-    when enabled by the caller — jw|jc (warm/cold drafts, `jacobi=True`)
-    and ph (prefill/tail phase attribution, `phases=True`). ->
+    when enabled by the caller — jw|jc|js (warm/cold/correlated-stream
+    drafts, `jacobi=True`) and ph (prefill/tail phase attribution,
+    `phases=True`). ->
     (kv_cache | None, visual_tokens | None, jacobi_mode | None, ph: bool).
     One grammar so the next lever is wired everywhere at once instead of
     drifting across parsers."""
     kv = vt = jac = None
     ph = False
-    menu = ("kv8|kv4 / vt<k>" + (" / jw|jc" if jacobi else "")
+    menu = ("kv8|kv4 / vt<k>" + (" / jw|jc|js" if jacobi else "")
             + (" / ph" if phases else ""))
     for s in suffixes:
         if s in ("kv8", "kv4") and kv is None:
@@ -82,8 +83,8 @@ def parse_suffixes(
         elif (s.startswith("vt") and s[2:].isdigit() and int(s[2:]) >= 1
               and vt is None):
             vt = int(s[2:])
-        elif jacobi and s in ("jw", "jc") and jac is None:
-            jac = {"jw": "warm", "jc": "cold"}[s]
+        elif jacobi and s in ("jw", "jc", "js") and jac is None:
+            jac = {"jw": "warm", "jc": "cold", "js": "stream"}[s]
         elif phases and s == "ph" and not ph:
             ph = True
         else:

@@ -41,8 +41,15 @@ DEFAULT_CONFIGS = [
     "int8+jc:1,8",
     "bf16+jw:1",
     # int4 KV cache (grouped-K/per-position-V, models/decode.py _attend_kv4):
-    # quarters the cache bytes — the envelope probe past the int4+kv8 bs=32
-    "int4+kv4:32,48",
+    # quarters the cache bytes — the envelope probes past int4+kv8 bs=32
+    # (bs=64 reaches for the post-cache-in-carry ceiling)
+    "int4+kv4:32,48,64",
+    # int8 weights + int8 cache at bs=32: the exact-dequant big-batch row
+    "int8+kv8:32",
+    # correlated-stream Jacobi (the control-loop middle ground jw/jc only
+    # bracket): per-frame drafts from the previous frame's tokens over an
+    # AR(1) image stream; reports the verify-pass histogram
+    "int8+js:8",
     # visual-token pruning (LOSSY, models/decode.py visual_tokens): prefill
     # is the FLOP bill at bs>=8 — vt128 halves the patch tokens
     "int8+vt128:8,16",

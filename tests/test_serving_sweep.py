@@ -31,6 +31,9 @@ def test_parse_config_grammar():
     assert sweep.parse_config("int4+kv8+jc:16") == (
         "int4+kv8+jc", "int4", "int8", "cold", None, "16", False
     )
+    assert sweep.parse_config("int8+js:8") == (
+        "int8+js", "int8", None, "stream", None, "8", False
+    )
     assert sweep.parse_config("int4+kv4:32,48") == (
         "int4+kv4", "int4", "int4", None, None, "32,48", False
     )
