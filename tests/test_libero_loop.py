@@ -410,3 +410,74 @@ def test_get_action_batch_matches_single(monkeypatch):
         policy.get_action(f, "press the big red button") for f in frames
     ])
     np.testing.assert_allclose(batch, singles, rtol=0, atol=0)
+
+
+# --- Jacobi draft quality on temporally-COHERENT episodes (VERDICT r4 item 3) --
+
+
+def _coherent_frames(seed, n=64, walk=6):
+    """A recorded episode whose frames evolve as a bounded random walk —
+    the temporal coherence a real robot camera has (consecutive LIBERO
+    frames are ~95% correlated), which the i.i.d. _golden_frames lack. The
+    Jacobi lever's entire value lives in this regime: the previous step's
+    tokens are a mostly-correct draft."""
+    rng = np.random.default_rng(seed)
+    f = rng.integers(0, 256, (256, 256, 3)).astype(np.int16)
+    frames = []
+    for _ in range(n):
+        frames.append(np.clip(f, 0, 255).astype(np.uint8))
+        f = np.clip(f + rng.integers(-walk, walk + 1, f.shape), 0, 255)
+    return frames
+
+
+def test_jacobi_pass_distribution_on_coherent_episodes(monkeypatch, tmp_path):
+    """Drive one coherent recorded episode per suite through the REAL policy
+    with cfg.jacobi=True (draft = previous step's tokens, eval/libero.py) and
+    record the verify-pass distribution. On coherent frames the steady state
+    must beat the sequential tail's 6 passes by a wide margin — the middle
+    ground the warm (1 pass) / cold (6 passes) unit pins only bracket.
+    The measured distribution is recorded in BASELINE.md's Jacobi section."""
+    _install_fake_libero(monkeypatch, {s: _OneTaskSuite for s in ALL_SUITES})
+    patch = np.random.default_rng(7).uniform(0, 1, (20, 20, 3)).astype(np.float32)
+    patch_path = str(tmp_path / "patch.pt")
+    save_patch_pt(patch, patch_path)
+    policy = load_policy(None, model_name="vla-tiny")
+
+    per_suite = {}
+    for i, suite in enumerate(ALL_SUITES):
+        ReplayEnv.frames = _coherent_frames(1000 + i)
+        ReplayEnv.never_done = False
+        ReplayEnv.action_log = []
+        passes = []
+        orig = policy.get_action
+
+        def rec(*a, **k):
+            out = orig(*a, **k)
+            assert k.get("draft_tokens") == "last", "jacobi mode must draft"
+            assert policy.last_verify_passes is not None
+            passes.append(policy.last_verify_passes)
+            return out
+
+        monkeypatch.setattr(policy, "get_action", rec)
+        x, y = PLACEMENTS[suite]
+        cfg = LiberoEvalConfig(
+            task_suite_name=suite, num_trials_per_task=1, patchroot=patch_path,
+            x=x, y=y, jacobi=True,
+            output_dir=str(tmp_path / "coherent" / suite),
+        )
+        successes, episodes = eval_libero(cfg, policy)
+        monkeypatch.setattr(policy, "get_action", orig)
+        assert (successes, episodes) == (1, 1), suite
+        assert len(passes) == GOLDEN_T, suite
+        per_suite[suite] = passes
+
+    all_passes = [p for ps in per_suite.values() for p in ps]
+    # exactness bound: never more passes than the sequential tail's 6
+    assert all(1 <= p <= 6 for p in all_passes), per_suite
+    # draft quality on coherent frames: after the cold first step, the
+    # steady state must average well under the sequential tail (the lever's
+    # claim); <= 3 is a loose bound — measured ~1.0-1.3 on the tiny model
+    steady = [p for ps in per_suite.values() for p in ps[1:]]
+    assert float(np.mean(steady)) <= 3.0, per_suite
+    hist = {p: all_passes.count(p) for p in sorted(set(all_passes))}
+    print(f"coherent-episode verify-pass hist (4 suites x {GOLDEN_T} steps): {hist}")
