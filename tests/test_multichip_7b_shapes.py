@@ -293,3 +293,53 @@ def test_decode_pure_dp2_no_collectives():
     comp = compile_decode_7b(mesh, batch_size=8, prompt_pad=64, quantize=True)
     colls = collect_collectives(comp.as_text())
     assert colls == [], [c.describe() for c in colls]
+
+
+def test_documented_envelope_matches_artifact():
+    """The regression guard the round-4 bs=32 incident lacked: the
+    single-chip serving envelope the docs claim (CLAUDE.md, BASELINE.md's
+    serving table) must be backed by a green, POSITIVE-headroom topology-AOT
+    leg in MULTICHIP_EVIDENCE.json, and no leg may record negative headroom
+    without a loud fits=false flag (scripts/multichip_evidence.py). If a
+    decode-path change regrows the temp bill, the evidence regen flips
+    `fits` and this test names the doc claim that just went stale."""
+    import json
+    import os
+
+    art_path = os.path.join(os.path.dirname(__file__), "..",
+                            "MULTICHIP_EVIDENCE.json")
+    with open(art_path) as f:
+        legs = json.load(f)["legs"]
+
+    # every leg with a real-TPU headroom estimate: the fits flag, when
+    # recorded, must be truthful, and NEGATIVE headroom must never pass
+    # silently (fits flag absent was exactly the round-4 failure mode)
+    for name, leg in legs.items():
+        hr = leg.get("memory", {}).get("headroom_gb")
+        if hr is None:
+            continue
+        if "fits" in leg:
+            assert leg["fits"] == (hr >= 0), (name, hr, leg["fits"])
+        else:
+            assert hr >= 0, (
+                f"{name}: headroom {hr} < 0 recorded without fits=false — "
+                "regenerate with scripts/multichip_evidence.py"
+            )
+
+    # the documented envelope (cache-in-carry decode, round 5): every row
+    # cited by CLAUDE.md / BASELINE.md as fitting one 15.75 GB v5e
+    documented = [
+        "tpu_decode_int8_1chip_bs8",
+        "tpu_decode_int8_1chip_bs16",
+        "tpu_decode_int8_kv8_1chip_bs32",
+        "tpu_decode_int4_1chip_bs32",
+        "tpu_decode_int4_kv8_1chip_bs32",
+        "tpu_decode_int4_kv4_1chip_bs48",
+        "tpu_decode_int4_kv4_1chip_bs64",
+    ]
+    for name in documented:
+        leg = legs.get(name)
+        assert leg is not None, f"{name}: documented leg missing from artifact"
+        assert leg.get("status") == "ok", (name, leg.get("error", leg))
+        assert leg["memory"]["headroom_gb"] >= 0, (name, leg["memory"])
+        assert leg.get("fits", True) is True, (name, leg)
