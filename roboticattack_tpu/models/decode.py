@@ -43,6 +43,20 @@ def _quantize_act(y, qmax: float = 127.0):
     return q.astype(jnp.int8), sy
 
 
+def _unpack_nibbles(p):
+    """Packed s4 int8 [..., n/2] -> (lo, hi) int8 arrays [..., n/2]: lo is
+    channel 2j, hi is 2j+1 (models/quant.py _pack_nibbles). Two arithmetic
+    shifts (sign-extending) that XLA fuses into the consuming matmul's
+    operand read — HBM streams the packed bytes only. The consumers keep
+    lo/hi as separate operands and split the ACTIVATION channels even/odd
+    instead of re-interleaving the weights: the group contraction is
+    order-invariant, and an interleave (stack+reshape) could materialize the
+    unpacked tensor."""
+    lo = jnp.left_shift(p, 4) >> 4
+    hi = p >> 4
+    return lo, hi
+
+
 def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
     """y @ W for storage layout [in, out] (cooked=False) or the pre-transposed
     decode layout [out, in] (cooked=True). `scale` is present iff `w` is a
@@ -81,19 +95,34 @@ def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
         The bf16 rounding of the dequantized weights only perturbs the
         prefill (first-token) logits.
     """
-    if scale is not None and scale.ndim == w.ndim:  # grouped int4
-        out_dim, in_dim = w.shape[-2:]
+    if scale is not None and scale.ndim == w.ndim:  # grouped int4 (packed s4)
+        in_half = w.shape[-1]            # packed bytes = contraction / 2
+        in_dim = in_half * 2
         g = scale.shape[-1]
-        wg = w.reshape(w.shape[:-1] + (g, in_dim // g))
+        lo, hi = _unpack_nibbles(w)      # each [.., out, in/2]
+        log = lo.reshape(w.shape[:-1] + (g, in_half // g))
+        hig = hi.reshape(w.shape[:-1] + (g, in_half // g))
+        yg = y.reshape(y.shape[0], y.shape[1], g, in_dim // g)
+        ye = yg[..., 0::2]               # activation channels 2j  [b,s,g,gs/2]
+        yo = yg[..., 1::2]               # activation channels 2j+1
         if y.shape[1] <= 8:
-            yg = y.reshape(y.shape[0], y.shape[1], g, in_dim // g)
             part = jnp.einsum(
-                "bsgi,ogi->bsog", yg, wg.astype(y.dtype),
+                "bsgi,ogi->bsog", ye, log.astype(y.dtype),
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bsgi,ogi->bsog", yo, hig.astype(y.dtype),
                 preferred_element_type=jnp.float32,
             )
             return jnp.einsum("bsog,og->bso", part, scale).astype(y.dtype)
-        wd = (wg.astype(jnp.float32) * scale[..., None]).reshape(w.shape)
-        return jnp.einsum("bsi,oi->bso", y, wd.astype(y.dtype))
+        # prefill: dequantize the halves in-register, two dense grouped
+        # matmuls (FLOP-bound regime; bf16 rounding of the dequantized
+        # weights perturbs only the prefill, as before)
+        ld = (log.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
+        hd = (hig.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
+        return (
+            jnp.einsum("bsgi,ogi->bso", ye, ld)
+            + jnp.einsum("bsgi,ogi->bso", yo, hd)
+        )
     if scale is not None:  # per-output-channel int8
         if act8:
             yq, sy = _quantize_act(y)
@@ -142,26 +171,36 @@ def _lm_logits_all(p_llm, h):
     sc = p_llm.get("lm_head_scale")
     if sc is None:
         return (h @ w).astype(jnp.float32)
-    if sc.ndim == 2:  # grouped int4
-        d, v = w.shape
+    if sc.ndim == 2:  # grouped int4 (packed s4: w is [D/2, V] int8)
+        d_half, v = w.shape
+        d = d_half * 2
         g = sc.shape[-1]
-        wg = w.reshape(g, d // g, v)
+        lo, hi = _unpack_nibbles(w)           # each [D/2, V]
+        log = lo.reshape(g, d_half // g, v)   # hidden channels 2i per group
+        hig = hi.reshape(g, d_half // g, v)   # hidden channels 2i+1
+        hg4 = h.reshape(h.shape[0], h.shape[1], g, d // g)
+        he = hg4[..., 0::2]                   # [B, S, G, gs/2]
+        ho = hg4[..., 1::2]
         if h.shape[1] == 1:
-            hg = h.reshape(h.shape[0], 1, g, d // g)
             part = jnp.einsum(
-                "bsgi,giv->bsgv", hg, wg.astype(h.dtype),
+                "bsgi,giv->bsgv", he, log.astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bsgi,giv->bsgv", ho, hig.astype(h.dtype),
                 preferred_element_type=jnp.float32,
             )
             return jnp.einsum("bsgv,vg->bsv", part, sc)
         if h.shape[1] <= 8:
-            hg = jnp.moveaxis(  # [G, B, S, D/gs]
-                h.reshape(h.shape[0], h.shape[1], g, d // g), 2, 0
-            )
+            hes = jnp.moveaxis(he, 2, 0)  # [G, B, S, gs/2]
+            hos = jnp.moveaxis(ho, 2, 0)
 
             def gstep(acc, xs):
-                hgi, wgi, sci = xs  # [B,S,D/gs], [D/gs,V], [V]
+                hei, hoi, logi, higi, sci = xs
                 p = jnp.einsum(
-                    "bsi,iv->bsv", hgi, wgi.astype(h.dtype),
+                    "bsi,iv->bsv", hei, logi.astype(h.dtype),
+                    preferred_element_type=jnp.float32,
+                ) + jnp.einsum(
+                    "bsi,iv->bsv", hoi, higi.astype(h.dtype),
                     preferred_element_type=jnp.float32,
                 )
                 return acc + p * sci, None
@@ -169,13 +208,15 @@ def _lm_logits_all(p_llm, h):
             out, _ = jax.lax.scan(
                 gstep,
                 jnp.zeros(h.shape[:2] + (v,), jnp.float32),
-                (hg, wg, sc.T),
+                (hes, hos, log, hig, sc.T),
             )
             return out
-        wd = (wg.astype(jnp.float32) * sc.T.reshape(g, 1, v)).reshape(d, v)
+        ld = (log.astype(jnp.float32) * sc.T[:, None, :]).astype(h.dtype)
+        hd = (hig.astype(jnp.float32) * sc.T[:, None, :]).astype(h.dtype)
         return jnp.einsum(
-            "bsd,dv->bsv", h, wd.astype(h.dtype),
-            preferred_element_type=jnp.float32,
+            "bsgi,giv->bsv", he, ld, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "bsgi,giv->bsv", ho, hd, preferred_element_type=jnp.float32
         )
     out = jnp.einsum(
         "bsd,dv->bsv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
@@ -461,14 +502,16 @@ def greedy_decode_actions(
     # Llama-family config (intermediate_size != hidden_size), so its layout
     # identifies the pytree: storage [L, hidden, inter] vs cooked
     # [L, inter, hidden]. Shapes are static, so this costs nothing under jit.
-    if (
-        jnp.dtype(p_llm["layers"]["q_w"].dtype) in (jnp.int8, jnp.dtype(jnp.int4))
-        and not cooked_weights
-    ):
+    if jnp.dtype(p_llm["layers"]["q_w"].dtype) == jnp.int8 and not cooked_weights:
+        # int8 and packed-int4 stacks are both int8 bytes (models/quant.py)
         raise ValueError(
             "int8/int4-quantized params (quantize_decode_params output) are "
             "always in the cooked layout; pass cooked_weights=True"
         )
+    # packed grouped int4 halves the contraction (last) axis of every stack
+    # (two s4 per byte) — detected by scale rank == stack rank
+    _qsc = p_llm["layers"].get("q_w_scale")
+    packed4 = _qsc is not None and _qsc.ndim == p_llm["layers"]["q_w"].ndim
     if act_quant not in (None, "int8"):
         raise ValueError(f"act_quant={act_quant!r}; supported: None, 'int8'")
     act8 = act_quant == "int8"
@@ -484,7 +527,7 @@ def greedy_decode_actions(
             )
     gw = p_llm["layers"]["gate_w"].shape
     want = (
-        (lcfg.intermediate_size, lcfg.hidden_size)
+        (lcfg.intermediate_size, lcfg.hidden_size // (2 if packed4 else 1))
         if cooked_weights
         else (lcfg.hidden_size, lcfg.intermediate_size)
     )
@@ -613,7 +656,8 @@ def greedy_decode_actions(
             for k in ("o_w", "down_w"):
                 sc = p_llm["layers"].get(k + "_scale")
                 if sc is not None and sc.ndim == 3:
-                    in_dim = p_llm["layers"][k].shape[-1]
+                    # packed s4: the stored last axis is contraction/2
+                    in_dim = 2 * p_llm["layers"][k].shape[-1]
                     gs = in_dim // sc.shape[-1]
                     if (in_dim // tp) % gs:
                         raise ValueError(

@@ -36,9 +36,16 @@ coarse at 4 bits):
   - the embedding table stays per-row int8 (a 4-bit row scale is 15 levels
     for a lookup that costs nothing at int8 — wrong fidelity trade), and the
     lm_head gets grouped scales over its contraction (hidden) dim.
-  - storage dtype is ml_dtypes.int4 on host / jnp.int4 on device; XLA TPU
-    packs s4 two-per-byte in HBM and fuses the s4->bf16 convert into the
-    matmul operand read.
+  - storage is int8 with TWO s4 values packed per byte along the contraction
+    axis (low nibble = channel 2j, high nibble = 2j+1, pairs never straddle
+    a group): stacks [L, out, in/2], lm_head [D/2, V]. The decode kernels
+    unpack with two arithmetic shifts that XLA fuses into the matmul operand
+    read, so HBM streams 4-bit weights exactly as jnp.int4 storage would.
+    Manual packing instead of jnp.int4 because sub-byte jit ARGUMENTS ride a
+    fragile path (measured on the axon relay, round 5: any jit taking an
+    int4 array argument dies with "Recursively calling jit" — int4 INSIDE a
+    jit, e.g. the kv_cache='int4' cache, is fine); packed int8 is the
+    battle-tested GPTQ/AWQ representation and works on every runtime.
 
 Quantization is HOST-side on the COOKED layout (models/decode.py
 decode_layout_params: stacks are [L, out, in]) — same reasoning as cooking:
@@ -55,7 +62,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import ml_dtypes
 import numpy as np
 
 # the cooked [L, out, in] projection stacks (models/decode.py _COOKED_KEYS)
@@ -63,13 +69,21 @@ QUANT_LAYER_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 INT8_MAX = 127.0
 INT4_MAX = 7.0
 DEFAULT_GROUP_SIZE = 128  # the GPTQ/AWQ convention; divides 4096 and 11008
-INT4_NP = np.dtype(ml_dtypes.int4)
 
 
-def _int4_dtype(xp):
+def _pack_nibbles(q, xp):
+    """Pack an even-last-dim int array of s4 values ([-8, 7]) two-per-byte:
+    [..., n] -> int8 [..., n/2], low nibble = channel 2j, high = 2j+1."""
+    lo = q[..., 0::2].astype(xp.int32) & 0xF
+    hi = q[..., 1::2].astype(xp.int32) & 0xF
+    packed = lo | (hi << 4)  # 0..255 in int32
     if xp is np:
-        return INT4_NP
-    return xp.int4  # jnp
+        return packed.astype(np.uint8).view(np.int8)
+    import jax
+
+    return jax.lax.bitcast_convert_type(
+        packed.astype(xp.uint8), xp.int8
+    )
 
 
 def _quantize_last_dim(w, xp):
@@ -83,8 +97,9 @@ def _quantize_last_dim(w, xp):
 
 
 def _quantize_grouped(w, xp, group_size: int, what: str):
-    """Symmetric int4 over GROUPS of the last axis: returns (int4 array with
-    w's shape, f32 scale [..., in/group_size])."""
+    """Symmetric int4 over GROUPS of the last axis: returns (PACKED int8
+    array [..., in/2] — two s4 per byte, _pack_nibbles — and f32 scale
+    [..., in/group_size])."""
     wf = xp.asarray(w, dtype=xp.float32)
     contraction = wf.shape[-1]
     if contraction % group_size:
@@ -92,13 +107,18 @@ def _quantize_grouped(w, xp, group_size: int, what: str):
             f"int4 group_size={group_size} must divide {what}'s contraction "
             f"dim ({contraction}); pass a divisor (e.g. 64)"
         )
+    if group_size % 2:
+        raise ValueError(
+            f"int4 group_size={group_size} must be EVEN: values pack two per "
+            f"byte within a group (models/decode.py unpacks per group)"
+        )
     g = contraction // group_size
     wg = wf.reshape(wf.shape[:-1] + (g, group_size))
     absmax = xp.max(xp.abs(wg), axis=-1)                       # [..., G]
     scale = xp.maximum(absmax / INT4_MAX, xp.float32(1e-12))
     q = xp.clip(xp.round(wg / scale[..., None]), -INT4_MAX, INT4_MAX)
     return (
-        q.reshape(wf.shape).astype(_int4_dtype(xp)),
+        _pack_nibbles(q.reshape(wf.shape).astype(xp.int8), xp),
         scale.astype(xp.float32),
     )
 
@@ -138,21 +158,32 @@ def int4_group_size_for(cfg, tp: int = 1) -> int:
         (lcfg.num_heads * lcfg.head_dim) // tp,
         lcfg.intermediate_size // tp,
     )
-    for gs in (128, 64, 32, 16, 8, 4):
+    for gs in (128, 64, 32, 16, 8, 4, 2):
+        # 2 is the floor: values pack two per byte WITHIN a group
+        # (_pack_nibbles), so an odd group size cannot exist
         if all(d % gs == 0 for d in dims):
             return gs
-    return 1
+    raise ValueError(
+        f"int4 quantization needs an even group size dividing every decode "
+        f"contraction dim of {cfg.name!r} ({dims}); an odd contraction dim "
+        f"cannot pack two s4 values per byte"
+    )
 
 
 def quant_mode(params: Dict) -> Optional[str]:
     """'int8' / 'int4' if the LLM projection stacks are quantized
-    (quantize_decode_params output), else None."""
-    dt = np.dtype(params["llm"]["layers"]["q_w"].dtype)
-    if dt == np.int8:
-        return "int8"
-    if dt == INT4_NP:
+    (quantize_decode_params output), else None. Both modes store int8 bytes
+    (int4 packs two s4 per byte), so the discriminator is the scale RANK:
+    grouped int4 scales tile the contraction ([L, out, G] — same rank as the
+    stack), int8 per-channel scales drop it ([L, out])."""
+    layers = params["llm"]["layers"]
+    qw = layers["q_w"]
+    if np.dtype(qw.dtype) != np.int8:
+        return None
+    sc = layers.get("q_w_scale")
+    if sc is not None and getattr(sc, "ndim", None) == getattr(qw, "ndim", 3):
         return "int4"
-    return None
+    return "int8"
 
 
 def is_quantized(params: Dict) -> bool:
@@ -173,10 +204,12 @@ def quantize_decode_params(
     array of the same shape plus `k + "_scale"` f32 [L, out]; `lm_head`
     [D, V] gets a per-output-column scale [V].
 
-    mode="int4": int4 stacks with GROUPED f32 scales [L, out, in/group_size];
-    `lm_head` [D, V] gets scales [V, D/group_size] over its hidden
-    contraction. models/decode.py dispatches the grouped math on the scale's
-    rank (scale.ndim == stack.ndim).
+    mode="int4": PACKED int8 stacks [L, out, in/2] (two s4 per byte along
+    the contraction, _pack_nibbles) with GROUPED f32 scales
+    [L, out, in/group_size]; `lm_head` [D, V] becomes [D/2, V] with scales
+    [V, D/group_size] over its hidden contraction. models/decode.py
+    dispatches the grouped math on the scale's rank
+    (scale.ndim == stack.ndim) and unpacks nibbles in-kernel.
 
     Both modes: `embed` [V, D] becomes int8 with a per-row scale [V] (exact
     per lookup; 4-bit rows are the wrong fidelity trade for 65 MB). Vision,
@@ -253,10 +286,12 @@ def quantize_decode_shapes(
 
     if mode not in ("int8", "int4"):
         raise ValueError(f"mode={mode!r}; supported: 'int8', 'int4'")
-    qdt = jnp.int8 if mode == "int8" else jnp.int4
 
-    def qs(s, shape=None):
-        return jax.ShapeDtypeStruct(shape or s.shape, qdt)
+    def qs(shape):
+        # int4 packs two s4 per byte along the contraction (last) axis
+        if mode == "int4":
+            shape = shape[:-1] + (shape[-1] // 2,)
+        return jax.ShapeDtypeStruct(shape, jnp.int8)
 
     def f32(shape):
         return jax.ShapeDtypeStruct(shape, jnp.float32)
@@ -276,11 +311,16 @@ def quantize_decode_shapes(
     for k in QUANT_LAYER_KEYS:
         if k in layers:
             s = layers[k]
-            layers[k] = qs(s)
+            layers[k] = qs(s.shape)
             layers[k + "_scale"] = f32(scale_shape(s))
     new_llm = dict(llm, layers=layers)
     lm = llm["lm_head"]  # [D, V]; contraction is dim 0
-    new_llm["lm_head"] = qs(lm)
+    if mode == "int4":
+        new_llm["lm_head"] = jax.ShapeDtypeStruct(
+            (lm.shape[0] // 2, lm.shape[1]), jnp.int8
+        )
+    else:
+        new_llm["lm_head"] = jax.ShapeDtypeStruct(lm.shape, jnp.int8)
     new_llm["lm_head_scale"] = f32(
         scale_shape(jax.ShapeDtypeStruct((lm.shape[1], lm.shape[0]), lm.dtype))
     )

@@ -252,8 +252,10 @@ def _grid_pair_int4(cooked, gs=GS):
     has 3 significand bits, so the dequantized float weights are exact in
     f32/bf16 — the float program and the int4 prefill are bit-equal; the
     int4 decode steps contract per group (different f32 summation order),
-    so token equality there is empirical-on-fixed-seeds, not bit-forced."""
-    import ml_dtypes
+    so token equality there is empirical-on-fixed-seeds, not bit-forced.
+    Quantized leaves use the PACKED two-s4-per-byte int8 representation
+    (models/quant.py _pack_nibbles)."""
+    from roboticattack_tpu.models.quant import _pack_nibbles
 
     fl = dict(cooked)
     fl["llm"] = dict(cooked["llm"])
@@ -268,7 +270,8 @@ def _grid_pair_int4(cooked, gs=GS):
         wg = np.float32(w).reshape(w.shape[:-1] + (g, gs))
         w4 = np.clip(np.round(wg / s[..., None]), -7, 7)
         deq = (w4 * s[..., None]).reshape(w.shape).astype(np.float32)
-        return deq, w4.reshape(w.shape).astype(ml_dtypes.int4), s
+        packed = _pack_nibbles(w4.reshape(w.shape).astype(np.int8), np)
+        return deq, packed, s
 
     for k in QUANT_LAYER_KEYS:
         deq, w4, s = grid(np.float32(fl_layers[k]))
@@ -302,15 +305,25 @@ def test_int4_roundtrip_error_bound():
 
     assert quant_mode(qp) == "int4" and is_quantized(qp)
     bound = 0.5 * (1 + 1e-3)
+
+    def unpack(p):
+        # packed two-s4-per-byte int8 (quant.py _pack_nibbles): low nibble is
+        # channel 2j, high is 2j+1 — interleave back for the error check
+        lo = np.left_shift(p.astype(np.int8), 4) >> 4
+        hi = p.astype(np.int8) >> 4
+        return np.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (-1,))
+
     for k in QUANT_LAYER_KEYS:
         w = np.float32(cooked["llm"]["layers"][k])
         q = qp["llm"]["layers"][k]
         s = qp["llm"]["layers"][k + "_scale"]
-        assert np.dtype(q.dtype).name == "int4" and s.dtype == np.float32
+        assert q.dtype == np.int8 and q.shape[-1] == w.shape[-1] // 2, k
+        assert s.dtype == np.float32
         assert s.shape == w.shape[:-1] + (w.shape[-1] // GS,), k
         g = w.shape[-1] // GS
         wg = w.reshape(w.shape[:-1] + (g, GS))
-        qg = np.float32(q).reshape(wg.shape)
+        qg = np.float32(unpack(q)).reshape(wg.shape)
+        assert np.all(np.abs(qg) <= 7), k  # s4 value range, sign-extended
         err = np.abs(wg - qg * s[..., None])
         assert np.all(err <= s[..., None] * bound), k
     # embed stays per-row int8 (fidelity trade documented in quant.py)
@@ -346,10 +359,10 @@ def test_int4_grouped_proj_matches_f64():
     scale = np.exp2(rng.integers(-8, -2, (out_dim, g))).astype(np.float32)
     y = rng.standard_normal((3, 1, in_dim)).astype(np.float32)
 
-    import ml_dtypes
+    from roboticattack_tpu.models.quant import _pack_nibbles
 
     got = np.asarray(_proj(
-        jnp.asarray(y), jnp.asarray(w4.astype(ml_dtypes.int4)),
+        jnp.asarray(y), jnp.asarray(_pack_nibbles(w4.astype(np.int8), np)),
         cooked=True, scale=jnp.asarray(scale),
     ))
     wg = w4.reshape(out_dim, g, in_dim // g).astype(np.float64)
@@ -436,12 +449,10 @@ def test_policy_int4_end_to_end():
     assert acts.shape == (2, 7) and np.all(np.isfinite(acts))
 
     def packed_bytes(tree):
-        # the CPU backend stores int4 UNPACKED (1 byte/elem); TPU HBM packs
-        # s4 two-per-byte, which is the deployment number this test pins
-        return sum(
-            x.size // 2 if jnp.dtype(x.dtype) == jnp.dtype(jnp.int4) else x.nbytes
-            for x in jax.tree.leaves(tree)
-        )
+        # int4 stacks are stored PACKED two-s4-per-int8 (quant.py), so plain
+        # nbytes IS the deployment number on every backend — including CPU,
+        # which used to hold jnp.int4 unpacked at 1 byte/elem
+        return sum(x.nbytes for x in jax.tree.leaves(tree))
 
     def quantized_portion(p):
         # the stacks + lm_head and their scales — what int4 shrinks (embed is
@@ -452,7 +463,9 @@ def test_policy_int4_end_to_end():
 
     b8 = packed_bytes(quantized_portion(q8))
     b4 = packed_bytes(quantized_portion(q4))
-    assert jnp.dtype(q4.params["llm"]["layers"]["q_w"].dtype) == jnp.dtype(jnp.int4)
+    qw = q4.params["llm"]["layers"]["q_w"]
+    assert jnp.dtype(qw.dtype) == jnp.int8  # packed s4 bytes
+    assert qw.shape[-1] == q8.params["llm"]["layers"]["q_w"].shape[-1] // 2
     assert b4 < 0.8 * b8, (b4, b8)
     with pytest.raises(ValueError, match="quantize"):
         load_policy(None, model_name="vla-tiny", quantize="int5")
@@ -472,10 +485,9 @@ def test_quant_7b_shape_budget_int4():
     q4 = quantize_decode_shapes(cooked, mode="int4")
 
     def total_gb(tree):
+        # packed s4 storage: nbytes-equivalent accounting is exact
         return sum(
-            int(np.prod(s.shape, dtype=np.int64))
-            * jnp.dtype(s.dtype).itemsize if jnp.dtype(s.dtype) != jnp.dtype(jnp.int4)
-            else int(np.prod(s.shape, dtype=np.int64)) // 2
+            int(np.prod(s.shape, dtype=np.int64)) * jnp.dtype(s.dtype).itemsize
             for s in jax.tree.leaves(tree)
         ) / 1024**3
 
