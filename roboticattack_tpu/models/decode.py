@@ -78,24 +78,34 @@ def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
     to the FLOP-bound prefill only (decode steps are weight-streaming-bound:
     int8 activations there would add error and save nothing).
 
-    int4 — scale f32 [out, G] is GROUPED over the contraction dim
-    (rank dispatch: scale.ndim == w.ndim). Two static-shape regimes:
-      * the decode tail (s <= 8: the s=1 cached steps AND the s=7 Jacobi
-        verification pass): contract per group, scale the f32 [b,s,out,G]
-        partials, reduce over G — EXACT, so the drafted tail computes the
-        same math as the sequential tail (dense bf16-rounded dequant here
-        would make the Jacobi fixed point diverge from the sequential
-        tokens on any non-grid scale), and HBM streams packed s4 bytes in
-        the bandwidth-bound phase where it matters. The partial is bounded
-        (~315 MB worst stack at 7B bs=32 s=7, under the layer scan).
-      * prefill (s > 8): the per-group partial tensor would be [b,s,out,G]
-        (~1.3 GB at 7B bs=8, s=288), so dequantize the layer's weights
-        in-register and run one dense matmul — prefill is FLOP-bound, the
-        bf16 temp is ~90 MB/stack under the layer scan and streams once.
-        The bf16 rounding of the dequantized weights only perturbs the
-        prefill (first-token) logits.
+    int4 — PACKED s4 (two per int8 byte, models/quant.py _pack_nibbles) with
+    f32 scales [out, G] GROUPED over the contraction dim (rank dispatch:
+    scale.ndim == w.ndim). One formulation for every s: unpack the nibble
+    halves with two arithmetic shifts, dequantize in-register, and contract
+    (group, channel) jointly — the shifts/convert/scale-multiply fuse into
+    the matmul operand read, so HBM streams the packed bytes. The activation
+    channels split even/odd to match the nibble layout (group contractions
+    are order-invariant). Fidelity: bf16 rounding of the dequantized weights
+    (exact on pow2-scale grids; negligible next to the int4 grid), applied
+    identically in the prefill, sequential tail, and Jacobi verification
+    pass. See the in-branch comment for why the earlier exact-group-partial
+    tail was replaced (measured 7x slower than the int8 tail).
     """
     if scale is not None and scale.ndim == w.ndim:  # grouped int4 (packed s4)
+        # ONE formulation for every s: dequantize the nibble halves
+        # in-register (unpack shifts + the group-scale multiply fuse into
+        # the matmul operand read — HBM streams packed bytes) and contract
+        # (group, channel) JOINTLY. The round-4 decode tail scaled exact f32
+        # GROUP PARTIALS instead ("bsgi,ogi->bsog" then reduce) — measured
+        # 7x slower than the int8 tail on the v5e (the grouped-batch einsum
+        # forces a transposed weight layout + a [b,s,out,G] partial
+        # round-trip), which inverted int4's whole bandwidth story. The
+        # joint contraction flattens to a single [b*s, in] x [in, out]
+        # matmul per half; the only fidelity change is bf16 rounding of the
+        # dequantized weights (exact on pow2-scale grids — the bit-parity
+        # tests — and negligible next to the int4 grid itself), applied
+        # identically in the sequential and Jacobi tails so the fixed-point
+        # consistency is unchanged.
         in_half = w.shape[-1]            # packed bytes = contraction / 2
         in_dim = in_half * 2
         g = scale.shape[-1]
@@ -105,18 +115,6 @@ def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
         yg = y.reshape(y.shape[0], y.shape[1], g, in_dim // g)
         ye = yg[..., 0::2]               # activation channels 2j  [b,s,g,gs/2]
         yo = yg[..., 1::2]               # activation channels 2j+1
-        if y.shape[1] <= 8:
-            part = jnp.einsum(
-                "bsgi,ogi->bsog", ye, log.astype(y.dtype),
-                preferred_element_type=jnp.float32,
-            ) + jnp.einsum(
-                "bsgi,ogi->bsog", yo, hig.astype(y.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            return jnp.einsum("bsog,og->bso", part, scale).astype(y.dtype)
-        # prefill: dequantize the halves in-register, two dense grouped
-        # matmuls (FLOP-bound regime; bf16 rounding of the dequantized
-        # weights perturbs only the prefill, as before)
         ld = (log.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
         hd = (hig.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
         return (
@@ -158,20 +156,19 @@ def _embed_rows(p_llm, ids, dtype):
 def _lm_logits_all(p_llm, h):
     """[B, S, D] hidden -> [B, S, V] f32 logits via the (possibly int8/int4)
     lm_head [D, V]. int8 scale: [V] post-matmul (exact — constant per output
-    column). int4 scale: [V, D/gs] grouped over the hidden contraction; at
-    S == 1 (the cached decode step) contract per group so HBM streams packed
-    s4 bytes; at 1 < S <= 8 (the Jacobi verification pass) accumulate the
-    scaled group partials with a lax.scan over groups — EXACT like the S=1
-    path (the drafted tail must compute the sequential tail's math; a dense
-    bf16-rounded dequant would shift verify-pass logits off the sequential
-    ones on non-grid scales) with a bounded [B, S, V] f32 carry instead of
-    the ~S x 28 MB/row [B, S, G, V] partial. At S > 8 (no current caller)
-    dequantize in-register and run one dense matmul."""
+    column). int4: packed s4 [D/2, V] with scales [V, D/gs] grouped over the
+    hidden contraction — in-register dequantized nibble halves, one joint
+    (group, channel) contraction per half at every S (same formulation and
+    fidelity as _proj's int4 branch; the sequential and Jacobi tails share
+    it, so the fixed point is consistent)."""
     w = p_llm["lm_head"]
     sc = p_llm.get("lm_head_scale")
     if sc is None:
         return (h @ w).astype(jnp.float32)
     if sc.ndim == 2:  # grouped int4 (packed s4: w is [D/2, V] int8)
+        # same joint-contraction formulation as _proj (see its comment):
+        # dequantized nibble halves, (group, channel) contracted in one
+        # matmul per half, f32 logits via preferred_element_type
         d_half, v = w.shape
         d = d_half * 2
         g = sc.shape[-1]
@@ -181,36 +178,6 @@ def _lm_logits_all(p_llm, h):
         hg4 = h.reshape(h.shape[0], h.shape[1], g, d // g)
         he = hg4[..., 0::2]                   # [B, S, G, gs/2]
         ho = hg4[..., 1::2]
-        if h.shape[1] == 1:
-            part = jnp.einsum(
-                "bsgi,giv->bsgv", he, log.astype(h.dtype),
-                preferred_element_type=jnp.float32,
-            ) + jnp.einsum(
-                "bsgi,giv->bsgv", ho, hig.astype(h.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            return jnp.einsum("bsgv,vg->bsv", part, sc)
-        if h.shape[1] <= 8:
-            hes = jnp.moveaxis(he, 2, 0)  # [G, B, S, gs/2]
-            hos = jnp.moveaxis(ho, 2, 0)
-
-            def gstep(acc, xs):
-                hei, hoi, logi, higi, sci = xs
-                p = jnp.einsum(
-                    "bsi,iv->bsv", hei, logi.astype(h.dtype),
-                    preferred_element_type=jnp.float32,
-                ) + jnp.einsum(
-                    "bsi,iv->bsv", hoi, higi.astype(h.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                return acc + p * sci, None
-
-            out, _ = jax.lax.scan(
-                gstep,
-                jnp.zeros(h.shape[:2] + (v,), jnp.float32),
-                (hes, hos, log, hig, sc.T),
-            )
-            return out
         ld = (log.astype(jnp.float32) * sc.T[:, None, :]).astype(h.dtype)
         hd = (hig.astype(jnp.float32) * sc.T[:, None, :]).astype(h.dtype)
         return jnp.einsum(
