@@ -314,24 +314,27 @@ def _attend_kv8(q, k8, sk, v8, sv, bias):
 
 
 def _attend_kv4(q, k4, sk, v4, sv, bias):
-    """Attention over an int4 KV cache — exact dequantization of the stored
-    int values, the same zero-extra-matmul trick as _attend_kv8 split by
-    side:
-      K (grouped scales [B,H,T,G] along hd): contract q@k4^T PER GROUP and
-        scale the [B,H,Q,T,G] partials before reducing over G — exact, and
-        the partial is small in the decode regime (Q=1: ~5 MB at 7B bs=32).
+    """Attention over an int4 KV cache, split by side:
+      K (grouped scales [B,H,T,G] along hd): dequantize IN-REGISTER — a
+        static minor-dim split, the scale broadcast-multiply, and the merge
+        back are elementwise, so XLA fuses them into the score matmul's
+        operand read and HBM streams the packed s4 cache bytes. (The
+        round-4 form contracted q@k4^T per group and scaled [B,H,Q,T,G]
+        partials — exact, but the grouped-batch einsum forces transposed
+        layouts, the same pathology measured 7x on the int4 weight path;
+        the fidelity delta here is only the activation-dtype rounding of
+        dequantized K values, zero on pow2-scale grids.)
       V (per-position scales [B,H,T]): fold sv into the probs — exact at any
-        bit width since the output contraction runs over T.
-    HBM streams packed s4 cache bytes; scales are f32 noise next to them."""
-    b, h, qlen, hd = q.shape
+        bit width since the output contraction runs over T."""
+    hd = q.shape[-1]
     g = sk.shape[-1]
-    gs = hd // g
-    qg = q.reshape(b, h, qlen, g, gs)
-    kg = k4.reshape(b, h, k4.shape[2], g, gs).astype(q.dtype)
-    part = jnp.einsum(
-        "bhqgi,bhtgi->bhqtg", qg, kg, preferred_element_type=jnp.float32
+    kd = (
+        k4.astype(jnp.float32).reshape(k4.shape[:-1] + (g, hd // g))
+        * sk[..., None]
+    ).reshape(k4.shape).astype(q.dtype)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, kd, preferred_element_type=jnp.float32
     )
-    scores = jnp.einsum("bhqtg,bhtg->bhqt", part, sk)
     scores = scores * (hd ** -0.5) + bias
     probs = jax.nn.softmax(scores, axis=-1)
     probs = (probs * sv[:, :, None, :]).astype(q.dtype)
