@@ -110,16 +110,32 @@ def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
         in_dim = in_half * 2
         g = scale.shape[-1]
         lo, hi = _unpack_nibbles(w)      # each [.., out, in/2]
-        log = lo.reshape(w.shape[:-1] + (g, in_half // g))
-        hig = hi.reshape(w.shape[:-1] + (g, in_half // g))
-        yg = y.reshape(y.shape[0], y.shape[1], g, in_dim // g)
-        ye = yg[..., 0::2]               # activation channels 2j  [b,s,g,gs/2]
-        yo = yg[..., 1::2]               # activation channels 2j+1
-        ld = (log.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
-        hd = (hig.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
-        return (
-            jnp.einsum("bsgi,ogi->bso", ye, ld)
-            + jnp.einsum("bsgi,ogi->bso", yo, hd)
+        if y.shape[1] <= 8:
+            # decode tail (s=1 steps, s=7 Jacobi pass): halves stay separate
+            # and the ACTIVATION channels split even/odd — measured faster
+            # than interleaving at matvec shapes, and the tiny strided
+            # slices are free at s<=8
+            log = lo.reshape(w.shape[:-1] + (g, in_half // g))
+            hig = hi.reshape(w.shape[:-1] + (g, in_half // g))
+            yg = y.reshape(y.shape[0], y.shape[1], g, in_dim // g)
+            ye = yg[..., 0::2]           # activation channels 2j  [b,s,g,gs/2]
+            yo = yg[..., 1::2]           # activation channels 2j+1
+            ld = (log.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
+            hd = (hig.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
+            return (
+                jnp.einsum("bsgi,ogi->bso", ye, ld)
+                + jnp.einsum("bsgi,ogi->bso", yo, hd)
+            )
+        # prefill (s > 8, FLOP-bound): interleave the halves back to the
+        # dense [out, in] layout in-register and run ONE full-width matmul —
+        # two half-contraction matmuls over strided activation slices
+        # measured ~20% slower at bs>=16 (the slices copy [B,S,in]-sized
+        # activations and halve the MXU contraction)
+        w8 = jnp.stack([lo, hi], axis=-1).reshape(w.shape[:-1] + (in_dim,))
+        wg = w8.reshape(w.shape[:-1] + (g, in_dim // g))
+        wd = (wg.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
+        return jnp.einsum(
+            "bsi,oi->bso", y, wd.reshape(w.shape[:-1] + (in_dim,))
         )
     if scale is not None:  # per-output-channel int8
         if act8:
