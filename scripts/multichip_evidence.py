@@ -287,6 +287,13 @@ def main():
               lambda: tpu_leg(lambda: compile_decode_7b(
                   chip1(), batch_size=32, quantize=True, kv_cache="int8")),
               params={"mesh": "1chip", "bs": 32, "quantize": "int8", "kv": "int8"})
+        # the SPEED stack's envelope probe: int8-class weights (what w8a8
+        # serves with) + int8 cache at bs=48 — if this fits, the fastest
+        # measured stack (w8a8+kv8) extends another batch tier
+        L.run("tpu_decode_int8_kv8_1chip_bs48", "TPU-AOT decode int8+kv8 1-chip bs48",
+              lambda: tpu_leg(lambda: compile_decode_7b(
+                  chip1(), batch_size=48, quantize=True, kv_cache="int8")),
+              params={"mesh": "1chip", "bs": 48, "quantize": "int8", "kv": "int8"})
         # visual-token pruning (LOSSY): real-TPU temp estimate for the
         # vt=128 program — the cache shrink CPU legs can't show
         L.run("tpu_decode_int8_vt128_1chip_bs16", "TPU-AOT decode int8+vt128 1-chip bs16",
