@@ -44,13 +44,14 @@ def _quantize_act(y, qmax: float = 127.0):
 
 
 def _unpack_nibbles(p):
-    """Packed s4 int8 -> (lo, hi) int8 arrays of the same shape: lo holds
-    channel 2j of the PACK axis, hi holds 2j+1 (models/quant.py
-    _pack_nibbles; the pack axis is each matmul's OUTPUT axis). Two
-    arithmetic sign-extending shifts — pure elementwise, so XLA fuses them
-    into the consuming matmul's operand read and HBM streams the packed
-    bytes only; consumers run full-width contractions per half and
-    interleave the output halves."""
+    """Packed s4 int8 [..., n/2] -> (lo, hi) int8 arrays [..., n/2]: lo is
+    channel 2j, hi is 2j+1 (models/quant.py _pack_nibbles). Two arithmetic
+    shifts (sign-extending) that XLA fuses into the consuming matmul's
+    operand read — HBM streams the packed bytes only. The consumers keep
+    lo/hi as separate operands and split the ACTIVATION channels even/odd
+    instead of re-interleaving the weights: the group contraction is
+    order-invariant, and an interleave (stack+reshape) could materialize the
+    unpacked tensor."""
     lo = jnp.left_shift(p, 4) >> 4
     hi = p >> 4
     return lo, hi
@@ -77,48 +78,64 @@ def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
     to the FLOP-bound prefill only (decode steps are weight-streaming-bound:
     int8 activations there would add error and save nothing).
 
-    int4 — s4 values PACKED two-per-byte along the OUTPUT axis
-    (models/quant.py _pack_nibbles; stacks [.., out/2, in]) with f32 scales
-    [.., out, G] grouped over the contraction dim (rank dispatch:
-    scale.ndim == w.ndim). One formulation for every s — see the in-branch
-    comment for the scheme and its measured history.
+    int4 — PACKED s4 (two per int8 byte, models/quant.py _pack_nibbles) with
+    f32 scales [out, G] GROUPED over the contraction dim (rank dispatch:
+    scale.ndim == w.ndim). One formulation for every s: unpack the nibble
+    halves with two arithmetic shifts, dequantize in-register, and contract
+    (group, channel) jointly — the shifts/convert/scale-multiply fuse into
+    the matmul operand read, so HBM streams the packed bytes. The activation
+    channels split even/odd to match the nibble layout (group contractions
+    are order-invariant). Fidelity: bf16 rounding of the dequantized weights
+    (exact on pow2-scale grids; negligible next to the int4 grid), applied
+    identically in the prefill, sequential tail, and Jacobi verification
+    pass. See the in-branch comment for why the earlier exact-group-partial
+    tail was replaced (measured 7x slower than the int8 tail).
     """
     if scale is not None and scale.ndim == w.ndim:  # grouped int4 (packed s4)
-        # s4 values pack two-per-byte along the OUTPUT axis (quant.py
-        # _pack_nibbles): unpack is pure elementwise (two arithmetic shifts
-        # — no weight reshape/interleave, so it fuses into the matmul
-        # operand read and HBM streams the packed bytes), each half
-        # dequantizes in-register against its own scale rows, both matmuls
-        # contract FULL-width over untouched activations, and the only
-        # reorg is interleaving the two [b, s, out/2] OUTPUT halves.
-        # History (v5e, bs=32): exact grouped partials 7x-slow tails;
-        # contraction-axis packing 15.5 act/s (weight interleave or
-        # activation split on the hot axis) vs ~20 for the earlier
-        # UNPACKED one-s4-per-int8 form; out-axis packing keeps the reorg
-        # off the contraction (measured rows: SERVING_EVIDENCE.json
-        # int4). Fidelity: bf16
-        # rounding of dequantized values (exact on pow2-scale grids),
-        # identical in prefill, sequential tail, and Jacobi passes.
-        out_half, in_dim = w.shape[-2:]
+        # ONE formulation for every s: dequantize the nibble halves
+        # in-register (unpack shifts + the group-scale multiply fuse into
+        # the matmul operand read — HBM streams packed bytes) and contract
+        # (group, channel) JOINTLY. The round-4 decode tail scaled exact f32
+        # GROUP PARTIALS instead ("bsgi,ogi->bsog" then reduce) — measured
+        # 7x slower than the int8 tail on the v5e (the grouped-batch einsum
+        # forces a transposed weight layout + a [b,s,out,G] partial
+        # round-trip), which inverted int4's whole bandwidth story. The
+        # joint contraction flattens to a single [b*s, in] x [in, out]
+        # matmul per half; the only fidelity change is bf16 rounding of the
+        # dequantized weights (exact on pow2-scale grids — the bit-parity
+        # tests — and negligible next to the int4 grid itself), applied
+        # identically in the sequential and Jacobi tails so the fixed-point
+        # consistency is unchanged.
+        in_half = w.shape[-1]            # packed bytes = contraction / 2
+        in_dim = in_half * 2
         g = scale.shape[-1]
-        gsz = in_dim // g
-        lo, hi = _unpack_nibbles(w)          # [.., out/2, in]: rows 2j / 2j+1
-        # pair-split the scale rows by RESHAPE, not a stride-2 slice: under
-        # GSPMD a strided slice over the tp-sharded OUT axis lowers as a
-        # scale all-reduce + iota gathers per layer (measured on the tp=2
-        # inventory test); the major-dim (out/2, 2) split is metadata-only
-        scp = scale.reshape(scale.shape[:-2] + (out_half, 2, g))
-        sc_lo = scp[..., 0, :]               # [.., out/2, G]: rows 2j
-        sc_hi = scp[..., 1, :]               # rows 2j+1
-
-        def deq(wv, sc):
-            wg = wv.reshape(wv.shape[:-1] + (g, gsz)).astype(jnp.float32)
-            return (wg * sc[..., None]).reshape(wv.shape).astype(y.dtype)
-
-        olo = jnp.einsum("bsi,oi->bso", y, deq(lo, sc_lo))
-        ohi = jnp.einsum("bsi,oi->bso", y, deq(hi, sc_hi))
-        return jnp.stack([olo, ohi], axis=-1).reshape(
-            y.shape[0], y.shape[1], out_half * 2
+        lo, hi = _unpack_nibbles(w)      # each [.., out, in/2]
+        if y.shape[1] <= 8:
+            # decode tail (s=1 steps, s=7 Jacobi pass): halves stay separate
+            # and the ACTIVATION channels split even/odd — measured faster
+            # than interleaving at matvec shapes, and the tiny strided
+            # slices are free at s<=8
+            log = lo.reshape(w.shape[:-1] + (g, in_half // g))
+            hig = hi.reshape(w.shape[:-1] + (g, in_half // g))
+            yg = y.reshape(y.shape[0], y.shape[1], g, in_dim // g)
+            ye = yg[..., 0::2]           # activation channels 2j  [b,s,g,gs/2]
+            yo = yg[..., 1::2]           # activation channels 2j+1
+            ld = (log.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
+            hd = (hig.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
+            return (
+                jnp.einsum("bsgi,ogi->bso", ye, ld)
+                + jnp.einsum("bsgi,ogi->bso", yo, hd)
+            )
+        # prefill (s > 8, FLOP-bound): interleave the halves back to the
+        # dense [out, in] layout in-register and run ONE full-width matmul —
+        # two half-contraction matmuls over strided activation slices
+        # measured ~20% slower at bs>=16 (the slices copy [B,S,in]-sized
+        # activations and halve the MXU contraction)
+        w8 = jnp.stack([lo, hi], axis=-1).reshape(w.shape[:-1] + (in_dim,))
+        wg = w8.reshape(w.shape[:-1] + (g, in_dim // g))
+        wd = (wg.astype(jnp.float32) * scale[..., None]).astype(y.dtype)
+        return jnp.einsum(
+            "bsi,oi->bso", y, wd.reshape(w.shape[:-1] + (in_dim,))
         )
     if scale is not None:  # per-output-channel int8
         if act8:
@@ -155,44 +172,34 @@ def _embed_rows(p_llm, ids, dtype):
 def _lm_logits_all(p_llm, h):
     """[B, S, D] hidden -> [B, S, V] f32 logits via the (possibly int8/int4)
     lm_head [D, V]. int8 scale: [V] post-matmul (exact — constant per output
-    column). int4: s4 packed two-per-byte along V ([D, V/2]) with scales
-    [V, D/gs] grouped over the hidden contraction — in-register dequantized
-    nibble halves, full-width contraction per half, logit halves
-    interleaved (same formulation and fidelity as _proj's int4 branch; the
-    sequential and Jacobi tails share it, so the fixed point is
-    consistent)."""
+    column). int4: packed s4 [D/2, V] with scales [V, D/gs] grouped over the
+    hidden contraction — in-register dequantized nibble halves, one joint
+    (group, channel) contraction per half at every S (same formulation and
+    fidelity as _proj's int4 branch; the sequential and Jacobi tails share
+    it, so the fixed point is consistent)."""
     w = p_llm["lm_head"]
     sc = p_llm.get("lm_head_scale")
     if sc is None:
         return (h @ w).astype(jnp.float32)
-    if sc.ndim == 2:  # grouped int4 (packed s4: w is [D, V/2] int8)
-        # same out-axis packing as _proj (its V axis is the output):
-        # full-width hidden contraction per half, interleave the logit
-        # halves; f32 logits via preferred_element_type
-        d, v_half = w.shape
+    if sc.ndim == 2:  # grouped int4 (packed s4: w is [D/2, V] int8)
+        # same joint-contraction formulation as _proj (see its comment):
+        # dequantized nibble halves, (group, channel) contracted in one
+        # matmul per half, f32 logits via preferred_element_type
+        d_half, v = w.shape
+        d = d_half * 2
         g = sc.shape[-1]
-        gsz = d // g
-        lo, hi = _unpack_nibbles(w)      # [D, V/2]: logit columns 2j / 2j+1
-        # reshape pair-split, not a stride-2 slice (GSPMD reshards strided
-        # slices of the tp-sharded V axis — see _proj)
-        scp = sc.reshape(v_half, 2, g)
-        sc_lo = scp[:, 0]                # [V/2, G]: columns 2j
-        sc_hi = scp[:, 1]                # columns 2j+1
-
-        def deq(wv, s_):
-            wg = wv.reshape(g, gsz, v_half).astype(jnp.float32)
-            return (wg * s_.T[:, None, :]).reshape(d, v_half).astype(h.dtype)
-
-        llo = jnp.einsum(
-            "bsd,dv->bsv", h, deq(lo, sc_lo),
-            preferred_element_type=jnp.float32,
-        )
-        lhi = jnp.einsum(
-            "bsd,dv->bsv", h, deq(hi, sc_hi),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.stack([llo, lhi], axis=-1).reshape(
-            h.shape[0], h.shape[1], v_half * 2
+        lo, hi = _unpack_nibbles(w)           # each [D/2, V]
+        log = lo.reshape(g, d_half // g, v)   # hidden channels 2i per group
+        hig = hi.reshape(g, d_half // g, v)   # hidden channels 2i+1
+        hg4 = h.reshape(h.shape[0], h.shape[1], g, d // g)
+        he = hg4[..., 0::2]                   # [B, S, G, gs/2]
+        ho = hg4[..., 1::2]
+        ld = (log.astype(jnp.float32) * sc.T[:, None, :]).astype(h.dtype)
+        hd = (hig.astype(jnp.float32) * sc.T[:, None, :]).astype(h.dtype)
+        return jnp.einsum(
+            "bsgi,giv->bsv", he, ld, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "bsgi,giv->bsv", ho, hd, preferred_element_type=jnp.float32
         )
     out = jnp.einsum(
         "bsd,dv->bsv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
@@ -506,7 +513,7 @@ def greedy_decode_actions(
             )
     gw = p_llm["layers"]["gate_w"].shape
     want = (
-        (lcfg.intermediate_size // (2 if packed4 else 1), lcfg.hidden_size)
+        (lcfg.intermediate_size, lcfg.hidden_size // (2 if packed4 else 1))
         if cooked_weights
         else (lcfg.hidden_size, lcfg.intermediate_size)
     )
@@ -635,8 +642,8 @@ def greedy_decode_actions(
             for k in ("o_w", "down_w"):
                 sc = p_llm["layers"].get(k + "_scale")
                 if sc is not None and sc.ndim == 3:
-                    # out-axis s4 packing leaves the contraction axis intact
-                    in_dim = p_llm["layers"][k].shape[-1]
+                    # packed s4: the stored last axis is contraction/2
+                    in_dim = 2 * p_llm["layers"][k].shape[-1]
                     gs = in_dim // sc.shape[-1]
                     if (in_dim // tp) % gs:
                         raise ValueError(

@@ -27,23 +27,20 @@ int4 scheme (w4a16, GPTQ/AWQ-style GROUPED scales — per-channel alone is too
 coarse at 4 bits):
   - each output channel's contraction dim is tiled into groups of
     `group_size` (default 128, the AWQ/GPTQ convention) with one symmetric
-    scale per (channel, group): the stacks carry f32 scales
-    [L, out, in/gs]. Dequantization happens IN-REGISTER before each matmul
-    (a group-broadcast multiply that fuses into the operand read;
-    models/decode.py _proj) — bf16 rounding of the dequantized values is the
-    mode's one fidelity delta (exact on pow2-scale grids, negligible next
-    to the int4 grid itself). Exact scale-the-partials contraction was
-    measured 7x slower (transposed grouped-batch layouts) and dropped.
+    scale per (channel, group): stacks [L, out, in] carry f32 scales
+    [L, out, in/gs]. Dequantization is NOT a single post-matmul multiply
+    anymore — the decode hot loop contracts per group and applies the scale
+    to the [.., out, G] partial sums before reducing over groups (exact;
+    models/decode.py _proj), while the FLOP-bound prefill dequantizes each
+    layer's weights in-register and runs one dense matmul.
   - the embedding table stays per-row int8 (a 4-bit row scale is 15 levels
     for a lookup that costs nothing at int8 — wrong fidelity trade), and the
     lm_head gets grouped scales over its contraction (hidden) dim.
-  - storage is int8 with TWO s4 values packed per byte along the OUTPUT
-    axis (low nibble = output channel 2j, high nibble = 2j+1): stacks
-    [L, out/2, in], lm_head [D, V/2]. The decode kernels unpack with two
-    arithmetic shifts that XLA fuses into the matmul operand read — the
-    contraction stays full-width and contiguous, the only reorg is
-    interleaving the two OUTPUT halves after the matmul — so HBM streams
-    4-bit weights exactly as jnp.int4 storage would.
+  - storage is int8 with TWO s4 values packed per byte along the contraction
+    axis (low nibble = channel 2j, high nibble = 2j+1, pairs never straddle
+    a group): stacks [L, out, in/2], lm_head [D/2, V]. The decode kernels
+    unpack with two arithmetic shifts that XLA fuses into the matmul operand
+    read, so HBM streams 4-bit weights exactly as jnp.int4 storage would.
     Manual packing instead of jnp.int4 because sub-byte jit ARGUMENTS ride a
     fragile path (measured on the axon relay, round 5: any jit taking an
     int4 array argument dies with "Recursively calling jit" — int4 INSIDE a
@@ -74,28 +71,11 @@ INT4_MAX = 7.0
 DEFAULT_GROUP_SIZE = 128  # the GPTQ/AWQ convention; divides 4096 and 11008
 
 
-def _pack_nibbles(q, xp, axis=-2):
-    """Pack an int array of s4 values ([-8, 7]) two-per-byte along `axis`
-    (must be even-sized): low nibble = channel 2j, high = 2j+1.
-
-    The pack axis is the OUTPUT axis of each matmul (axis -2 of the cooked
-    [.., out, in] stacks; the V axis of the [D, V] lm_head), NOT the
-    contraction: unpacking is then pure elementwise (two arithmetic shifts,
-    no reshape/interleave on the weight side), every contraction stays
-    full-width and contiguous, and the only reorg is interleaving the two
-    OUTPUT halves — an activation-sized op. Contraction-axis packing
-    measured 15.5 act/s at int4 bs=32 on the v5e (vs ~20 for the earlier
-    UNPACKED one-s4-per-int8 form): its weight-side interleave / activation
-    even/odd split sat on the hot contraction axis. Out-axis packing moves
-    that reorg to the output axis to recover the unpacked form's speed at
-    half the weight bytes (see SERVING_EVIDENCE.json int4 rows for the
-    measured numbers)."""
-    sl_lo = [slice(None)] * q.ndim
-    sl_hi = [slice(None)] * q.ndim
-    sl_lo[axis] = slice(0, None, 2)
-    sl_hi[axis] = slice(1, None, 2)
-    lo = q[tuple(sl_lo)].astype(xp.int32) & 0xF
-    hi = q[tuple(sl_hi)].astype(xp.int32) & 0xF
+def _pack_nibbles(q, xp):
+    """Pack an even-last-dim int array of s4 values ([-8, 7]) two-per-byte:
+    [..., n] -> int8 [..., n/2], low nibble = channel 2j, high = 2j+1."""
+    lo = q[..., 0::2].astype(xp.int32) & 0xF
+    hi = q[..., 1::2].astype(xp.int32) & 0xF
     packed = lo | (hi << 4)  # 0..255 in int32
     if xp is np:
         return packed.astype(np.uint8).view(np.int8)
@@ -117,11 +97,9 @@ def _quantize_last_dim(w, xp):
 
 
 def _quantize_grouped(w, xp, group_size: int, what: str):
-    """Symmetric int4 over GROUPS of the last (contraction) axis: returns
-    (int8 array of s4 values packed two-per-byte along the OUT axis, axis
-    -2 — [..., out/2, in], _pack_nibbles — and f32 scale
-    [..., out, in/group_size], UNpacked: each output channel keeps its own
-    scale row)."""
+    """Symmetric int4 over GROUPS of the last axis: returns (PACKED int8
+    array [..., in/2] — two s4 per byte, _pack_nibbles — and f32 scale
+    [..., in/group_size])."""
     wf = xp.asarray(w, dtype=xp.float32)
     contraction = wf.shape[-1]
     if contraction % group_size:
@@ -129,10 +107,10 @@ def _quantize_grouped(w, xp, group_size: int, what: str):
             f"int4 group_size={group_size} must divide {what}'s contraction "
             f"dim ({contraction}); pass a divisor (e.g. 64)"
         )
-    if wf.shape[-2] % 2:
+    if group_size % 2:
         raise ValueError(
-            f"int4 packing needs an even output dim; {what} has "
-            f"{wf.shape[-2]}"
+            f"int4 group_size={group_size} must be EVEN: values pack two per "
+            f"byte within a group (models/decode.py unpacks per group)"
         )
     g = contraction // group_size
     wg = wf.reshape(wf.shape[:-1] + (g, group_size))
@@ -140,7 +118,7 @@ def _quantize_grouped(w, xp, group_size: int, what: str):
     scale = xp.maximum(absmax / INT4_MAX, xp.float32(1e-12))
     q = xp.clip(xp.round(wg / scale[..., None]), -INT4_MAX, INT4_MAX)
     return (
-        _pack_nibbles(q.reshape(wf.shape).astype(xp.int8), xp, axis=-2),
+        _pack_nibbles(q.reshape(wf.shape).astype(xp.int8), xp),
         scale.astype(xp.float32),
     )
 
@@ -181,9 +159,15 @@ def int4_group_size_for(cfg, tp: int = 1) -> int:
         lcfg.intermediate_size // tp,
     )
     for gs in (128, 64, 32, 16, 8, 4, 2):
+        # 2 is the floor: values pack two per byte WITHIN a group
+        # (_pack_nibbles), so an odd group size cannot exist
         if all(d % gs == 0 for d in dims):
             return gs
-    return 1
+    raise ValueError(
+        f"int4 quantization needs an even group size dividing every decode "
+        f"contraction dim of {cfg.name!r} ({dims}); an odd contraction dim "
+        f"cannot pack two s4 values per byte"
+    )
 
 
 def quant_mode(params: Dict) -> Optional[str]:
@@ -220,14 +204,12 @@ def quantize_decode_params(
     array of the same shape plus `k + "_scale"` f32 [L, out]; `lm_head`
     [D, V] gets a per-output-column scale [V].
 
-    mode="int4": PACKED int8 stacks [L, out/2, in] (two s4 per byte along
-    the OUTPUT axis, _pack_nibbles) with GROUPED f32 scales
-    [L, out, in/group_size]; `lm_head` [D, V] becomes [D, V/2] with scales
+    mode="int4": PACKED int8 stacks [L, out, in/2] (two s4 per byte along
+    the contraction, _pack_nibbles) with GROUPED f32 scales
+    [L, out, in/group_size]; `lm_head` [D, V] becomes [D/2, V] with scales
     [V, D/group_size] over its hidden contraction. models/decode.py
     dispatches the grouped math on the scale's rank
-    (scale.ndim == stack.ndim), unpacks nibbles in-kernel (pure
-    elementwise — the contraction stays full-width), and interleaves the
-    two OUTPUT halves after the matmuls.
+    (scale.ndim == stack.ndim) and unpacks nibbles in-kernel.
 
     Both modes: `embed` [V, D] becomes int8 with a per-row scale [V] (exact
     per lookup; 4-bit rows are the wrong fidelity trade for 65 MB). Vision,
@@ -306,9 +288,9 @@ def quantize_decode_shapes(
         raise ValueError(f"mode={mode!r}; supported: 'int8', 'int4'")
 
     def qs(shape):
-        # int4 packs two s4 per byte along the OUTPUT (-2) axis
+        # int4 packs two s4 per byte along the contraction (last) axis
         if mode == "int4":
-            shape = shape[:-2] + (shape[-2] // 2, shape[-1])
+            shape = shape[:-1] + (shape[-1] // 2,)
         return jax.ShapeDtypeStruct(shape, jnp.int8)
 
     def f32(shape):
@@ -332,10 +314,10 @@ def quantize_decode_shapes(
             layers[k] = qs(s.shape)
             layers[k + "_scale"] = f32(scale_shape(s))
     new_llm = dict(llm, layers=layers)
-    lm = llm["lm_head"]  # [D, V]; contraction is dim 0, OUTPUT axis is V
+    lm = llm["lm_head"]  # [D, V]; contraction is dim 0
     if mode == "int4":
         new_llm["lm_head"] = jax.ShapeDtypeStruct(
-            (lm.shape[0], lm.shape[1] // 2), jnp.int8
+            (lm.shape[0] // 2, lm.shape[1]), jnp.int8
         )
     else:
         new_llm["lm_head"] = jax.ShapeDtypeStruct(lm.shape, jnp.int8)

@@ -307,22 +307,17 @@ def test_int4_roundtrip_error_bound():
     bound = 0.5 * (1 + 1e-3)
 
     def unpack(p):
-        # packed two-s4-per-byte int8 along the OUT (-2) axis (quant.py
-        # _pack_nibbles): low nibble = output channel 2j, high = 2j+1 —
-        # interleave back for the error check
+        # packed two-s4-per-byte int8 (quant.py _pack_nibbles): low nibble is
+        # channel 2j, high is 2j+1 — interleave back for the error check
         lo = np.left_shift(p.astype(np.int8), 4) >> 4
         hi = p.astype(np.int8) >> 4
-        stacked = np.stack([lo, hi], axis=-2)  # [.., out/2, 2, in]
-        return stacked.reshape(
-            p.shape[:-2] + (p.shape[-2] * 2, p.shape[-1])
-        )
+        return np.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (-1,))
 
     for k in QUANT_LAYER_KEYS:
         w = np.float32(cooked["llm"]["layers"][k])
         q = qp["llm"]["layers"][k]
         s = qp["llm"]["layers"][k + "_scale"]
-        assert q.dtype == np.int8 and q.shape[-2] == w.shape[-2] // 2, k
-        assert q.shape[-1] == w.shape[-1], k
+        assert q.dtype == np.int8 and q.shape[-1] == w.shape[-1] // 2, k
         assert s.dtype == np.float32
         assert s.shape == w.shape[:-1] + (w.shape[-1] // GS,), k
         g = w.shape[-1] // GS
@@ -469,8 +464,8 @@ def test_policy_int4_end_to_end():
     b8 = packed_bytes(quantized_portion(q8))
     b4 = packed_bytes(quantized_portion(q4))
     qw = q4.params["llm"]["layers"]["q_w"]
-    assert jnp.dtype(qw.dtype) == jnp.int8  # packed s4 bytes (OUT axis)
-    assert qw.shape[-2] == q8.params["llm"]["layers"]["q_w"].shape[-2] // 2
+    assert jnp.dtype(qw.dtype) == jnp.int8  # packed s4 bytes
+    assert qw.shape[-1] == q8.params["llm"]["layers"]["q_w"].shape[-1] // 2
     assert b4 < 0.8 * b8, (b4, b8)
     with pytest.raises(ValueError, match="quantize"):
         load_policy(None, model_name="vla-tiny", quantize="int5")

@@ -192,18 +192,13 @@ def test_decode_int4_tp2_no_weight_gather():
     mem = memory_summary(comp)
     # ~1.7 GB of int4 stack shards + ~1.3 GB replicated vision/projector/embed
     assert mem["argument_gb"] < 3.4, mem
-    # same TRAFFIC as the bf16 tp=2 decode (test_decode_tp2_7b...): the
-    # row-parallel activation psums per decode step and per prefill pass +
-    # sub-MB argmax/logit gathers — int4 changes the weight bytes, not what
-    # crosses ICI. The out-axis s4 packing (models/quant.py _pack_nibbles)
-    # computes each projection as TWO out/2-wide half-matmuls, so the psums
-    # lower in half-out layout ([16,320,2048] x2 members / [16,1,2048]
-    # pairs) — SAME total bytes as the old full-width [16,320,4096] duals.
-    # (dims compared sorted: layouts vary, e.g. [out, b, s]-major)
-    allowed_psums = {
-        (1, 16, 4096), (16, 320, 4096),   # full-width (non-packed paths)
-        (1, 16, 2048), (16, 320, 2048),   # out/2 halves (packed int4)
-    }
+    # same inventory as the bf16 tp=2 decode (test_decode_tp2_7b...): the
+    # row-parallel activation psums per decode step ([16,1,4096]) and per
+    # prefill pass ([16,320,4096]) + sub-MB argmax/logit gathers — int4
+    # changes the weight bytes, not what crosses ICI
+    # (dims compared sorted: the grouped-einsum output psum lowers in an
+    # [out, b, s]-major layout, e.g. f32[4096,16,1])
+    allowed_psums = {(1, 16, 4096), (16, 320, 4096)}
     colls = collect_collectives(comp.as_text())
     assert colls, "expected row-parallel psums"
     for c in colls:
