@@ -59,6 +59,7 @@ class VLAPolicy:
         quantize: Optional[str] = None,
         kv_cache: Optional[str] = None,
         visual_tokens: Optional[int] = None,
+        int4_kernel: Optional[bool] = None,
     ) -> None:
         """`cooked_weights=True`: params already went through
         decode_layout_params (the decode always runs the cooked math — an
@@ -100,6 +101,17 @@ class VLAPolicy:
         # The decode tail stays weight-only int8; LOSSY like visual_tokens —
         # validate on real weights via the acceptance gate's w8a8 mode.
         quant_mode, act_quant, quant_gs = resolve_quantize(quantize)
+        # fused Pallas dequant-matmul decode tail (ops/q4_matmul.py):
+        # None = auto — engage for single-device int4 serving on a TPU
+        # backend (the kernel has no GSPMD partitioning rules; off-TPU it
+        # would run interpreted, i.e. only useful to tests)
+        if int4_kernel is None:
+            int4_kernel = (
+                quant_mode == "int4"
+                and mesh is None
+                and jax.default_backend() == "tpu"
+            )
+        self.int4_kernel = bool(int4_kernel)
 
         def _host_xp(what):
             # host-side transforms only: an on-ACCELERATOR pass over a large
@@ -165,7 +177,7 @@ class VLAPolicy:
             lambda p, ids, mask, px: greedy_decode_actions(
                 p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh,
                 kv_cache=kv_cache, visual_tokens=visual_tokens,
-                act_quant=act_quant,
+                act_quant=act_quant, int4_kernel=self.int4_kernel,
             )
         )
         # Jacobi variant (separate program: the draft arg changes the tail's
@@ -174,7 +186,7 @@ class VLAPolicy:
             lambda p, ids, mask, px, d: greedy_decode_actions(
                 p, cfg, ids, mask, px, cooked_weights=True, mesh=mesh,
                 kv_cache=kv_cache, draft_tokens=d, visual_tokens=visual_tokens,
-                act_quant=act_quant,
+                act_quant=act_quant, int4_kernel=self.int4_kernel,
             )
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
@@ -347,6 +359,7 @@ def load_policy(
     quantize: Optional[str] = None,
     kv_cache: Optional[str] = None,
     visual_tokens: Optional[int] = None,
+    int4_kernel: Optional[bool] = None,
 ) -> VLAPolicy:
     """Build a policy from a local HF checkpoint dir (or random weights for
     smoke tests when checkpoint is None)."""
@@ -379,7 +392,7 @@ def load_policy(
         unnorm_key = unnorm_key or "synthetic"
     return VLAPolicy(params, cfg, tokenizer, norm_stats, unnorm_key, center_crop,
                      mesh=mesh, quantize=quantize, kv_cache=kv_cache,
-                     visual_tokens=visual_tokens)
+                     visual_tokens=visual_tokens, int4_kernel=int4_kernel)
 
 
 # --- reference dispatch shims (experiments/robot/robot_utils.py:40-74) --------

@@ -57,7 +57,8 @@ def _unpack_nibbles(p):
     return lo, hi
 
 
-def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
+def _proj(y, w, cooked: bool, scale=None, act8: bool = False,
+          q4k: bool = False):
     """y @ W for storage layout [in, out] (cooked=False) or the pre-transposed
     decode layout [out, in] (cooked=True). `scale` is present iff `w` is a
     quantize_decode_params stack:
@@ -92,6 +93,14 @@ def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
     tail was replaced (measured 7x slower than the int8 tail).
     """
     if scale is not None and scale.ndim == w.ndim:  # grouped int4 (packed s4)
+        if q4k and y.shape[1] <= 8:
+            # fused Pallas dequant-matmul (ops/q4_matmul.py): the whole
+            # unpack/dequant/contract chain inside one kernel, HBM reads =
+            # packed bytes. Single-device decode tails only (greedy_decode_
+            # actions validates); engaged via int4_kernel=True.
+            from ..ops.q4_matmul import q4_matmul
+
+            return q4_matmul(y, w, scale)
         # ONE formulation for every s: dequantize the nibble halves
         # in-register (unpack shifts + the group-scale multiply fuse into
         # the matmul operand read — HBM streams packed bytes) and contract
@@ -154,10 +163,10 @@ def _proj(y, w, cooked: bool, scale=None, act8: bool = False):
     return y @ w
 
 
-def _pj(p, key, y, cooked: bool, act8: bool = False):
+def _pj(p, key, y, cooked: bool, act8: bool = False, q4k: bool = False):
     """Layer-dict projection: dispatches on the presence of the quantization
     scale leaf (scan slices both the int8 stack and its [L, out] scale)."""
-    return _proj(y, p[key], cooked, p.get(key + "_scale"), act8)
+    return _proj(y, p[key], cooked, p.get(key + "_scale"), act8, q4k)
 
 
 def _embed_rows(p_llm, ids, dtype):
@@ -258,12 +267,12 @@ def decode_layout_shapes(shapes):
     return decode_layout_params(shapes, xp=_ShapeSwap)
 
 
-def _qkv(cfg, p, y, cooked=False, act8=False):
+def _qkv(cfg, p, y, cooked=False, act8=False, q4k=False):
     b, s, _ = y.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = _pj(p, "q_w", y, cooked, act8).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-    k = _pj(p, "k_w", y, cooked, act8).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
-    v = _pj(p, "v_w", y, cooked, act8).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    q = _pj(p, "q_w", y, cooked, act8, q4k).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = _pj(p, "k_w", y, cooked, act8, q4k).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    v = _pj(p, "v_w", y, cooked, act8, q4k).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -357,13 +366,14 @@ def _attend_kv4(q, k4, sk, v4, sv, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v4.astype(q.dtype))
 
 
-def _mlp(cfg, p, x, cooked=False, act8=False):
+def _mlp(cfg, p, x, cooked=False, act8=False, q4k=False):
     y = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
     gate = jax.nn.silu(
-        _pj(p, "gate_w", y, cooked, act8).astype(jnp.float32)
+        _pj(p, "gate_w", y, cooked, act8, q4k).astype(jnp.float32)
     ).astype(x.dtype)
     return x + _pj(
-        p, "down_w", gate * _pj(p, "up_w", y, cooked, act8), cooked, act8
+        p, "down_w", gate * _pj(p, "up_w", y, cooked, act8, q4k),
+        cooked, act8, q4k,
     )
 
 
@@ -390,6 +400,7 @@ def greedy_decode_actions(
     draft_tokens: Optional[jnp.ndarray] = None,  # [B, num_steps] Jacobi draft
     visual_tokens: Optional[int] = None,  # keep top-k patch tokens (prefill pruning)
     act_quant: Optional[str] = None,  # 'int8': w8a8 prefill (needs int8 weights)
+    int4_kernel: bool = False,  # fused Pallas dequant-matmul decode tail
 ) -> DecodeResult:
     """Greedy multimodal generation of `num_steps` action tokens.
 
@@ -501,6 +512,15 @@ def greedy_decode_actions(
     if act_quant not in (None, "int8"):
         raise ValueError(f"act_quant={act_quant!r}; supported: None, 'int8'")
     act8 = act_quant == "int8"
+    # fused Pallas dequant-matmul tail (ops/q4_matmul.py): single-device
+    # int4 programs only — the kernel has no GSPMD partitioning rules, so a
+    # tp>1 mesh would silently gather the stacks it was built to stream
+    q4k = bool(int4_kernel) and packed4
+    if q4k and mesh is not None and mesh.shape.get("model", 1) > 1:
+        raise ValueError(
+            "int4_kernel=True is single-device only (no custom_partitioning "
+            "rules); drop the kernel or the 'model' mesh axis"
+        )
     if act8:
         qsc = p_llm["layers"].get("q_w_scale")
         if jnp.dtype(p_llm["layers"]["q_w"].dtype) != jnp.int8 or (
@@ -749,7 +769,7 @@ def greedy_decode_actions(
             xc, ck, cv, sk, sv = inner
             p, li = inp
             y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
-            q, k, v = _qkv(lcfg, p, y, cooked_weights)
+            q, k, v = _qkv(lcfg, p, y, cooked_weights, q4k=q4k)
             q, k = apply_rope(q, k, cos_j, sin_j)
             if kvq:
                 k, sk_new, v, sv_new = _q_kv(k, v)
@@ -768,8 +788,9 @@ def greedy_decode_actions(
             sk_l = jax.lax.dynamic_index_in_dim(sk, li, 0, keepdims=False) if kvq else None
             sv_l = jax.lax.dynamic_index_in_dim(sv, li, 0, keepdims=False) if kvq else None
             attn = _attend_c(q, ck_l, sk_l, cv_l, sv_l, j_bias)
-            xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
-            xc = _mlp(lcfg, p, xc, cooked_weights)
+            xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape),
+                          cooked_weights, q4k=q4k)
+            xc = _mlp(lcfg, p, xc, cooked_weights, q4k=q4k)
             return (xc, ck, cv, sk, sv), None
 
         def jacobi_body(carry):
@@ -822,7 +843,7 @@ def greedy_decode_actions(
             xc, ck, cv, sk, sv = inner
             p, li = inp
             y = rms_norm(xc, p["attn_norm"], lcfg.rms_eps)
-            q, k, v = _qkv(lcfg, p, y, cooked_weights)
+            q, k, v = _qkv(lcfg, p, y, cooked_weights, q4k=q4k)
             q, k = apply_rope(q, k, cos, sin)
             if kvq:
                 k, sk_new, v, sv_new = _q_kv(k, v)
@@ -843,8 +864,9 @@ def greedy_decode_actions(
             sk_l = jax.lax.dynamic_index_in_dim(sk, li, 0, keepdims=False) if kvq else None
             sv_l = jax.lax.dynamic_index_in_dim(sv, li, 0, keepdims=False) if kvq else None
             attn = _attend_c(q, ck_l, sk_l, cv_l, sv_l, bias)
-            xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape), cooked_weights)
-            xc = _mlp(lcfg, p, xc, cooked_weights)
+            xc = xc + _pj(p, "o_w", attn.transpose(0, 2, 1, 3).reshape(xc.shape),
+                          cooked_weights, q4k=q4k)
+            xc = _mlp(lcfg, p, xc, cooked_weights, q4k=q4k)
             return (xc, ck, cv, sk, sv), None
 
         (x, ck, cv, sk, sv), _ = jax.lax.scan(

@@ -82,6 +82,10 @@ def main():
     # tokens before the LLM (models/decode.py visual_tokens) — prefill is
     # the FLOP bill at bs>=8, so k=128 ~halves it
     ap.add_argument("--visual_tokens", default=None, type=int)
+    # fused Pallas dequant-matmul decode tail for int4 weights
+    # (ops/q4_matmul.py); auto = on for single-device int4 on the TPU
+    ap.add_argument("--int4_kernel", default="auto",
+                    choices=["auto", "on", "off"])
     # shell-env JAX_PLATFORMS is silently ignored on this box (sitecustomize
     # pins the TPU plugin — CLAUDE.md gotcha); this flag is the working override
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -190,11 +194,17 @@ def main():
     row[0, : len(ids)] = ids
     mask[0, : len(ids)] = 1
 
+    q4k = (
+        quant_mode == "int4" and args.tp == 1 and platform == "tpu"
+        if args.int4_kernel == "auto" else args.int4_kernel == "on"
+    )
+    if q4k:
+        log("int4_kernel: fused Pallas dequant-matmul decode tail")
     decode = jax.jit(
         lambda p, i, m, px: greedy_decode_actions(
             p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
             kv_cache=args.kv_cache, visual_tokens=args.visual_tokens,
-            act_quant=act_quant,
+            act_quant=act_quant, int4_kernel=q4k,
         )
     )
     decode_draft = jax.jit(
@@ -202,13 +212,14 @@ def main():
             p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
             kv_cache=args.kv_cache, draft_tokens=d,
             visual_tokens=args.visual_tokens, act_quant=act_quant,
+            int4_kernel=q4k,
         )
     )
     decode_prefill = jax.jit(
         lambda p, i, m, px: greedy_decode_actions(
             p, cfg, i, m, px, cooked_weights=True, mesh=mesh,
             kv_cache=args.kv_cache, visual_tokens=args.visual_tokens,
-            act_quant=act_quant, num_steps=1,
+            act_quant=act_quant, num_steps=1, int4_kernel=q4k,
         )
     )
     rng = np.random.default_rng(0)
