@@ -480,7 +480,20 @@ def greedy_decode_actions(
     an f32 lowering would round partials > 2^24) and the topology-AOT
     evidence leg records the real-TPU psum dtype. Also composes with
     kv_cache, drafts, and vt pruning. The reference has no quantized path at
-    all (modeling_prismatic.py:506-534 runs bf16 HF generate)."""
+    all (modeling_prismatic.py:506-534 runs bf16 HF generate).
+
+    `int4_kernel=True` (packed-int4 weights only): route the decode tail's
+    projections (sequential s=1 steps and Jacobi s=7 passes) through the
+    fused Pallas dequant-matmul kernel (ops/q4_matmul.py) instead of the
+    XLA formulation — the unpack/dequant/contract chain runs inside one
+    kernel with HBM reads pinned to the packed bytes. Single-device
+    programs only (the kernel has no GSPMD partitioning rules; a model>1
+    mesh raises). Prefill and the lm_head keep the XLA path (FLOP-bound /
+    different packed layout). Topology-AOT evidence legs cannot emit Pallas
+    (parallel/evidence.py precedent: flash attention substitutes chunked)
+    and keep int4_kernel=False — their memory facts cover the XLA
+    formulation; measured kernel throughput lives in
+    SERVING_EVIDENCE.json."""
     from .config import PhiConfig
 
     if isinstance(cfg.llm, PhiConfig):

@@ -10,9 +10,13 @@ Usage: python scripts/micro_q4.py [--b 1,8,32] [--impl all|xla4|ker_g|ker_d|xla8
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
