@@ -43,21 +43,25 @@ def main():
     L, OUT, IN = args.layers, args.out_dim, args.in_dim
     GS = 128
     G = IN // GS
+
+    # generate ON DEVICE: a multi-GB host->device upload through the axon
+    # relay takes tens of minutes (bench_decode.py's cooked-shapes lesson)
+    @jax.jit
+    def _init(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        wp = jax.random.randint(k1, (L, OUT, IN // 2), -128, 128,
+                                jnp.int32).astype(jnp.int8)
+        sc = jax.random.uniform(k2, (L, OUT, G), jnp.float32, 1e-3, 2e-2)
+        w8 = jax.random.randint(k3, (L, OUT, IN), -128, 128,
+                                jnp.int32).astype(jnp.int8)
+        s8 = jax.random.uniform(k4, (L, OUT), jnp.float32, 1e-3, 2e-2)
+        return wp, sc, w8, s8
+
+    t0 = time.time()
+    wp, sc, w8, s8 = _init(jax.random.key(0))
+    _ = jax.device_get(s8[0, 0])
+    print(f"on-device init: {time.time()-t0:.1f}s", flush=True)
     rng = np.random.default_rng(0)
-    wp = jnp.asarray(
-        rng.integers(-128, 128, size=(L, OUT, IN // 2), dtype=np.int64
-                     ).astype(np.int8)
-    )
-    sc = jnp.asarray(
-        np.abs(rng.standard_normal((L, OUT, G)).astype(np.float32)) * 0.01
-    )
-    w8 = jnp.asarray(
-        rng.integers(-128, 128, size=(L, OUT, IN), dtype=np.int64
-                     ).astype(np.int8)
-    )
-    s8 = jnp.asarray(
-        np.abs(rng.standard_normal((L, OUT)).astype(np.float32)) * 0.01
-    )
 
     packed_gb = wp.size / 1e9
     int8_gb = w8.size / 1e9
