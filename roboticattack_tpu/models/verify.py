@@ -724,7 +724,7 @@ def parse_quant_mode(
             f"quant mode {mode!r}: weights must be int8, w8a8, int4, or "
             f"none (for a kv/vt-only config), got {weights!r}"
         )
-    kv_cache, visual_tokens, _, _ = parse_suffixes(
+    kv_cache, visual_tokens, _, _, _ = parse_suffixes(
         suffixes, context=f"quant mode {mode!r}: "
     )
     return (None if weights == "none" else weights), kv_cache, visual_tokens

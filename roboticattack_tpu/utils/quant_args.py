@@ -62,21 +62,23 @@ def parse_suffixes(
     context: str = "",
     jacobi: bool = False,
     phases: bool = False,
+    kernel: bool = False,
 ):
     """The once-each serving-lever suffix grammar shared by the acceptance
     gate's quant-mode strings (models/verify.py parse_quant_mode) and the
     sweep's config strings (scripts/serving_sweep.py parse_config):
     kv8|kv4 (KV-cache quantization), vt<k> (visual-token pruning), and —
     when enabled by the caller — jw|jc|js (warm/cold/correlated-stream
-    drafts, `jacobi=True`) and ph (prefill/tail phase attribution,
-    `phases=True`). ->
-    (kv_cache | None, visual_tokens | None, jacobi_mode | None, ph: bool).
-    One grammar so the next lever is wired everywhere at once instead of
-    drifting across parsers."""
+    drafts, `jacobi=True`), ph (prefill/tail phase attribution,
+    `phases=True`), and qk (fused Pallas int4 dequant-matmul decode tail,
+    ops/q4_matmul.py; `kernel=True`). ->
+    (kv_cache | None, visual_tokens | None, jacobi_mode | None, ph: bool,
+    qk: bool). One grammar so the next lever is wired everywhere at once
+    instead of drifting across parsers."""
     kv = vt = jac = None
-    ph = False
+    ph = qk = False
     menu = ("kv8|kv4 / vt<k>" + (" / jw|jc|js" if jacobi else "")
-            + (" / ph" if phases else ""))
+            + (" / ph" if phases else "") + (" / qk" if kernel else ""))
     for s in suffixes:
         if s in ("kv8", "kv4") and kv is None:
             kv = {"kv8": "int8", "kv4": "int4"}[s]
@@ -87,11 +89,13 @@ def parse_suffixes(
             jac = {"jw": "warm", "jc": "cold", "js": "stream"}[s]
         elif phases and s == "ph" and not ph:
             ph = True
+        elif kernel and s == "qk" and not qk:
+            qk = True
         else:
             raise ValueError(
                 f"{context}unknown suffix {s!r} ({menu}, once each)"
             )
-    return kv, vt, jac, ph
+    return kv, vt, jac, ph, qk
 
 
 def quantize_arg(s: str) -> str:

@@ -88,18 +88,25 @@ def parse_config(spec):
     weights, suffixes = parts[0], parts[1:]
     if weights not in ("bf16", "int8", "w8a8", "int4"):
         raise ValueError(f"weights {weights!r} in {spec!r}")
-    kv, vt, jacobi, ph = parse_suffixes(
-        suffixes, context=f"{spec!r}: ", jacobi=True, phases=True
+    kv, vt, jacobi, ph, qk = parse_suffixes(
+        suffixes, context=f"{spec!r}: ", jacobi=True, phases=True, kernel=True
     )
-    return name, weights, kv, jacobi, vt, batches, ph
+    if qk and not weights.startswith("int4"):
+        raise ValueError(f"{spec!r}: +qk requires int4 weights")
+    return name, weights, kv, jacobi, vt, batches, ph, qk
 
 
 def run_config(name, weights, kv_cache, jacobi, visual_tokens, batches,
-               iters, timeout_s, platform=None, split_phases=False):
+               iters, timeout_s, platform=None, split_phases=False,
+               int4_kernel=False):
     cmd = [sys.executable, os.path.join(REPO, "scripts", "bench_decode.py"),
            "--batches", batches, "--iters", str(iters)]
     if weights != "bf16":
         cmd += ["--quantize", weights]
+    if weights.startswith("int4"):
+        # explicit on/off — sweep rows must not change meaning with the
+        # resolution of bench_decode's --int4_kernel auto default
+        cmd += ["--int4_kernel", "on" if int4_kernel else "off"]
     if kv_cache:
         cmd += ["--kv_cache", kv_cache]
     if jacobi:
@@ -186,12 +193,12 @@ def main():
 
     ran = []
     for spec in args.configs:
-        name, weights, kv, jacobi, vt, batches, ph = parse_config(spec)
+        name, weights, kv, jacobi, vt, batches, ph, qk = parse_config(spec)
         ran.append(name)
         results["configs"][name] = run_config(
             name, weights, kv, jacobi, vt, batches, args.iters,
             args.per_config_timeout_s, platform=args.platform,
-            split_phases=ph,
+            split_phases=ph, int4_kernel=qk,
         )
         # write after EVERY config: a later relay death keeps earlier rows
         with open(args.out, "w") as f:
