@@ -135,7 +135,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         from ..models.verify import parse_quant_mode
 
         for m in quant_modes:
-            _, _, vt = parse_quant_mode(m)
+            _, _, vt, _ = parse_quant_mode(m)
             if vt is not None and vt > cfg.num_patches:
                 build_parser().error(
                     f"--quant-modes {m!r}: vt{vt} exceeds the model's "

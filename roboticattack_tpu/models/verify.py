@@ -703,13 +703,16 @@ from .quant import int4_group_size_for  # noqa: E402,F401
 
 def parse_quant_mode(
     mode: str,
-) -> Tuple[Optional[str], Optional[str], Optional[int]]:
-    """'<int8|w8a8|int4|none>[+kv8|kv4][+vt<k>]' (or a bare 'kv8'/'kv4'/
-    'vt<k>' for a single-lever config) -> (weights_mode | None, kv_cache |
-    None, visual_tokens | None). 'w8a8' = int8 weights + dynamic int8
-    prefill activations (models/decode.py act_quant). Raises ValueError on
-    anything else — callers validate the full mode list BEFORE running
-    expensive legs."""
+) -> Tuple[Optional[str], Optional[str], Optional[int], bool]:
+    """'<int8|w8a8|int4|none>[+kv8|kv4][+vt<k>][+qk]' (or a bare 'kv8'/
+    'kv4'/'vt<k>' for a single-lever config) -> (weights_mode | None,
+    kv_cache | None, visual_tokens | None, int4_kernel: bool). 'w8a8' =
+    int8 weights + dynamic int8 prefill activations (models/decode.py
+    act_quant); '+qk' routes the decode tail through the fused Pallas int4
+    dequant-matmul kernel (ops/q4_matmul.py — int4 weights only), so its
+    agreement leg validates the kernel's numerics on the weights production
+    will serve. Raises ValueError on anything else — callers validate the
+    full mode list BEFORE running expensive legs."""
     from ..utils.quant_args import parse_suffixes
 
     parts = mode.split("+")
@@ -724,10 +727,15 @@ def parse_quant_mode(
             f"quant mode {mode!r}: weights must be int8, w8a8, int4, or "
             f"none (for a kv/vt-only config), got {weights!r}"
         )
-    kv_cache, visual_tokens, _, _, _ = parse_suffixes(
-        suffixes, context=f"quant mode {mode!r}: "
+    kv_cache, visual_tokens, _, _, qk = parse_suffixes(
+        suffixes, context=f"quant mode {mode!r}: ", kernel=True
     )
-    return (None if weights == "none" else weights), kv_cache, visual_tokens
+    if qk and weights != "int4":
+        raise ValueError(
+            f"quant mode {mode!r}: +qk requires int4 weights (the kernel "
+            f"contracts the packed-s4 layout)"
+        )
+    return (None if weights == "none" else weights), kv_cache, visual_tokens, qk
 
 
 def quant_decode_report(
@@ -801,12 +809,14 @@ def quant_decode_report(
         if len(inputs) == n_batches:
             break
 
-    def run(pytree, kv_cache, visual_tokens=None, act_quant=None):
+    def run(pytree, kv_cache, visual_tokens=None, act_quant=None,
+            int4_kernel=False):
         dev = jax.tree.map(lambda x: jnp.asarray(x), pytree)
         fn = jax.jit(
             lambda p, i, m, x: greedy_decode_actions(
                 p, cfg, i, m, x, cooked_weights=True, kv_cache=kv_cache,
                 visual_tokens=visual_tokens, act_quant=act_quant,
+                int4_kernel=int4_kernel,
             )
         )
         toks, acts = [], []
@@ -821,14 +831,14 @@ def quant_decode_report(
     parsed = [(m, parse_quant_mode(m)) for m in modes]  # validate ALL first
     ref_tokens, ref_actions = run(cooked, None)
     report: Dict = {}
-    for mode, (wq, kv_cache, visual_tokens) in parsed:
+    for mode, (wq, kv_cache, visual_tokens, qk) in parsed:
         from ..utils.quant_args import resolve_quantize
 
         wq, act, _ = resolve_quantize(wq)
         gs = int4_group_size_for(cfg, tp=tp)
         qp = (quantize_decode_params(cooked, xp=np, mode=wq, group_size=gs)
               if wq is not None else cooked)
-        tokens, actions = run(qp, kv_cache, visual_tokens, act)
+        tokens, actions = run(qp, kv_cache, visual_tokens, act, qk)
         del qp
         gc.collect()
         agree = float(np.mean(tokens == ref_tokens))

@@ -351,6 +351,24 @@ def test_quant_decode_report_structure():
         assert np.isfinite(d["max_abs_action_delta"])
 
 
+def test_quant_decode_report_qk_mode():
+    """'int4+qk' drives the fused Pallas dequant-matmul decode tail through
+    the gate (interpreted off-TPU — the REAL production call path), so the
+    kernel's numerics are agreement-checkable on whatever weights production
+    will serve (ops/q4_matmul.py; bit-level kernel-vs-XLA parity is pinned
+    separately in test_q4_matmul.py)."""
+    from roboticattack_tpu.models.verify import quant_decode_report
+
+    params = jax.device_get(init_vla_params(jax.random.key(11), VLA_TINY))
+    qr = quant_decode_report(
+        params, VLA_TINY, n_batches=1, modes=("int4+qk",), min_agreement=0.0,
+    )
+    d = qr["int4+qk"]
+    assert 0.0 <= d["token_agreement"] <= 1.0
+    assert d["n_tokens"] == 2 * 7
+    assert np.isfinite(d["max_abs_action_delta"])
+
+
 def test_cli_quant_gate_rejects(tmp_path):
     """An unreachable agreement threshold must REJECT the checkpoint through
     the quant gate (and only through it — the other legs pass)."""
@@ -373,17 +391,23 @@ def test_cli_quant_gate_rejects(tmp_path):
 def test_parse_quant_mode_grammar():
     from roboticattack_tpu.models.verify import parse_quant_mode
 
-    assert parse_quant_mode("int8") == ("int8", None, None)
-    assert parse_quant_mode("w8a8") == ("w8a8", None, None)
-    assert parse_quant_mode("w8a8+kv8+vt128") == ("w8a8", "int8", 128)
-    assert parse_quant_mode("int4+kv8") == ("int4", "int8", None)
-    assert parse_quant_mode("kv8") == (None, "int8", None)  # KV-only config
-    assert parse_quant_mode("none+kv8") == (None, "int8", None)
-    assert parse_quant_mode("int8+kv4") == ("int8", "int4", None)
-    assert parse_quant_mode("kv4") == (None, "int4", None)  # KV-only config
-    assert parse_quant_mode("int8+vt128") == ("int8", None, 128)
-    assert parse_quant_mode("vt64") == (None, None, 64)    # prune-only config
-    assert parse_quant_mode("int4+kv4+vt128") == ("int4", "int4", 128)
+    assert parse_quant_mode("int8") == ("int8", None, None, False)
+    assert parse_quant_mode("w8a8") == ("w8a8", None, None, False)
+    assert parse_quant_mode("w8a8+kv8+vt128") == ("w8a8", "int8", 128, False)
+    assert parse_quant_mode("int4+kv8") == ("int4", "int8", None, False)
+    assert parse_quant_mode("kv8") == (None, "int8", None, False)  # KV-only config
+    assert parse_quant_mode("none+kv8") == (None, "int8", None, False)
+    assert parse_quant_mode("int8+kv4") == ("int8", "int4", None, False)
+    assert parse_quant_mode("kv4") == (None, "int4", None, False)  # KV-only config
+    assert parse_quant_mode("int8+vt128") == ("int8", None, 128, False)
+    assert parse_quant_mode("vt64") == (None, None, 64, False)    # prune-only config
+    assert parse_quant_mode("int4+kv4+vt128") == ("int4", "int4", 128, False)
+    assert parse_quant_mode("int4+qk") == ("int4", None, None, True)
+    assert parse_quant_mode("int4+kv4+qk") == ("int4", "int4", None, True)
+    with pytest.raises(ValueError, match="qk requires int4"):
+        parse_quant_mode("int8+qk")  # kernel needs the packed-s4 layout
+    with pytest.raises(ValueError, match="qk requires int4"):
+        parse_quant_mode("kv8+qk")
     with pytest.raises(ValueError, match="weights"):
         parse_quant_mode("fp8")
     with pytest.raises(ValueError, match="suffix"):
