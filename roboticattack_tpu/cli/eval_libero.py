@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import argparse
 
-from ..utils.quant_args import quantize_arg
+from ..utils.quant_args import (add_int4_kernel_flag, quantize_arg,
+                                resolve_int4_kernel)
 from .attack import str2bool
 
 
@@ -48,6 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "resolves the group size per-model)")
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"],
                    help="int8 KV cache (exact per-position dequantization)")
+    add_int4_kernel_flag(p)
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel serving over the first N devices")
     p.add_argument("--dp", default=1, type=int,
@@ -110,6 +112,7 @@ def main(argv=None):
         unnorm_key=args.unnorm_key, center_crop=args.center_crop,
         mesh=mesh, quantize=args.quantize, kv_cache=args.kv_cache,
         visual_tokens=args.visual_tokens,
+        int4_kernel=resolve_int4_kernel(args.int4_kernel),
     )
     cfg = LiberoEvalConfig(
         task_suite_name=args.task_suite_name,

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import argparse
 
-from ..utils.quant_args import quantize_arg
+from ..utils.quant_args import (add_int4_kernel_flag, quantize_arg,
+                                resolve_int4_kernel)
 from .attack import str2bool
 
 
@@ -35,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "weights + int8 prefill activations; bare int4 "
                         "resolves the group size per-model)")
     p.add_argument("--kv_cache", default=None, choices=[None, "int8", "int4"])
+    add_int4_kernel_flag(p)
     p.add_argument("--tp", default=1, type=int)
     p.add_argument("--dp", default=1, type=int,
                    help="data-parallel serving: batch rows (and the KV "
@@ -86,6 +88,7 @@ def main(argv=None):
         args.checkpoint, model_name=args.model, unnorm_key=args.unnorm_key,
         center_crop=args.center_crop, mesh=mesh, quantize=args.quantize,
         kv_cache=args.kv_cache, visual_tokens=args.visual_tokens,
+        int4_kernel=resolve_int4_kernel(args.int4_kernel),
     )
     server = ActionServer(
         policy, host=args.host, port=args.port,

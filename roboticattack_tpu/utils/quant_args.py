@@ -98,6 +98,25 @@ def parse_suffixes(
     return kv, vt, jac, ph, qk
 
 
+def add_int4_kernel_flag(parser) -> None:
+    """The one `--int4_kernel` flag shared by the serving CLIs (serve,
+    eval_libero, eval_bridge; bench_decode predates it with identical
+    semantics): auto|on|off -> resolve_int4_kernel maps to VLAPolicy's
+    int4_kernel param (None = auto: engage the fused Pallas dequant-matmul
+    decode tail, ops/q4_matmul.py, for single-device int4 serving on a TPU
+    backend)."""
+    parser.add_argument(
+        "--int4_kernel", default="auto", choices=["auto", "on", "off"],
+        help="fused Pallas int4 dequant-matmul decode tail "
+             "(auto = single-device int4 on a TPU backend)",
+    )
+
+
+def resolve_int4_kernel(s: str):
+    """'auto'|'on'|'off' -> None|True|False (VLAPolicy int4_kernel)."""
+    return {"auto": None, "on": True, "off": False}[s]
+
+
 def quantize_arg(s: str) -> str:
     """argparse `type=` validator for --quantize flags: fail at parse time
     with the grammar instead of deep inside policy construction.
