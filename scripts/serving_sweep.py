@@ -33,6 +33,10 @@ DEFAULT_CONFIGS = [
     "int8:8,16",
     "int4:1,8,16,32",
     "int4+kv8:16,32",
+    # fused Pallas dequant-matmul decode tail (ops/q4_matmul.py) — the
+    # kernel-vs-XLA A/B at matched batches; plain int4 rows run with the
+    # kernel explicitly OFF so the pair isolates the kernel
+    "int4+qk:1,8,16,32",
     # Jacobi self-speculative decode (models/decode.py draft_tokens): 'jw' =
     # warm drafts (previous step's tokens — the control-loop steady state;
     # best case, one verification pass), 'jc' = cold zero drafts (worst
