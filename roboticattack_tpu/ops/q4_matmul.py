@@ -49,6 +49,24 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+def _unpack_nibbles_f32(w):
+    """Packed s4 byte -> (low, high) signed nibble values as exact f32.
+
+    Mosaic (the Pallas TPU compiler) cannot legalize `arith.shli` on int8
+    vectors (measured on-chip round 5: "failed to legalize operation
+    'arith.shli'"), so the bit-twiddling unpack models/quant.py uses under
+    XLA is re-expressed as float arithmetic: every intermediate is an
+    integer of magnitude <= 128, exact in f32, so this is bit-identical to
+    the shift formulation. high = floor(w / 16) IS the arithmetic right
+    shift (floor division matches sign extension); the remainder is the
+    unsigned low nibble, re-signed by subtracting 16 from values >= 8."""
+    wf = w.astype(jnp.float32)
+    hi = jnp.floor(wf * 0.0625)              # == w >> 4 (arithmetic)
+    m = wf - 16.0 * hi                       # unsigned low nibble, 0..15
+    lo = m - jnp.where(m >= 8.0, 16.0, 0.0)  # sign-extend
+    return lo, hi
+
+
 def _kernel_grouped(ye_ref, yo_ref, w_ref, sct_ref, out_ref, *, n_groups,
                     gsz2, op_dtype):
     """Per-group partial scaling: for each quantization group g, contract the
@@ -56,9 +74,9 @@ def _kernel_grouped(ye_ref, yo_ref, w_ref, sct_ref, out_ref, *, n_groups,
     f32 partial by the group's scale row. All slices are static (Mosaic
     handles sub-lane-tile static offsets); the unrolled loop keeps every
     partial in registers/VMEM."""
-    w = w_ref[:]
-    lo = (jnp.left_shift(w, 4) >> 4).astype(op_dtype)  # channels 2j
-    hi = (w >> 4).astype(op_dtype)                     # channels 2j+1
+    lo, hi = _unpack_nibbles_f32(w_ref[:])   # channels 2j / 2j+1
+    lo = lo.astype(op_dtype)
+    hi = hi.astype(op_dtype)
     ye = ye_ref[:].astype(op_dtype)
     yo = yo_ref[:].astype(op_dtype)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
@@ -82,14 +100,12 @@ def _kernel_dense(ye_ref, yo_ref, w_ref, sct_ref, out_ref, *, n_groups,
     per weight (the f32 multiply runs on the full tile) but the best MXU
     shape; which of the two kernels wins is an empirical, batch-dependent
     question — scripts/micro_q4.py measures both."""
-    w = w_ref[:]
     sc = sct_ref[:]                                        # [G, TILE_O] f32
     # [G, TILE_O] -> [G*gsz2, TILE_O]: group g's row repeated for its lanes
     sce = jnp.repeat(sc, gsz2, axis=0)
-    lo = ((jnp.left_shift(w, 4) >> 4).astype(jnp.float32) * sce.T).astype(
-        op_dtype
-    )
-    hi = ((w >> 4).astype(jnp.float32) * sce.T).astype(op_dtype)
+    lo, hi = _unpack_nibbles_f32(w_ref[:])
+    lo = (lo * sce.T).astype(op_dtype)
+    hi = (hi * sce.T).astype(op_dtype)
     dn = (((1,), (1,)), ((), ()))
     acc = jax.lax.dot_general(
         ye_ref[:].astype(op_dtype), lo, dn,
